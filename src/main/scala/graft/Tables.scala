@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * Mirrors the reference's table registration surface
+  * (pyblazing/pyblazing/apiv2/context.py:2079 create_table): a named
+  * catalog of parquet-backed tables. On Spark the catalog is the session's
+  * temp-view namespace; schema comes from parquet footers (same role as the
+  * reference's _parseSchema, context.py:2653).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Read one fixture table. Column pruning + predicate pushdown reach the
+    * scan automatically because callers compose on the returned DataFrame.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; we read it as a long (ns since epoch) and truncate to
+    * microseconds — the same value DuckDB sees at µs resolution.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(dir, name))
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Register every fixture table as a temp view (for the SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function parity matrix, mirroring the reference's closed operator
+  * enum (/root/reference engine/src/parser/expression_utils.hpp:11-93 and
+  * the Calcite-token map expression_utils.cpp:271-346): arithmetic, math
+  * unary, comparison, logical, date extraction, casts, strings, LIKE,
+  * conditional (CASE/COALESCE/NULLIF), intervals.
+  *
+  * All expressions stay inside Tungsten whole-stage codegen — these are
+  * `org.apache.spark.sql.functions` built-ins, the Spark analog of the
+  * reference's fused "interops" kernel (interpreter_cpp.cu).
+  */
+object FunctionMatrix {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "expr_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice + l_tax AS add_v,
+        |  l_extendedprice - l_discount AS sub_v,
+        |  l_quantity * l_discount AS mul_v,
+        |  l_extendedprice / l_quantity AS div_v,
+        |  l_orderkey % 7 AS mod_v,
+        |  CAST(round(l_extendedprice, 1) AS DOUBLE) AS round_v,
+        |  CAST(floor(l_extendedprice) AS DOUBLE) AS floor_v,
+        |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_v,
+        |  abs(l_discount - 0.05) AS abs_v,
+        |  sin(l_discount) AS sin_v, cos(l_discount) AS cos_v,
+        |  tan(l_discount) AS tan_v, asin(l_discount) AS asin_v,
+        |  acos(l_discount) AS acos_v, atan(l_discount) AS atan_v,
+        |  ln(l_extendedprice) AS ln_v, log10(l_extendedprice) AS log10_v,
+        |  sqrt(l_quantity) AS sqrt_v,
+        |  power(l_quantity, 2) AS pow_v,
+        |  greatest(l_quantity, l_extendedprice / 100) AS great_v,
+        |  least(l_quantity, l_extendedprice / 100) AS least_v
+        |FROM lineitem WHERE l_orderkey <= 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 40)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") + col("l_tax")).as("add_v"),
+          (col("l_extendedprice") - col("l_discount")).as("sub_v"),
+          (col("l_quantity") * col("l_discount")).as("mul_v"),
+          (col("l_extendedprice") / col("l_quantity")).as("div_v"),
+          (col("l_orderkey") % 7).as("mod_v"),
+          round(col("l_extendedprice"), 1).cast("double").as("round_v"),
+          floor(col("l_extendedprice")).cast("double").as("floor_v"),
+          ceil(col("l_extendedprice")).cast("double").as("ceil_v"),
+          abs(col("l_discount") - 0.05).as("abs_v"),
+          sin(col("l_discount")).as("sin_v"), cos(col("l_discount")).as("cos_v"),
+          tan(col("l_discount")).as("tan_v"), asin(col("l_discount")).as("asin_v"),
+          acos(col("l_discount")).as("acos_v"), atan(col("l_discount")).as("atan_v"),
+          log(col("l_extendedprice")).as("ln_v"), log10(col("l_extendedprice")).as("log10_v"),
+          sqrt(col("l_quantity")).as("sqrt_v"),
+          pow(col("l_quantity"), 2).as("pow_v"),
+          greatest(col("l_quantity"), col("l_extendedprice") / 100).as("great_v"),
+          least(col("l_quantity"), col("l_extendedprice") / 100).as("least_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
+      "expr_string",
+      """SELECT doc_id,
+        |  lower(substring(text, 1, 30)) AS lower_v,
+        |  upper(substring(text, 1, 30)) AS upper_v,
+        |  trim(concat('  ', substring(text, 1, 10), '  ')) AS trim_v,
+        |  ltrim(concat('  ', substring(text, 1, 10))) AS ltrim_v,
+        |  rtrim(concat(substring(text, 1, 10), '  ')) AS rtrim_v,
+        |  replace(substring(text, 1, 40), 'a', '#') AS replace_v,
+        |  left(text, 8) AS left_v,
+        |  right(text, 8) AS right_v,
+        |  reverse(substring(text, 1, 12)) AS reverse_v,
+        |  length(text) AS len_v,
+        |  concat(lang, '_', source) AS concat_v,
+        |  instr(text, 'the') AS instr_v,
+        |  lpad(lang, 5, '*') AS lpad_v,
+        |  rpad(lang, 5, '*') AS rpad_v,
+        |  substring(text, 5, 10) AS substr_v
+        |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") <= 200)
+        .select(
+          col("doc_id"),
+          lower(substring(col("text"), 1, 30)).as("lower_v"),
+          upper(substring(col("text"), 1, 30)).as("upper_v"),
+          trim(concat(lit("  "), substring(col("text"), 1, 10), lit("  "))).as("trim_v"),
+          ltrim(concat(lit("  "), substring(col("text"), 1, 10))).as("ltrim_v"),
+          rtrim(concat(substring(col("text"), 1, 10), lit("  "))).as("rtrim_v"),
+          expr("replace(substring(text, 1, 40), 'a', '#')").as("replace_v"),
+          expr("left(text, 8)").as("left_v"),
+          expr("right(text, 8)").as("right_v"),
+          reverse(substring(col("text"), 1, 12)).as("reverse_v"),
+          length(col("text")).as("len_v"),
+          concat(col("lang"), lit("_"), col("source")).as("concat_v"),
+          instr(col("text"), "the").as("instr_v"),
+          lpad(col("lang"), 5, "*").as("lpad_v"),
+          rpad(col("lang"), 5, "*").as("rpad_v"),
+          substring(col("text"), 5, 10).as("substr_v"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "expr_like",
+      // LIKE → the reference translates to a cudf regex
+      // (LogicalProject.cpp:112-131); Spark's LIKE is codegen'd directly.
+      """SELECT
+        |  count(CASE WHEN text LIKE '%join%' THEN 1 END) AS n_join,
+        |  count(CASE WHEN text LIKE 'the%' THEN 1 END) AS n_the_prefix,
+        |  count(CASE WHEN text LIKE '%scan' THEN 1 END) AS n_scan_suffix,
+        |  count(CASE WHEN text NOT LIKE '%data%' THEN 1 END) AS n_not_data,
+        |  count(CASE WHEN lang LIKE '_e' THEN 1 END) AS n_underscore,
+        |  count(CASE WHEN regexp_matches(text, 'h[ao]sh') THEN 1 END) AS n_regex
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.agg(
+        count(when(col("text").like("%join%"), 1)).as("n_join"),
+        count(when(col("text").like("the%"), 1)).as("n_the_prefix"),
+        count(when(col("text").like("%scan"), 1)).as("n_scan_suffix"),
+        count(when(!col("text").like("%data%"), 1)).as("n_not_data"),
+        count(when(col("lang").like("_e"), 1)).as("n_underscore"),
+        count(when(col("text").rlike("h[ao]sh"), 1)).as("n_regex"))
+    },
+
+    QuerySpec(
+      "expr_date",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow"), // Spark: 1=Sunday; DuckDB dow 0=Sunday → +1 in oracle
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          col("o_orderdate").cast("date").as("od"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "expr_time",
+      """SELECT event_id,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(second(ts) AS INT) AS sec,
+        |  CAST(ts AS DATE) AS event_date
+        |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(
+          col("event_id"),
+          hour(col("ts")).cast("int").as("h"),
+          minute(col("ts")).cast("int").as("mi"),
+          second(col("ts")).cast("int").as("sec"),
+          col("ts").cast("date").as("event_date"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "expr_cast",
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_back,
+        |  CAST(c_custkey AS DOUBLE) AS key_dbl,
+        |  CAST(c_acctbal > 5000 AS INT) AS rich_flag,
+        |  CAST(c_nationkey AS SMALLINT) AS nk_small,
+        |  CAST(c_nationkey AS BIGINT) AS nk_big
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          col("c_custkey").cast("string").as("key_str"),
+          col("c_custkey").cast("string").cast("long").as("key_back"),
+          col("c_custkey").cast("double").as("key_dbl"),
+          (col("c_acctbal") > 5000).cast("int").as("rich_flag"),
+          col("c_nationkey").cast("short").as("nk_small"),
+          col("c_nationkey").cast("long").as("nk_big"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "expr_case",
+      // CASE WHEN — the reference compiles this to MAGIC_IF_NOT /
+      // FIRST_NON_MAGIC interpreter ops (expression_utils.hpp:80-81).
+      """SELECT
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 30 THEN 'mid'
+        |       ELSE 'high' END AS qty_band,
+        |  CASE l_returnflag WHEN 'R' THEN 'returned'
+        |       WHEN 'A' THEN 'ack' ELSE 'none' END AS flag_name,
+        |  count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sq
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY qty_band, flag_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qty_band"),
+          when(col("l_returnflag") === "R", "returned")
+            .when(col("l_returnflag") === "A", "ack")
+            .otherwise("none").as("flag_name"),
+          col("l_quantity"))
+        .groupBy(col("qty_band"), col("flag_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sq"))
+        .orderBy(col("qty_band"), col("flag_name"))
+    },
+
+    QuerySpec(
+      "expr_cond",
+      """SELECT x.c_custkey,
+        |  coalesce(x.bal, 0.0) AS bal_or_zero,
+        |  nullif(x.seg, 'BUILDING') AS seg_nullif,
+        |  (x.bal IS NULL) AS bal_is_null,
+        |  (x.bal IS NOT NULL) AS bal_not_null
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+        |        c_mktsegment AS seg
+        |      FROM customer) x
+        |ORDER BY x.c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal"),
+          col("c_mktsegment").as("seg"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("bal"), lit(0.0)).as("bal_or_zero"),
+          nullif(col("seg"), lit("BUILDING")).as("seg_nullif"),
+          col("bal").isNull.as("bal_is_null"),
+          col("bal").isNotNull.as("bal_not_null"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "expr_interval",
+      // Interval literals — the reference converts Calcite INTERVAL ms to
+      // target units (expression_utils.cpp:1341-1460).
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 90 DAY AS due_date,
+        |  o_orderdate - INTERVAL 1 MONTH AS prev_month,
+        |  CAST(o_orderdate + INTERVAL 12 HOUR AS DATE) AS same_day,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 100)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("due_date"),
+          (col("o_orderdate") - expr("INTERVAL 1 MONTH")).as("prev_month"),
+          (col("o_orderdate") + expr("INTERVAL 12 HOUR")).cast("date").as("same_day"),
+          datediff(lit(java.sql.Date.valueOf("2000-01-01")), col("o_orderdate").cast("date"))
+            .as("days_to_y2k"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "expr_json_props",
+      // The events.props column is JSON-ish; extract with a regex that both
+      // engines implement identically (reference parity: string ops only).
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, 'k"?\s*:\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "k\"?\\s*:\\s*(\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("k_sum"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

@@ -1,0 +1,7 @@
+package graft.queries
+
+/** Placeholder — training-data pipeline operators (dedup, similarity,
+  * text analysis) land here. */
+object Pipeline {
+  val specs: Seq[QuerySpec] = Seq.empty
+}

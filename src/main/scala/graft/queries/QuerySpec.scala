@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable unit of engine capability: a Spark implementation plus an
+  * optional DuckDB oracle SQL string over the same parquet tables. Column
+  * names MUST match between the two (the driver sorts columns by name
+  * before hashing values).
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QuerySpec {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle))
+
+  /** Non-SQL-expressible op: driver records a weaker rows-only check. */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, None)
+}

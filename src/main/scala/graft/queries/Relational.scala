@@ -1,0 +1,610 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator battery: scans, joins (all types incl. null-safe and
+  * inequality), aggregation (all agg functions of the reference's GroupBy.h
+  * enum — /root/reference engine/src/operators/GroupBy.h:15-28), sorts with
+  * explicit null ordering (OrderBy.cpp:133-184), limits, set operations
+  * (BatchUnionProcessing.cpp + INTERSECT/EXCEPT as Spark superset).
+  *
+  * Everything here is declarative DataFrame API so Catalyst performs
+  * predicate pushdown, column pruning and join selection; broadcast hints
+  * are placed where one side is dimension-sized at any scale factor.
+  */
+object Relational {
+  private def ts(s: String): Column =
+    lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- TPC-H style analytical queries -------------------------------
+    QuerySpec(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    QuerySpec(
+      "q6_filter",
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.08
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.08) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    QuerySpec(
+      "q3_topk",
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+      // customer is dimension-sized vs lineitem: broadcast it so the big
+      // fact side never shuffles for that join.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    QuerySpec(
+      "q5_local_supplier",
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    QuerySpec(
+      "q10_returns",
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    QuerySpec(
+      "q14_promo",
+      """SELECT 100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-02-01"))
+      val part = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))) / sum(rev))
+          .as("promo_revenue"))
+    },
+
+    QuerySpec(
+      "q18_big_orders",
+      """SELECT c_custkey, o_orderkey, o_totalprice, sum_qty FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         sum(l_quantity) AS sum_qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey, o_custkey, o_totalprice
+        |) big JOIN customer ON c_custkey = o_custkey
+        |WHERE sum_qty > 180
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    QuerySpec(
+      "q19_disjunctive",
+      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'BRAND_1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'BRAND_2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'BRAND_3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val cond =
+        (col("p_brand") === "BRAND_1" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "BRAND_2" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "BRAND_3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+      li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+
+    // ---- join types ---------------------------------------------------
+    QuerySpec(
+      "join_inner",
+      """SELECT n_name, count(*) AS n_cust, CAST(sum(c_acctbal) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).cast("double").as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    QuerySpec(
+      "join_left",
+      """SELECT c_custkey, c_name, o_cnt FROM (
+        |  SELECT c_custkey, c_name, count(o_orderkey) AS o_cnt
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_name
+        |) x ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("o_cnt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec(
+      "join_right",
+      """SELECT o_orderkey, c_name
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+        |RIGHT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") <= 50)
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "right")
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "join_full",
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 60) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 40) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 60)
+      val o = t(s, dir, "orders").filter(col("o_custkey") >= 40)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    },
+
+    QuerySpec(
+      "join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    QuerySpec(
+      "join_semi",
+      // IN-subquery — the reference rewrites these into joins via Calcite
+      // (SURVEY §2.3); Spark plans a LeftSemi join directly.
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    QuerySpec(
+      "join_anti",
+      """SELECT n_name, count(*) AS n_no_p_order
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val pCust = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      t(s, dir, "customer")
+        .join(pCust, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_no_p_order"))
+        .orderBy(col("n_name"))
+    },
+
+    QuerySpec(
+      "join_nonequi",
+      // Equi + inequality condition: the reference splits this into an
+      // equi-join plus post-filter (BatchJoinProcessing.cpp:148-230);
+      // Spark evaluates the extra predicate inside the join natively.
+      """SELECT s_suppkey, count(*) AS n_richer
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      supp.join(cust,
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_richer"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    QuerySpec(
+      "join_nullsafe",
+      // IS NOT DISTINCT FROM keys (reference: null-equality joins,
+      // BatchJoinProcessing.cpp:75-112). Nulls injected deterministically.
+      """SELECT cnk, count(*) AS n
+        |FROM (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS cnk
+        |      FROM customer) c
+        |JOIN (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS snk
+        |      FROM supplier) s
+        |  ON cnk IS NOT DISTINCT FROM snk
+        |GROUP BY cnk ORDER BY cnk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey")).as("cnk"))
+      val sp = t(s, dir, "supplier").select(
+        when(col("s_suppkey") % 5 === 0, lit(null)).otherwise(col("s_nationkey")).as("snk"))
+      c.join(sp, col("cnk") <=> col("snk"))
+        .groupBy(col("cnk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cnk").asc_nulls_first)
+    },
+
+    // ---- aggregation --------------------------------------------------
+    QuerySpec(
+      "agg_nogroup",
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supp"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    },
+
+    QuerySpec(
+      "agg_distinct",
+      // COUNT(DISTINCT) — the reference expands this via Calcite's
+      // AggregateExpandDistinctAggregatesRule (SURVEY §2.4); Spark plans it
+      // natively with a two-phase distinct aggregate.
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supp,
+        |  CAST(count(DISTINCT (l_suppkey, l_partkey)) AS BIGINT) AS d_sp,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).cast("long").as("d_supp"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).cast("long").as("d_sp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "agg_stats",
+      """SELECT l_returnflag,
+        |  stddev_samp(l_extendedprice) AS sd_samp,
+        |  stddev_pop(l_extendedprice) AS sd_pop,
+        |  var_samp(l_extendedprice) AS v_samp,
+        |  var_pop(l_extendedprice) AS v_pop
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          stddev_samp(col("l_extendedprice")).as("sd_samp"),
+          stddev_pop(col("l_extendedprice")).as("sd_pop"),
+          var_samp(col("l_extendedprice")).as("v_samp"),
+          var_pop(col("l_extendedprice")).as("v_pop"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "agg_having",
+      // HAVING → Filter-above-Aggregate (reference: Calcite rewrite,
+      // docsrc aggregating.rst:55-71).
+      """SELECT l_suppkey, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING sum(l_quantity) > 400
+        |ORDER BY total_qty DESC, l_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 400)
+        .orderBy(col("total_qty").desc, col("l_suppkey"))
+    },
+
+    QuerySpec(
+      "agg_distinct_rows",
+      // group-by with no aggregations = DISTINCT (reference:
+      // cudf::drop_duplicates path, GroupBy.cpp:205-213).
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- sort / limit --------------------------------------------------
+    QuerySpec(
+      "sort_multikey_nulls",
+      // Explicit per-key ASC/DESC + NULLS FIRST/LAST (reference:
+      // OrderBy.cpp:133-184). Spark default null-ordering differs from
+      // DuckDB's, so both sides are explicit.
+      """SELECT c_custkey, bal, c_mktsegment FROM (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal,
+        |         c_mktsegment
+        |  FROM customer) x
+        |ORDER BY bal DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal"),
+          col("c_mktsegment"))
+        .orderBy(col("bal").desc_nulls_last, col("c_mktsegment").asc, col("c_custkey").asc)
+        .limit(100)
+    },
+
+    QuerySpec(
+      "sort_limit_topk",
+      // ORDER BY + LIMIT fuses into TakeOrderedAndProject (top-k, no full
+      // sort) — the analog of the reference's distributed LimitKernel.
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- set operations -------------------------------------------------
+    QuerySpec(
+      "set_union_all",
+      """SELECT k, src FROM (
+        |  SELECT l_orderkey AS k, 'a' AS src FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 'b' AS src FROM orders WHERE o_orderstatus = 'O'
+        |) x ORDER BY k, src""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"), lit("a").as("src"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("k"), lit("b").as("src"))
+      a.unionByName(b).orderBy(col("k"), col("src"))
+    },
+
+    QuerySpec(
+      "set_union_distinct",
+      // UNION (distinct) — reference rewrites to UNION ALL + dedup
+      // (PhysicalPlanGenerator.h:251-294); Spark: union + distinct.
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION
+        |  SELECT s_nationkey AS nk FROM supplier
+        |) x ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))
+    },
+
+    QuerySpec(
+      "set_intersect",
+      """SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+        .intersect(li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("k")))
+        .orderBy(col("k"))
+    },
+
+    QuerySpec(
+      "set_except",
+      """SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+        |EXCEPT
+        |SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-02-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-02-01"))
+        .select(col("l_partkey").as("k"))
+        .except(
+          li.filter(col("l_shipdate") >= ts("1996-02-01") && col("l_shipdate") < ts("1996-03-01"))
+            .select(col("l_partkey").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // ---- subqueries / CTEs (SQL surface via Spark's parser) -------------
+    QuerySpec(
+      "sub_scalar",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    QuerySpec(
+      "sub_correlated",
+      // Correlated scalar subquery → decorrelated into a join by Catalyst
+      // (reference: Calcite sql-to-rel decorrelation, SURVEY §4.1).
+      """SELECT c_custkey, c_acctbal FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer c1
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer c2
+          |                   WHERE c2.c_nationkey = c1.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    QuerySpec(
+      "q17_small_qty",
+      """SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'BRAND_1'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+          |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'BRAND_1'
+          |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+
+    QuerySpec(
+      "cte_query",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supp, sum(l_extendedprice * (1 - l_discount)) AS total
+        |  FROM lineitem GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total FROM supplier JOIN rev ON s_suppkey = supp
+        |WHERE total > (SELECT avg(total) FROM rev)
+        |ORDER BY total DESC, s_suppkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supp, sum(l_extendedprice * (1 - l_discount)) AS total
+          |  FROM lineitem GROUP BY l_suppkey
+          |)
+          |SELECT s_suppkey, s_name, total FROM supplier JOIN rev ON s_suppkey = supp
+          |WHERE total > (SELECT avg(total) FROM rev)
+          |ORDER BY total DESC, s_suppkey""".stripMargin)
+    },
+
+    // ---- grouping sets / rollup / cube (Spark superset; absent in the
+    // reference — SURVEY §2.4 marks them free wins) ----------------------
+    QuerySpec(
+      "agg_rollup",
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sq
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("double").as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+  )
+}

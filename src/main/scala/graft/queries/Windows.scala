@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function battery over the `events` table, mirroring the
+  * reference's ComputeWindowKernel surface (/root/reference
+  * engine/src/execution_kernels/BatchWindowFunctionProcessing.cpp:60-165):
+  * MIN/MAX/SUM/AVG/COUNT/ROW_NUMBER/LAG/LEAD/FIRST_VALUE/LAST_VALUE over
+  * `ROWS BETWEEN` frames — plus RANK/DENSE_RANK/NTILE/PERCENT_RANK and
+  * RANGE frames, which the reference rejects
+  * (PhysicalPlanGenerator.h:298-306) but Spark supports natively.
+  *
+  * Scale note: every window here has a PARTITION BY, so Spark shuffles by
+  * partition key and sorts within — the same shape as the reference's
+  * sort+ComputeWindow rewrite. The one no-PARTITION-BY query is bounded to
+  * a filtered subset (a global window is single-partition by definition).
+  */
+object Windows {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // Deterministic total order within a user: ts then unique event_id.
+  private val byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "win_rownum",
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(byUser).as("rn"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_agg_frames",
+      """SELECT event_id, user_id,
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg4,
+        |  min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS min5,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS max5,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnt3
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_sum"),
+          avg(col("value")).over(byUser.rowsBetween(-3, Window.currentRow)).as("avg4"),
+          min(col("value")).over(byUser.rowsBetween(-2, 2)).as("min5"),
+          max(col("value")).over(byUser.rowsBetween(-2, 2)).as("max5"),
+          count(lit(1)).over(byUser.rowsBetween(-1, 1)).as("cnt3"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_laglead",
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+        |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_or_zero,
+        |  lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_v
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(byUser).as("prev_v"),
+          lag(col("value"), 1, 0.0).over(byUser).as("prev_or_zero"),
+          lead(col("value"), 2).over(byUser).as("next2_v"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_firstlast",
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val full = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("value")).over(full).as("first_v"),
+          last(col("value")).over(full).as("last_v"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_rank",
+      """SELECT event_id, event_type,
+        |  rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+        |  dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS drk,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS quartile,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS prk
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          rank().over(byType).as("rk"),
+          dense_rank().over(byType).as("drk"),
+          ntile(4).over(byType).as("quartile"),
+          percent_rank().over(byType).as("prk"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_nopartition",
+      // Window without PARTITION BY (reference: windowNoPartition suite via
+      // the overlap kernels). Bounded input: global order = 1 partition.
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |  sum(value) OVER (ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val global = Window.orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id") === 3)
+        .select(col("event_id"),
+          row_number().over(global).as("rn"),
+          sum(col("value")).over(global.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_total"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "win_range_frame",
+      // RANGE frames — rejected by the reference
+      // (PhysicalPlanGenerator.h:304-306), native in Spark and DuckDB.
+      """SELECT o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near,
+        |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS sum_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val byStatus = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(byStatus.rangeBetween(-1000, Window.currentRow)).as("n_near"),
+          sum(col("o_totalprice")).over(byStatus.rangeBetween(-1000, 1000)).as("sum_near"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
+      "events_sessions",
+      // Batch sessionization (gap > 30 min starts a new session): the
+      // LAG + running-SUM idiom, fully window-based so it scales with a
+      // single shuffle on user_id.
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, sum(value) AS session_value
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val prevTs = lag(col("ts"), 1).over(byUser)
+      val isNew = when(prevTs.isNull ||
+        (unix_timestamp(col("ts")) - unix_timestamp(prevTs)) > 1800, 1).otherwise(0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"), isNew.as("is_new"))
+        .select(col("user_id"), col("value"),
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long").as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+}

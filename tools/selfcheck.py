@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-loop oracle check (mimics the driver's CORRECTNESS gate).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+For each query result parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same fixture tables,
+sorts columns by name and rows by all columns, and compares with a 1e-3
+tolerance on floats.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps → iso strings, decimals/float32 → float64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object and df[c].dropna().size:
+            first = df[c].dropna().iloc[0]
+            if isinstance(first, bytes):
+                df[c] = df[c].apply(lambda b: b.hex() if isinstance(b, bytes) else b)
+            elif isinstance(first, (pd.Timestamp,)) or type(first).__name__ in ("date", "datetime"):
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list:
+    errs = []
+    if sorted(a.columns) != sorted(b.columns):
+        return [f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    a, b = norm(a), norm(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            bad = ~(np.isclose(av, bv, rtol=1e-3, atol=1e-3) | (av.isna() & bv.isna()))
+        else:
+            bad = ~((av == bv) | (av.isna() & bv.isna()))
+        if bad.any():
+            i = bad.idxmax()
+            errs.append(f"col {c}: {int(bad.sum())} mismatches, first at row {i}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+    return errs
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = n_noop = 0
+    for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(d):
+            continue
+        name = os.path.basename(d)
+        if only and name not in only:
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(d + "/*.parquet")],
+                             ignore_index=True) if glob.glob(d + "/*.parquet") else pd.DataFrame()
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(spark_df) > 0 else "EMPTY!"
+            n_noop += 1
+            print(f"  [{status:9s}] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"  [ORACLE-ERR] {name}: {str(e)[:200]}")
+            continue
+        errs = compare(spark_df, duck_df, name)
+        if errs:
+            n_fail += 1
+            print(f"  [FAIL] {name}: " + "; ".join(errs[:3]))
+        else:
+            n_pass += 1
+            print(f"  [ok]   {name}: {len(spark_df)} rows")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noop} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
