@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from generated code (doGenCode) and from
+  * interpreted eval. Keeping these as plain static-style methods lets the
+  * custom expressions stay inside whole-stage codegen: the generated code
+  * is a single virtual-free call per row.
+  */
+object VectorOps {
+
+  /** Single-pass cosine similarity over two float/double arrays. */
+  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Dot product (vectors assumed pre-normalized when used for cosine). */
+  def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    if (isFloat) { while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 } }
+    else { while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 } }
+    s
+  }
+
+  // ---- hashing kernels ------------------------------------------------
+
+  /** 64-bit FNV-1a over UTF-8 bytes — stable, dependency-free base hash. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates the k permutations. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // Permutation constants are pure functions of (seed, k): cache them so
+  // the per-row cost is k multiplies per shingle, nothing else.
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Long], Array[Long])]()
+
+  private def perms(seed: Long, k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent((seed, k), { key =>
+      val (s, kk) = key
+      val a = Array.tabulate(kk)(j => mix64(s + 2L * j) | 1L) // odd multipliers
+      val b = Array.tabulate(kk)(j => mix64(s + 2L * j + 1L))
+      (a, b)
+    })
+
+  /** MinHash signature: k permutation-minima over the element hashes.
+    * One pass over the shingles per row, O(|shingles| * k) multiplies —
+    * the Spark-side analog of a banded LSH signature builder. Empty input
+    * yields Long.MaxValue sentinels (matches no non-empty signature).
+    */
+  def minHash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val (pa, pb) = perms(seed, k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = fnv1a64(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val h = pa(j) * base + pb(j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes: sign of per-bit vote counts. */
+  def simHash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix64(fnv1a64(tokens.getUTF8String(i)))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the custom expressions plus composed built-ins.
+  * Everything here returns `Column`s built from codegen-friendly
+  * expressions — no Scala UDFs anywhere (SURVEY §7.3 stance: built-ins >
+  * custom Expression > UDF).
+  */
+package object functions {
+
+  private def expr0(c: Column) = Shims.expression(c)
+  private def col0(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Shims.column(e)
+
+  /** Cosine similarity of two array<float>/array<double> columns. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col0(CosineSimilarity(expr0(a), expr0(b)))
+
+  /** MinHash signature (k permutation minima) of an array<string>. */
+  def minhash_signature(shingles: Column, k: Int = 128, seed: Long = 42L): Column =
+    col0(MinHashSignature(expr0(shingles), k, seed))
+
+  /** 64-bit SimHash of an array<string> of tokens. */
+  def simhash64(tokens: Column): Column =
+    col0(SimHash64(expr0(tokens)))
+
+  // ---- composed built-ins (kept here so operators share one definition) --
+
+  /** Whitespace tokens of lower-cased text; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles: joins each n consecutive tokens with one space. */
+  def word_shingles(toks: Column, n: Int): Column = {
+    // transform over a 0..len-n index range; sequence() is codegen'd.
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+    filter(
+      transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+  }
+
+  /** Canonical text normalization shared by dedup + fingerprinting:
+    * lower-case, collapse whitespace, trim. */
+  def normalize_text(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Register the SQL-surface names for the custom expressions. */
+  def registerSql(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin // touch to ensure init
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_expr")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0), 128, 42L), "scala_expr")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0)), "scala_expr")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Scale design notes (100 TB target):
+  *  - Exact dedup is a single hash-aggregate on a 16-byte fingerprint —
+  *    one shuffle of (fingerprint, id), never of the text.
+  *  - MinHash/SimHash LSH: signatures are computed scan-side in one
+  *    codegen'd pass (custom expressions, no UDFs); only (band-key, id,
+  *    signature) rows shuffle, and the self-join key is the band hash, so
+  *    candidate generation is a standard shuffle join that partitions
+  *    evenly unless the corpus is pathologically self-similar.
+  *  - All pair outputs are id < id ordered and deduplicated across bands.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
+    * Returns one row per duplicate group (n_dups >= 2) with the kept id.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(md5(normalize_text(col(textCol))).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+
+  /** MinHash signature column for a text column. */
+  def minHashSig(text: Column, k: Int, shingle: Int, seed: Long): Column =
+    minhash_signature(word_shingles(tokens(text), shingle), k, seed)
+
+  /** Near-duplicate pairs via MinHash + banded LSH.
+    *
+    * k minhashes split into `bands` bands of k/bands rows; docs sharing any
+    * band hash become candidates; the signature-estimated Jaccard filters
+    * them to `threshold`. Candidate recall follows the usual S-curve
+    * 1-(1-s^r)^b.
+    */
+  def minHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
+      shingle: Int = 3, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+
+    val sigs = docs.select(col(idCol).as("id"),
+      minHashSig(col(textCol), k, shingle, seed).as("sig"))
+
+    // band keys: hash of each r-slice of the signature (computed inline,
+    // no second pass over the text)
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
+          .as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val left = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: MinHash-LSH generates the
+    * candidates (cheap), then the true shingle sets are joined back and
+    * intersected — the classic verify step, so the quadratic work only
+    * happens on the candidate set.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingle: Int = 3, threshold: Double = 0.5,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val cands = minHashPairs(docs, textCol, idCol, k, bands, shingle,
+      threshold = threshold * 0.5, seed = seed) // loose pre-filter
+    val sets = docs.select(col(idCol).as("sid"),
+      array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("sset"))
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
+    cands
+      .join(sets.select(col("sid"), col("sset").as("set_a")), col("id_a") === col("sid")).drop("sid")
+      .join(sets.select(col("sid"), col("sset").as("set_b")), col("id_b") === col("sid")).drop("sid")
+      .select(col("id_a"), col("id_b"),
+        when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs via 64-bit SimHash: candidates share one of four
+    * 16-bit bands; verified by Hamming distance <= maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 8): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(3)), i =>
+          struct(i.as("band"),
+            call_function("shiftright", col("sh"), lit(16) * i)
+              .bitwiseAND(lit(0xffffL)).as("bh"))))
+          .as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val left = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate embedding pairs: random-hyperplane LSH buckets (sign
+    * bits of `planes` pseudo-random projections) generate candidates;
+    * exact cosine verifies. Two independent plane sets improve recall.
+    */
+  def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, planes: Int = 8,
+      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+    def bucket(seedOffset: Long): Column = {
+      val rng = new scala.util.Random(seed + seedOffset)
+      val bits = (0 until planes).map { p =>
+        val plane = Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
+        (cosine_similarity(col(vecCol), typedlit(plane)) > 0).cast("long") * (1L << p)
+      }
+      bits.reduce(_ + _)
+    }
+    val tagged = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(
+        struct(lit(0).as("probe"), bucket(0).as("bkt")),
+        struct(lit(1).as("probe"), bucket(1000).as("bkt")))).as("pb"))
+      .select(col("id"), col("v"), col("pb.probe").as("probe"), col("pb.bkt").as("bkt"))
+    val left = tagged.select(col("probe"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = tagged.select(col("probe"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("probe", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed partition-wise with typed Datasets.
+  *
+  * The actual codecs (image/audio/video decode) are STUBBED with
+  * deterministic fakes — the container has no media libraries — but the
+  * Spark-side contract is real and tested: schema (binary + struct
+  * metadata), partition-preserving mapPartitions with batched iterators,
+  * fixed-shape feature vectors, and frame sampling via posexplode.
+  *
+  * At 100 TB the decode step is the dominant cost and is embarrassingly
+  * parallel: mapPartitions keeps it scan-side (no shuffle), and the output
+  * is a fixed ~few-hundred-bytes row regardless of media size, so
+  * downstream stages shuffle features, never bytes.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, media_type: String, content: Array[Byte])
+  case class DecodedMedia(
+      media_id: Long, media_type: String,
+      width: Int, height: Int, channels: Int,
+      n_bytes: Long, checksum: Long, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** Build a media table from any table with an id + string column: the
+    * string bytes stand in for encoded media (deterministic fake payload).
+    */
+  def mediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
+      col(payloadCol).cast("binary").as("content"))
+
+  /** STUB decode: deterministic pseudo-decode of the byte payload.
+    * A real deployment swaps `decodeOne` for an actual codec call; the
+    * partition-iterator shape (reuse buffers, stream rows) is the real
+    * contract.
+    */
+  private def decodeOne(row: MediaRow): DecodedMedia = {
+    val bytes = if (row.content == null) Array.empty[Byte] else row.content
+    // rolling 64-bit checksum (FNV-1a), also the seed for fake dimensions
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val w = 64 + (math.abs(h) % 1024).toInt
+    val ht = 64 + (math.abs(h >> 10) % 1024).toInt
+    val ch = if (row.media_type == "audio") 1 else 3
+    val feats = new Array[Float](FeatureDim)
+    var j = 0
+    while (j < FeatureDim) {
+      // splitmix64 stream over the checksum: stable fake "embedding"
+      var z = h + 0x9e3779b97f4a7c15L * (j + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      feats(j) = ((z ^ (z >>> 31)) & 0xffffff).toFloat / 0xffffff.toFloat
+      j += 1
+    }
+    DecodedMedia(row.media_id, row.media_type, w, ht, ch, bytes.length.toLong, h, feats)
+  }
+
+  /** Decode/feature-extract, partition-wise. No shuffle; output row size is
+    * fixed and small.
+    */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeOne))
+  }
+
+  /** Frame sampling: split the payload into `n` fixed-stride "frames"
+    * (stub for video frame extraction); posexplode keeps lineage columnar.
+    */
+  def sampleFrames(media: DataFrame, n: Int = 4): DataFrame = {
+    val frameLen = greatest((length(col("content")) / n).cast("int"), lit(1))
+    media
+      .filter(col("media_type") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
+          col("content").substr((i * frameLen + 1).cast("int"), lit(1024)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+      .filter(length(col("frame_bytes")) > 0)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - Brute force: the query set is broadcast (small side), the corpus is
+  *    scanned once; per-partition top-k runs BEFORE any shuffle, so only
+  *    numPartitions × |queries| × k candidate rows move — never the corpus.
+  *  - IVF: a coarse quantizer (nlist centroids, broadcast) splits the
+  *    corpus by nearest centroid; queries probe their nprobe closest
+  *    centroids, so the fine search touches nprobe/nlist of the data.
+  *    The corpus assignment is computed map-side (broadcast join + argmax);
+  *    the fine search joins on centroid id — a standard shuffle join keyed
+  *    by a low-cardinality but evenly-populated key.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: two-stage (partition-local then global). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        spark_partition_id().as("pid"))
+      .join(q)
+      .select(col("q_id"), col("c_id"), col("pid"),
+        cosine_similarity(col("q_vec"), col("c_vec")).as("cos"))
+      .filter(col("q_id") =!= col("c_id"))
+    val localW = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic coarse centroids: every (n/nlist)-th vector by id.
+    * count() on parquet is metadata-only; the filter prunes map-side, so
+    * no global sort or single-partition funnel ever happens.
+    */
+  def centroids(corpus: DataFrame, nlist: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    corpus
+      .filter(col(idCol) % step === 0)
+      .orderBy(col(idCol)).limit(nlist) // top-k fusion: tiny result
+      .select(expr(s"$idCol div $step").as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+  }
+
+  /** Assign each vector to its nearest centroid (map-side: broadcast+argmax). */
+  def assign(vectors: DataFrame, cents: DataFrame,
+      vecCol: String, idCol: String, outPrefix: String, top: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
+    vectors.join(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        cosine_similarity(col(vecCol), col("centroid_vec")).as("ccos"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= top)
+      .select(col(idCol).as(s"${outPrefix}_id"), col(vecCol).as(s"${outPrefix}_vec"),
+        col("centroid_id"))
+  }
+
+  /** IVF-style ANN top-k: probe `nprobe` of `nlist` coarse cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(corpus, nlist, vecCol, idCol)
+    val corpusAssigned = assign(corpus, cents, vecCol, idCol, "c", top = 1)
+    val queryProbes = assign(queries, cents, vecCol, idCol, "q", top = nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    queryProbes.join(corpusAssigned, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine_similarity(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+  }
+}

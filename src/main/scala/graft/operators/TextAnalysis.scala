@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text analysis for training-data curation: language ID, quality scores,
+  * token counting, fingerprinting. All pure `functions._` compositions —
+  * codegen'd, no UDFs, one pass over the text per query.
+  */
+object TextAnalysis {
+
+  /** Small per-language stopword sets for the n-gram/stopword heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "por", "con"),
+    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "con", "non"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val sw = typedlit(stopwords(lang))
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic language ID: stopword-ratio argmax across known languages,
+    * with a CJK-character override for zh. Returns a language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cjkRatio = when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")))
+        .cast("double") / length(text)).otherwise(lit(0.0))
+    // argmax via ordered struct array: Spark orders structs field-by-field
+    val scored = array(stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordRatio(toks, l).as("score"), lit(l).as("lang"))): _*)
+    when(cjkRatio > 0.3, lit("zh"))
+      .otherwise(
+        when(array_max(scored).getField("score") > 0.0,
+          array_max(scored).getField("lang"))
+          .otherwise(lit("unknown")))
+  }
+
+  /** Quality feature columns for a text column (all in [0,1]-ish ranges):
+    * n_tokens, mean token length, punctuation ratio, stopword ratio (en),
+    * alpha ratio, and a clamped composite score.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punct = when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text)).otherwise(lit(0.0))
+    val alpha = when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+        / length(text)).otherwise(lit(0.0))
+    val swEn = stopwordRatio(toks, "en")
+    val composite =
+      least(greatest(
+        lit(0.25) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.25) * least(meanLen / 8.0, lit(1.0)) +
+        lit(0.25) * (lit(1.0) - least(punct * 5.0, lit(1.0))) +
+        lit(0.25) * least(swEn * 5.0, lit(1.0)),
+        lit(0.0)), lit(1.0))
+    Seq(nTok.as("n_tokens"), meanLen.as("mean_tok_len"), punct.as("punct_ratio"),
+      alpha.as("alpha_ratio"), swEn.as("stopword_ratio"), composite.as("quality"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single symbols —
+    * the usual pre-tokenizer regex shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * token set (the classic "fingerprint" clustering key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** All analysis columns materialized for a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      Seq(col(idCol), langId(col(textCol)).as("lang_pred"),
+        wsTokenCount(col(textCol)).as("ws_tokens"),
+        fingerprint(col(textCol)).as("fingerprint")) ++
+        qualityColumns(col(textCol)): _*)
+}

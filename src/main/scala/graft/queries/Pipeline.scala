@@ -1,7 +1,159 @@
 package graft.queries
 
-/** Placeholder — training-data pipeline operators (dedup, similarity,
-  * text analysis) land here. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Beyond-parity training-data pipeline operators (BASELINE.json north
+  * star): deduplication, similarity search, text analysis, multimodal
+  * plumbing — each exposed as a driver-verifiable query. Oracles exist
+  * where DuckDB can express the same computation; hash-based ops (minhash,
+  * simhash, LSH, IVF) are rows-only checked and covered by ScalaTest specs
+  * instead.
+  */
 object Pipeline {
-  val specs: Seq[QuerySpec] = Seq.empty
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- deduplication --------------------------------------------------
+    QuerySpec(
+      "dedup_exact",
+      // md5-of-normalized-text is identical SQL in both engines.
+      """SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |      FROM documents) x
+        |GROUP BY fingerprint HAVING count(*) >= 2
+        |ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fingerprint"))
+    },
+
+    QuerySpec.noOracle("dedup_minhash") { (s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec.noOracle("dedup_ngram_jaccard") { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec.noOracle("dedup_simhash") { (s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec.noOracle("dedup_embedding") { (s, dir) =>
+      // fixture embeddings are near-orthogonal (max cos ~0.48), so the
+      // "near-dup" bar is the top ~0.5% of pairs; short codes keep recall.
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), planes = 6, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- similarity search ----------------------------------------------
+    QuerySpec(
+      "ann_brute_topk",
+      // DuckDB's list_cosine_similarity is the oracle for exact top-k.
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_cosine_similarity(q.embedding, c.embedding) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+        |  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id)
+        |SELECT q_id, c_id, cos, rn FROM scored WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    QuerySpec.noOracle("ann_ivf_topk") { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 5),
+          k = 10, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ---- text analysis ---------------------------------------------------
+    QuerySpec(
+      "text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS bpe_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_fingerprint",
+      // sorted-distinct-token md5: same list machinery in DuckDB.
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_quality",
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS DOUBLE) AS n_tokens,
+        |  CASE WHEN len(tk) > 0 THEN
+        |    CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+        |    ELSE 0.0 END AS mean_tok_len,
+        |  CASE WHEN len(text) > 0 THEN
+        |    CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(tk) > 0 THEN
+        |    CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(tk)
+        |    ELSE 0.0 END AS stopword_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val q = TextAnalysis.qualityColumns(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), q(0), q(1), q(2), q(4))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec.noOracle("text_langid") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal plumbing ---------------------------------------------
+    QuerySpec.noOracle("multimodal_decode") { (s, dir) =>
+      val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decode(s, media).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("channels"), col("n_bytes"), col("checksum"),
+          col("features")(0).as("f0"), col("features")(15).as("f15"))
+        .orderBy(col("media_id"))
+    },
+
+    QuerySpec.noOracle("multimodal_frames") { (s, dir) =>
+      val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, n = 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+  )
 }
