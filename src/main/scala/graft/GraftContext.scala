@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{ExecutionContext, Future}
+
+/** User-facing context with the reference's `BlazingContext` surface
+  * (/root/reference pyblazing/pyblazing/apiv2/context.py:1291): named table
+  * catalog over files or DataFrames, `sql`, `explain`, table management,
+  * filesystem registration, and async submission.
+  *
+  * Everything delegates to Spark SQL — parsing, optimization (Catalyst
+  * plays the role of the reference's Calcite+HepPlanner,
+  * RelationalAlgebraGenerator.java:180-244), and execution (Tungsten +
+  * shuffle replace the RAL kernel graph). The value of this class is the
+  * API and the semantics, not a rebuilt engine.
+  */
+class GraftContext(val spark: SparkSession) {
+  import GraftContext._
+
+  private val catalog = TrieMap.empty[String, TableEntry]
+
+  graft.functions.registerSql(spark)
+
+  // ---- table management (context.py:2079 create_table dispatch) --------
+
+  /** Create a table from files. Format inferred from the path extension
+    * unless given. Options map 1:1 onto `spark.read` options (the
+    * reference's CSV kwargs list, context.py:890-940).
+    */
+  def createTable(name: String, path: String, format: String = "",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val fmt = if (format.nonEmpty) format else inferFormat(path)
+    val reader = spark.read.options(options)
+    val df = fmt match {
+      case "parquet" => reader.parquet(path)
+      case "orc" => reader.orc(path)
+      case "csv" | "psv" =>
+        reader.option("header", options.getOrElse("header", "true"))
+          .option("sep", if (fmt == "psv") "|" else options.getOrElse("sep", ","))
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          .csv(path)
+      case "json" => reader.json(path) // JSON-lines, like the reference's cudf read_json
+      case "jdbc" => reader.format("jdbc").load() // url/dbtable/... via options
+      case other => reader.format(other).load(path)
+    }
+    register(name, df, Some(path), fmt)
+  }
+
+  /** Create a table from an existing DataFrame (the reference's
+    * cudf/pandas/arrow ingestion paths collapse to this in Spark). */
+  def createTable(name: String, df: DataFrame): DataFrame =
+    register(name, df, None, "dataframe")
+
+  private def register(name: String, df: DataFrame, path: Option[String],
+      fmt: String): DataFrame = {
+    df.createOrReplaceTempView(name)
+    catalog.put(name, TableEntry(name, df, path, fmt))
+    df
+  }
+
+  def dropTable(name: String): Unit = {
+    catalog.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def listTables(): Seq[String] = catalog.keys.toSeq.sorted
+
+  /** Column name/type listing (context.py:2618 describe_table). */
+  def describeTable(name: String): Seq[(String, String)] =
+    catalog.get(name) match {
+      case Some(e) => e.df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+      case None => throw new NoSuchElementException(s"table not found: $name")
+    }
+
+  // ---- query surface -----------------------------------------------------
+
+  /** Run SQL over the registered tables; returns a lazy DataFrame (the
+    * reference returns a materialized cudf DataFrame — call `.collect()`
+    * for that behavior). */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Async submission: the reference's sql(..., return_token=True) +
+    * status/fetch (context.py:3071-3344). */
+  def sqlAsync(query: String)(implicit ec: ExecutionContext): Future[DataFrame] =
+    Future(spark.sql(query))
+
+  /** Logical (and optionally physical) plan string — the reference's
+    * explain(detail=) (context.py:1842-1923). */
+  def explain(query: String, detail: Boolean = false): String = {
+    val qe = spark.sql(query).queryExecution
+    if (detail) qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+    else qe.optimizedPlan.treeString
+  }
+
+  /** Repartition helper (context.py:3018 partition(df, by=[])). */
+  def partition(df: DataFrame, by: Seq[String], n: Int = 0): DataFrame = {
+    val cols = by.map(df.col)
+    if (n > 0) df.repartition(n, cols: _*) else df.repartition(cols: _*)
+  }
+
+  // ---- filesystem registration (context.py:1695-1827) --------------------
+  // In Spark these are Hadoop FS configs; each helper is config-only.
+
+  def registerS3(bucket: String, accessKeyId: String, secretKey: String,
+      endpointOverride: String = ""): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.s3a.access.key", accessKeyId)
+    c.set("fs.s3a.secret.key", secretKey)
+    if (endpointOverride.nonEmpty) c.set("fs.s3a.endpoint", endpointOverride)
+  }
+
+  def registerHdfs(host: String, port: Int = 8020): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.defaultFS", s"hdfs://$host:$port")
+
+  def registerGcs(projectId: String): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.gs.project.id", projectId)
+}
+
+object GraftContext {
+  final case class TableEntry(name: String, df: DataFrame,
+      path: Option[String], format: String)
+
+  private def inferFormat(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
+    else if (p.endsWith(".orc")) "orc"
+    else if (p.endsWith(".csv")) "csv"
+    else if (p.endsWith(".psv")) "psv"
+    else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+    else "parquet"
+  }
+
+  /** Session builder with the scale-appropriate defaults for this engine:
+    * AQE on (runtime re-planning ≈ the reference's row-estimate adaptive
+    * kernels), shuffle partitions sized for the local harness.
+    */
+  def buildSession(master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def apply(spark: SparkSession): GraftContext = new GraftContext(spark)
+  def local(): GraftContext = new GraftContext(buildSession())
+}

@@ -52,10 +52,10 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin // touch to ensure init
     reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_expr")
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), 128, 42L), "scala_expr")
+      exprs => MinHashSignature(exprs(0), 128, 42L), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0)), "scala_expr")
+      exprs => SimHash64(exprs(0)), "scala_udf")
   }
 }

@@ -20,13 +20,18 @@ object Dedup {
 
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
     * Returns one row per duplicate group (n_dups >= 2) with the kept id.
+    * `prefixLen > 0` fingerprints only the first N normalized chars
+    * (prefix dedup, the common "same opening" heuristic).
     */
   def exactGroups(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs.select(md5(normalize_text(col(textCol))).as("fingerprint"), col(idCol))
+      idCol: String = "doc_id", prefixLen: Int = 0): DataFrame = {
+    val normalized = normalize_text(col(textCol))
+    val keyed = if (prefixLen > 0) substring(normalized, 1, prefixLen) else normalized
+    docs.select(md5(keyed).as("fingerprint"), col(idCol))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
+  }
 
   /** MinHash signature column for a text column. */
   def minHashSig(text: Column, k: Int, shingle: Int, seed: Long): Column =

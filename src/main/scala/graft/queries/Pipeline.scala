@@ -22,14 +22,17 @@ object Pipeline {
     // ---- deduplication --------------------------------------------------
     QuerySpec(
       "dedup_exact",
-      // md5-of-normalized-text is identical SQL in both engines.
+      // md5-of-normalized-prefix is identical SQL in both engines. (The
+      // fixture has no full-text exact dups; 60-char prefix dedup is the
+      // non-vacuous variant — ~20 duplicate groups per SF.)
       """SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM (SELECT doc_id,
-        |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |        md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fingerprint
         |      FROM documents) x
         |GROUP BY fingerprint HAVING count(*) >= 2
         |ORDER BY fingerprint""".stripMargin) { (s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fingerprint"))
+      Dedup.exactGroups(t(s, dir, "documents"), prefixLen = 60)
+        .orderBy(col("fingerprint"))
     },
 
     QuerySpec.noOracle("dedup_minhash") { (s, dir) =>

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — a Spark-native superset:
+  * the reference has no streaming semantics at all (SURVEY §2.8; its
+  * "streams" are internal batch pipelines). Watermarked event-time windows
+  * and stateful sessionization are the two canonical shapes.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-key and evicted on timeout — both safe on a
+  * 1000-executor cluster as long as the key space (user_id) partitions
+  * evenly, which a hash shuffle gives us.
+  */
+object EventStreams {
+
+  /** The events schema as Structured Streaming needs it declared up front
+    * (ts pre-converted to µs timestamp by the batch loader contract).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of event batches from a directory of parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nsSchema = StructType(eventSchema.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+      case f => f
+    })
+    spark.readStream.schema(nsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked sliding-window aggregation per event type. */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // ---- stateful sessionization -------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+      total_value: Double, closed: Boolean)
+
+  /** flatMapGroupsWithState sessionizer: 30-min inactivity gap closes a
+    * session (the streaming twin of the batch `events_sessions` query).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.lastTs > gapSeconds) {
+              closed += SessionOut(userId, st.sessionStart, st.nEvents, st.total, closed = true)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.sessionStart, t, st.nEvents + 1, st.total + e.value)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+        })
+  }
+
+  /** Drive a streaming DataFrame to a memory sink synchronously (test /
+    * smoke harness): processes everything currently in the source dir.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftContextSpec extends SparkSuite {
+
+  test("createTable + sql + listTables + describeTable + dropTable") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_region", s"$sfDir/region.parquet")
+    ctx.createTable("gc_nation", s"$sfDir/nation.parquet")
+    assert(ctx.listTables().contains("gc_region"))
+    val schema = ctx.describeTable("gc_nation").toMap[String, String]
+    assert(schema("n_name") == "string")
+
+    val df = ctx.sql(
+      "SELECT r_name, count(*) AS n FROM gc_region JOIN gc_nation " +
+        "ON r_regionkey = n_regionkey GROUP BY r_name")
+    assert(df.count() == 5)
+
+    ctx.dropTable("gc_region")
+    assert(!ctx.listTables().contains("gc_region"))
+  }
+
+  test("createTable from DataFrame and explain") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_li", Tables.load(spark, sfDir, "lineitem"))
+    val plan = ctx.explain("SELECT l_returnflag, sum(l_quantity) FROM gc_li GROUP BY 1")
+    assert(plan.contains("Aggregate"))
+    val detailed = ctx.explain("SELECT count(*) FROM gc_li", detail = true)
+    assert(detailed.contains("Physical Plan"))
+  }
+
+  test("csv round-trip with option mapping") {
+    val ctx = GraftContext(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.load(spark, sfDir, "region")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    ctx.createTable("gc_csv", tmp, format = "csv",
+      options = Map("header" -> "true"))
+    assert(ctx.sql("SELECT * FROM gc_csv").count() == 5)
+    ctx.dropTable("gc_csv")
+  }
+
+  test("json and orc sources") {
+    val ctx = GraftContext(spark)
+    val tmpJ = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmpO = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val nation = Tables.load(spark, sfDir, "nation")
+    nation.write.mode("overwrite").json(tmpJ)
+    nation.write.mode("overwrite").orc(tmpO)
+    ctx.createTable("gc_json", tmpJ, format = "json")
+    ctx.createTable("gc_orc", tmpO, format = "orc")
+    assert(ctx.sql("SELECT * FROM gc_json").count() == nation.count())
+    assert(ctx.sql("SELECT * FROM gc_orc").count() == nation.count())
+  }
+
+  test("partition() repartitions by columns") {
+    val ctx = GraftContext(spark)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val parted = ctx.partition(li, Seq("l_returnflag"), n = 4)
+    assert(parted.rdd.getNumPartitions == 4)
+    assert(parted.count() == li.count())
+  }
+
+  test("sqlAsync returns the same result as sql") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import scala.concurrent.Await
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_orders", s"$sfDir/orders.parquet")
+    val fut = ctx.sqlAsync("SELECT count(*) AS n FROM gc_orders")
+    val n = Await.result(fut, 60.seconds).collect()(0).getLong(0)
+    assert(n == ctx.sql("SELECT count(*) AS n FROM gc_orders").collect()(0).getLong(0))
+  }
+}

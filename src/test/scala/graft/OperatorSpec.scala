@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators._
+
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine_similarity matches hand-computed values") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero vector → 0 by convention
+    ).toDF("a", "b", "expected")
+    val got = df.select(cosine_similarity(col("a"), col("b")).as("cos"), col("expected"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+
+  test("minhash estimate tracks exact jaccard") {
+    // Two near-identical docs and one unrelated: the estimated jaccard of
+    // the near pair must be far above the unrelated pair's.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely different content about spark shuffle partitions here")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      minhash_signature(word_shingles(tokens($"text"), 3), 256, 7L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 256
+    assert(est(1L, 2L) > 0.5, s"near pair est=${est(1L, 2L)}")
+    assert(est(1L, 3L) < 0.2, s"far pair est=${est(1L, 3L)}")
+  }
+
+  test("minHashPairs finds planted near-duplicates") {
+    val base = Tables.load(spark, sfDir, "documents").limit(50)
+      .select($"doc_id", $"text")
+    // plant a near-dup of the first doc under id 100000
+    val dup = base.orderBy($"doc_id").limit(1)
+      .select(lit(100000L).as("doc_id"), concat($"text", lit(" extra")).as("text"))
+    val pairs = Dedup.minHashPairs(base.union(dup), threshold = 0.6).collect()
+    assert(pairs.exists(r => r.getLong(1) == 100000L),
+      s"planted dup not found; got ${pairs.mkString(";")}")
+  }
+
+  test("simhash hamming small for near texts, large for far texts") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical stages"),
+      (3L, "bananas oranges apples pears grapes melons kiwis plums lemons limes")
+    ).toDF("id", "text")
+    val hs = df.select($"id", simhash64(tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 2L) < 16, s"near hamming=${ham(1L, 2L)}")
+    assert(ham(1L, 3L) > ham(1L, 2L), s"far=${ham(1L, 3L)} near=${ham(1L, 2L)}")
+  }
+
+  test("exactGroups counts exact duplicates") {
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "HELLO WORLD "),
+      (4L, "something else")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    assert(groups(0).getAs[Long]("n_dups") == 3L)
+  }
+
+  test("bruteForceTopK returns true nearest neighbors") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val queries = embs.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // naive reference computation on the driver
+    val all = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = all.filter(_._1 < 3)
+    for ((qid, qv) <- qs) {
+      val expected = all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSeq
+      val actual = got.filter(_._1 == qid).sortBy(_._4).map(_._2).toSeq
+      assert(actual == expected, s"q=$qid: got $actual want $expected")
+    }
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(embs, queries, k = 10, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random-ish fixture embeddings: coarse quantization is weak, but
+    // probing half the cells must recover a solid fraction
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("langId picks en for english-looking text and zh for CJK") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the walk"),
+      (2L, "中文文本处理测试内容")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "zh")
+  }
+
+  test("quality columns are bounded and token counts consistent") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    val a = TextAnalysis.analyze(docs)
+    val bad = a.filter($"quality" < 0 || $"quality" > 1 ||
+      $"punct_ratio" < 0 || $"punct_ratio" > 1 || $"n_tokens" < 0).count()
+    assert(bad == 0)
+    val mism = docs.select(
+      TextAnalysis.wsTokenCount($"text").as("a"),
+      size(split(trim($"text"), "\\s+")).cast("long").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mism == 0)
+  }
+
+  test("multimodal decode is deterministic with fixed shapes") {
+    val media = Multimodal.mediaTable(
+      Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")
+    val d1 = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    assert(d1.length == 30)
+    assert(d1.zip(d2).forall { case (a, b) =>
+      a.checksum == b.checksum && a.width == b.width &&
+        a.features.sameElements(b.features) })
+    assert(d1.forall(_.features.length == Multimodal.FeatureDim))
+    assert(d1.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
+  }
+
+  test("frame sampling yields frames only for video rows") {
+    val media = Multimodal.mediaTable(
+      Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    val types = frames.join(media, Seq("media_id"))
+      .select($"media_type").distinct().collect().map(_.getString(0))
+    assert(types.sameElements(Array("video")))
+    assert(frames.groupBy($"media_id").count()
+      .filter($"count" > 4).count() == 0)
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+/** Smoke battery: every driver query runs and returns rows at sf0.001.
+  * (Value-level correctness is the DuckDB oracle's job — tools/selfcheck.py
+  * and the driver's CORRECTNESS gate.)
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs non-empty") {
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSuite {
+
+  private lazy val eventsDir = {
+    // stream source needs a directory; stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("windowed counts over the stream equal the batch computation") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.windowedCounts(stream), "win_counts")
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append-mode only emits windows below the final watermark; every
+    // emitted row must match its batch twin, and most windows must emit
+    val gotRows = got.select(col("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchRows = batch
+      .select(col("window.start").as("s"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotRows.nonEmpty, "stream emitted nothing")
+    assert(gotRows.size.toDouble / batchRows.size > 0.9,
+      s"stream emitted ${gotRows.size} of ${batchRows.size} windows")
+    gotRows.foreach { case (k, n) =>
+      assert(batchRows.get(k).contains(n), s"window $k: stream=$n batch=${batchRows.get(k)}")
+    }
+  }
+
+  test("stateful sessionization closes sessions on the 30-min gap") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val sessions = EventStreams.sessionize(spark, stream)
+    val got = EventStreams.runToMemory(spark, sessions.toDF(), "sessions")
+    // batch twin: number of CLOSED sessions = total sessions minus the
+    // still-open last session per user
+    val batchSessions = SparkEntry.queries("events_sessions")(spark, sfDir)
+    val totalSessions = batchSessions.count()
+    val nUsers = batchSessions.select(col("user_id")).distinct().count()
+    assert(got.count() == totalSessions - nUsers,
+      s"closed=${got.count()} total=$totalSessions users=$nUsers")
+  }
+}
