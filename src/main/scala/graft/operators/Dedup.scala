@@ -46,34 +46,43 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
-      shingle: Int = 3, threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      shingle: Int = 3, threshold: Double = 0.5, seed: Long = 42L,
+      persistSignatures: Boolean = true): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
 
-    val sigs = docs.select(col(idCol).as("id"),
+    // Signature pass is the dominant compute (O(shingles*k) per doc); it
+    // feeds three consumers (two self-join sides + the verify join), so
+    // persist it — ~k*8 bytes/doc, MEMORY_AND_DISK-safe at any scale.
+    // Callers pipelining over >memory corpora can opt out and recompute.
+    val sigs0 = docs.select(col(idCol).as("id"),
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
+    val sigs = if (persistSignatures)
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigs0
 
-    // band keys: hash of each r-slice of the signature (computed inline,
-    // no second pass over the text)
-    val banded = sigs.select(col("id"), col("sig"),
+    // Band keys shuffle id-only payloads (~20 bytes/row), never the
+    // signature array; the self-join reuses one exchange for both sides.
+    val banded = sigs.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
           .as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    val left = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
 
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
 
-    left.join(right, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
