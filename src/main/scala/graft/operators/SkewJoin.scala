@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual key-salting for skewed shuffle joins — the explicit fallback for
+  * the cases AQE's runtime skew-split (enabled by default in our sessions)
+  * can't fix, e.g. a single hot key that dominates one partition.
+  *
+  * Left (skewed, large) rows get a random salt in [0, saltFactor); right
+  * (smaller) rows are replicated once per salt value. The join key becomes
+  * (key, salt), spreading the hot key over `saltFactor` reducers. Classic
+  * cost: |right| × saltFactor replication — choose saltFactor ≈ the skew
+  * multiple, not more.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    // deterministic salt (hash of all left columns) rather than rand():
+    // reproducible plans, and uniform enough because the salt only has to
+    // split identical keys, whose other columns differ.
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(replicatedRight,
+        saltedLeft(key) === replicatedRight(key) &&
+          saltedLeft("__salt") === replicatedRight("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial agg on (key, salt) then
+    * final on key. Spark's hash aggregate already does map-side partials,
+    * so this is only for aggregates without partial pushdown (e.g.
+    * collect_list on a hot key) — exposed for completeness.
+    */
+  def saltedCount(df: DataFrame, key: Column, saltFactor: Int = 8): DataFrame =
+    df.groupBy(key.as("k"), pmod(spark_partition_id(), lit(saltFactor)).as("__salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_n")).as("n"))
+}

@@ -268,6 +268,54 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "expr_string2",
+      // INITCAP (reference: LogicalProject.cpp:556-566) has no DuckDB
+      // builtin — the oracle reconstructs it with list_transform; TRANSLATE
+      // and POSITION map 1:1. regexp_replace is all-occurrences in Spark →
+      // 'g' flag in DuckDB.
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(substring(text, 1, 30), ' '),
+        |    w -> CASE WHEN len(w) > 0 THEN upper(w[1]) || lower(w[2:]) ELSE w END), ' ') AS initcap_v,
+        |  translate(substring(text, 1, 30), 'aeiou', '12345') AS translate_v,
+        |  position('data' IN text) AS pos_v,
+        |  regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS rr_v,
+        |  repeat(lang, 3) AS repeat_v,
+        |  split_part(concat(lang, '-', source), '-', 2) AS split_v
+        |FROM documents WHERE doc_id <= 150 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") <= 150)
+        .select(
+          col("doc_id"),
+          initcap(substring(col("text"), 1, 30)).as("initcap_v"),
+          translate(substring(col("text"), 1, 30), "aeiou", "12345").as("translate_v"),
+          locate("data", col("text")).as("pos_v"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_").as("rr_v"),
+          repeat(col("lang"), 3).as("repeat_v"),
+          call_function("split_part", concat(col("lang"), lit("-"), col("source")),
+            lit("-"), lit(2)).as("split_v"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "expr_todate",
+      // TO_DATE / TO_TIMESTAMP with explicit format strings (reference:
+      // expression_utils.cpp:339-340, format handling LogicalProject.cpp:510).
+      """SELECT o_orderkey,
+        |  CAST(strptime(ds, '%Y-%m-%d') AS DATE) AS parsed_date,
+        |  strptime(ds || ' 12:30:00', '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds
+        |      FROM orders WHERE o_orderkey <= 100) x
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+        .select(col("o_orderkey"),
+          to_date(col("ds"), "yyyy-MM-dd").as("parsed_date"),
+          to_timestamp(concat(col("ds"), lit(" 12:30:00")),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
       "expr_json_props",
       // The events.props column is JSON-ish; extract with a regex that both
       // engines implement identically (reference parity: string ops only).

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Capabilities the reference explicitly lacks (SURVEY §2.4/§2.6/§7.4 mark
+  * them absent) that Spark provides natively — shipped as supersets:
+  * OFFSET, CUBE / GROUPING SETS, approximate aggregates, semi-structured
+  * explode.
+  */
+object Superset {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "sort_offset",
+      // OFFSET — absent in the reference (LIMIT only, SURVEY §2.6).
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(40).limit(20)
+    },
+
+    QuerySpec(
+      "agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, CAST(sum(l_extendedprice) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).cast("double").as("total"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    QuerySpec(
+      "agg_grouping_sets",
+      """SELECT l_returnflag, l_suppkey % 10 AS supp_bucket,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sq
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+        |ORDER BY l_returnflag NULLS FIRST, supp_bucket NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_suppkey % 10 AS supp_bucket,
+          |  CAST(sum(l_quantity) AS DOUBLE) AS sq
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, supp_bucket ASC NULLS FIRST""".stripMargin)
+    },
+
+    // HLL sketch cardinality: no cross-engine oracle (different sketches);
+    // the ScalaTest spec asserts <5% error vs the exact count instead.
+    QuerySpec.noOracle("agg_approx") { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        count(lit(1)).as("n"))
+    },
+
+    QuerySpec(
+      "explode_tokens",
+      // Generator/UNNEST path — flat-column-only in the reference (§1.2).
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE doc_id < 100) x
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }
+  )
+}

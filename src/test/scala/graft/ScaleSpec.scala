@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Scale-mechanics specs: salted skew joins, approximate aggregates,
+  * bucketed co-located joins (SURVEY §4.2's shuffle-avoidance strategies).
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("saltedEquiJoin equals plain join on a skewed key") {
+    // events.user_id has only 15 distinct values over 1000 rows — skewed.
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("value"))
+    val users = events.groupBy(col("user_id"))
+      .agg(avg(col("value")).as("user_avg"))
+    val plain = events.join(users, Seq("user_id"))
+      .agg(count(lit(1)), round(sum(col("value") * col("user_avg")), 4))
+      .collect()(0)
+    val salted = SkewJoin.saltedEquiJoin(events, users, "user_id", saltFactor = 4)
+      .agg(count(lit(1)), round(sum(col("value") * col("user_avg")), 4))
+      .collect()(0)
+    assert(plain == salted)
+  }
+
+  test("saltedCount equals exact counts") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag").as("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedCount(li, col("l_returnflag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == salted)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val row = SparkEntry.queries("agg_approx")(spark, sfDir).collect()(0)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exactParts = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val exactOrders = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(math.abs(row.getLong(0) - exactParts).toDouble / exactParts < 0.05)
+    assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    Tables.load(s2, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.load(s2, sfDir, "customer")
+      .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: no ShuffleExchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ==
+      Tables.load(s2, sfDir, "orders").join(
+        Tables.load(s2, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count())
+  }
+}
