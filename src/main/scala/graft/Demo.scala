@@ -1,0 +1,41 @@
+package graft
+
+/** End-to-end walkthrough of the BlazingContext-style workflow
+  * (/root/reference docsrc quick-start shape: create context → create
+  * tables → sql → results). Usage: runMain graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val ctx = GraftContext.local()
+
+    Tables.all.foreach(n => ctx.createTable(n, Tables.path(sfDir, n)))
+    println(s"tables: ${ctx.listTables().mkString(", ")}")
+    println(s"lineitem schema: ${ctx.describeTable("lineitem").map { case (n, t) => s"$n:$t" }.mkString(", ")}")
+
+    val top = ctx.sql(
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC LIMIT 5""".stripMargin)
+    println("top-5 nations by revenue:")
+    top.collect().foreach(r => println(f"  ${r.getString(0)}%-12s ${r.getDouble(1)}%,.2f"))
+
+    println("\nplan for the query above:")
+    println(ctx.explain(
+      "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1", detail = false))
+
+    // pipeline ops over the same catalog
+    val docs = ctx.sql("SELECT doc_id, text FROM documents")
+    println(s"near-dup candidate pairs (minhash LSH): " +
+      operators.Dedup.minHashPairs(docs, threshold = 0.3).count())
+    println(s"language ID sample: " + ctx.sql("SELECT doc_id, text FROM documents LIMIT 3")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        operators.TextAnalysis.langId(org.apache.spark.sql.functions.col("text")).as("lang"))
+      .collect().mkString(", "))
+
+    ctx.spark.stop()
+  }
+}

@@ -33,7 +33,7 @@ class GraftContext(val spark: SparkSession) {
     val fmt = if (format.nonEmpty) format else inferFormat(path)
     val reader = spark.read.options(options)
     val df = fmt match {
-      case "parquet" => reader.parquet(path)
+      case "parquet" => Tables.readParquet(spark, path) // handles TIMESTAMP(NANOS)
       case "orc" => reader.orc(path)
       case "csv" | "psv" =>
         reader.option("header", options.getOrElse("header", "true"))

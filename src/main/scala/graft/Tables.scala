@@ -19,21 +19,54 @@ object Tables {
 
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * scan automatically because callers compose on the returned DataFrame.
-    *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; we read it as a long (ns since epoch) and truncate to
-    * microseconds — the same value DuckDB sees at µs resolution.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    readParquet(spark, path(dir, name))
+
+  /** Parquet reader that tolerates TIMESTAMP(NANOS) columns (events.ts),
+    * which Spark's reader rejects natively: those columns are read as long
+    * ns-since-epoch and truncated to µs TimestampType — the same values
+    * DuckDB sees at µs resolution. Footer inspection happens once on the
+    * driver; the scan itself stays vectorized.
+    */
+  def readParquet(spark: SparkSession, p: String): DataFrame = {
+    val nsCols = nanoTimestampColumns(spark, p)
+    if (nsCols.isEmpty) spark.read.parquet(p)
+    else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(dir, name))
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
-    } else spark.read.parquet(path(dir, name))
+      nsCols.foldLeft(spark.read.parquet(p)) { (df, c) =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      }
+    }
+  }
+
+  /** Names of top-level TIMESTAMP(NANOS) columns, from the first file
+    * footer under `p`. */
+  private def nanoTimestampColumns(spark: SparkSession, p: String): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(return Seq.empty)
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
+        case f if f.isPrimitive &&
+          (f.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }) => f.getName
+      }
+    } finally reader.close()
   }
 
   /** Register every fixture table as a temp view (for the SQL surface). */

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the most recent right
+  * row of the same key with rightTime <= leftTime. Absent in the reference
+  * (SURVEY §2.3 marks as-of/range joins absent) and in Spark's built-in
+  * join types — built here by COMPOSITION (the preferred extension path):
+  * tag + unionByName + per-key window carry-forward. One shuffle on the
+  * key, no join explosion — at any scale this is a sort within key
+  * partitions, the same cost class as a window query.
+  *
+  * Matches the semantics of DuckDB/pandas `ASOF LEFT JOIN` with a
+  * `right.ts <= left.ts` condition: ties at equal timestamps match.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich (kept 1:1)
+    * @param right      lookup rows; all its non-key non-time columns are
+    *                   carried forward (prefixed `asof_`)
+    * @param key        equi-join key column name (same on both sides)
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTime).toSeq
+    val leftCols = left.columns.toSeq
+
+    // unified schema: left rows tag=1 keep their columns; right rows tag=0
+    // expose their time + payload under asof_ names
+    val taggedLeft = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__t", col(leftTime))
+      .withColumn("asof_time", lit(null).cast(right.schema(rightTime).dataType))
+    val taggedLeftFull = payloadCols.foldLeft(taggedLeft) { (df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val taggedRight0 = right
+      .withColumn("__tag", lit(0))
+      .withColumn("__t", col(rightTime))
+      .withColumn("asof_time", col(rightTime))
+    val taggedRight = payloadCols.foldLeft(taggedRight0) { (df, c) =>
+      df.withColumn(s"asof_$c", col(c))
+    }.select((Seq(col(key), col("__tag"), col("__t"), col("asof_time")) ++
+      leftCols.filter(c => c != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      payloadCols.map(c => col(s"asof_$c"))): _*)
+
+    val unioned = taggedLeftFull
+      .select((Seq(col(key), col("__tag"), col("__t"), col("asof_time")) ++
+        leftCols.filter(_ != key).map(col) ++
+        payloadCols.map(c => col(s"asof_$c"))): _*)
+      .unionByName(taggedRight)
+
+    // right rows sort before left rows at equal time (tag 0 < 1), so
+    // right.ts <= left.ts ties match — ASOF semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (Seq("asof_time") ++ payloadCols.map(c => s"asof_$c"))
+      .foldLeft(unioned) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+
+    carried.filter(col("__tag") === 1)
+      .select((leftCols.map(col) :+ col("asof_time")) ++
+        payloadCols.map(c => col(s"asof_$c")): _*)
+  }
+}

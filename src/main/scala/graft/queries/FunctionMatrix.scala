@@ -35,6 +35,7 @@ object FunctionMatrix {
         |  sin(l_discount) AS sin_v, cos(l_discount) AS cos_v,
         |  tan(l_discount) AS tan_v, asin(l_discount) AS asin_v,
         |  acos(l_discount) AS acos_v, atan(l_discount) AS atan_v,
+        |  cot(l_discount + 0.01) AS cot_v,
         |  ln(l_extendedprice) AS ln_v, log10(l_extendedprice) AS log10_v,
         |  sqrt(l_quantity) AS sqrt_v,
         |  power(l_quantity, 2) AS pow_v,
@@ -57,6 +58,7 @@ object FunctionMatrix {
           sin(col("l_discount")).as("sin_v"), cos(col("l_discount")).as("cos_v"),
           tan(col("l_discount")).as("tan_v"), asin(col("l_discount")).as("asin_v"),
           acos(col("l_discount")).as("acos_v"), atan(col("l_discount")).as("atan_v"),
+          cot(col("l_discount") + 0.01).as("cot_v"),
           log(col("l_extendedprice")).as("ln_v"), log10(col("l_extendedprice")).as("log10_v"),
           sqrt(col("l_quantity")).as("sqrt_v"),
           pow(col("l_quantity"), 2).as("pow_v"),
@@ -226,6 +228,8 @@ object FunctionMatrix {
       """SELECT x.c_custkey,
         |  coalesce(x.bal, 0.0) AS bal_or_zero,
         |  nullif(x.seg, 'BUILDING') AS seg_nullif,
+        |  ifnull(x.bal, -1.0) AS bal_nvl,
+        |  CASE WHEN x.bal IS NULL THEN 0.0 ELSE x.bal * 2 END AS bal_nvl2,
         |  (x.bal IS NULL) AS bal_is_null,
         |  (x.bal IS NOT NULL) AS bal_not_null
         |FROM (SELECT c_custkey,
@@ -241,6 +245,8 @@ object FunctionMatrix {
           col("c_custkey"),
           coalesce(col("bal"), lit(0.0)).as("bal_or_zero"),
           nullif(col("seg"), lit("BUILDING")).as("seg_nullif"),
+          nvl(col("bal"), lit(-1.0)).as("bal_nvl"),
+          nvl2(col("bal"), col("bal") * 2, lit(0.0)).as("bal_nvl2"),
           col("bal").isNull.as("bal_is_null"),
           col("bal").isNotNull.as("bal_not_null"))
         .orderBy(col("c_custkey"))
@@ -313,6 +319,19 @@ object FunctionMatrix {
           to_timestamp(concat(col("ds"), lit(" 12:30:00")),
             "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // CURRENT_DATE / CURRENT_TIMESTAMP / RAND: evaluated once per query
+    // like the reference's literal-capture rewrite
+    // (expression_utils.cpp:1495-1540; BLZ_RND :271). Values are
+    // clock/seed dependent → rows-only check here, invariants in
+    // FunctionsSpec.
+    QuerySpec.noOracle("expr_nondet") { (s, dir) =>
+      t(s, dir, "region").select(
+        col("r_regionkey"),
+        current_date().as("today"),
+        current_timestamp().as("now"),
+        rand(42).as("rnd"))
     },
 
     QuerySpec(

@@ -64,6 +64,28 @@ object Superset {
     },
 
     QuerySpec(
+      "asof_join",
+      // As-of join composed from union + window carry-forward (see
+      // operators/AsOfJoin.scala); DuckDB's native ASOF JOIN is the oracle.
+      """SELECT p.event_id, p.user_id,
+        |  date_diff('second', v.ts, p.ts) AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.backward(purchases, views, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_time")))
+            .as("gap_seconds"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
       "explode_tokens",
       // Generator/UNNEST path — flat-column-only in the reference (§1.2).
       """SELECT tok, count(*) AS n FROM (

@@ -85,6 +85,15 @@ object EventStreams {
         })
   }
 
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * streaming twin of Dedup.exactGroups, for pipelines ingesting
+    * continuously. State is bounded by the watermark (old keys evicted).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming DataFrame to a memory sink synchronously (test /
     * smoke harness): processes everything currently in the source dir.
     */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("backward as-of join matches naive per-row computation") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+
+    val got = AsOfJoin.backward(purchases, views, "user_id", "ts", "ts")
+      .select($"event_id", $"asof_time")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    // naive driver-side reference
+    val vRows = views.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).groupBy(_._1)
+    val pRows = purchases.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    pRows.foreach { case (uid, ts, eid) =>
+      val expected = vRows.getOrElse(uid, Array.empty)
+        .map(_._2).filter(!_.after(ts))
+        .sortBy(_.getTime).lastOption
+      assert(got(eid) == expected, s"event $eid: got ${got(eid)} want $expected")
+    }
+  }
+
+  test("as-of join carries right payload columns with asof_ prefix") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 90L, 9.0), (1L, 150L, 15.0), (3L, 10L, 1.0))
+      .toDF("k", "t", "score")
+    val got = AsOfJoin.backward(left, right, "k", "t", "t")
+      .orderBy($"name")
+      .collect()
+      .map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("asof_score"))))
+    assert(got.toSeq == Seq(
+      ("p1", Some(9.0)),   // latest right at t<=100 is t=90
+      ("p2", Some(15.0)),  // t<=200 → t=150
+      ("p3", None)))       // no right rows for k=2
+  }
+
+  test("ties at equal timestamps match (right.ts <= left.ts)") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 7.0)).toDF("k", "t", "score")
+    val got = AsOfJoin.backward(left, right, "k", "t", "t").collect()
+    assert(got(0).getAs[Double]("asof_score") == 7.0)
+  }
+}

@@ -37,6 +37,21 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup removes duplicate event_ids within the watermark") {
+    // duplicate the whole fixture: every event appears twice in the source
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.dedupStream(stream, Seq("event_id")), "dedup_stream")
+    val expected = Tables.load(spark, sfDir, "events").count()
+    assert(got.count() == expected,
+      s"got ${got.count()} rows, want $expected (duplicates not removed)")
+  }
+
   test("stateful sessionization closes sessions on the 30-min gap") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val sessions = EventStreams.sessionize(spark, stream)
