@@ -33,29 +33,56 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles: joins each n consecutive tokens with one space. */
-  def word_shingles(toks: Column, n: Int): Column = {
-    // transform over a 0..len-n index range; sequence() is codegen'd.
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    filter(
-      transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > 0)
-  }
+  /** Word n-gram shingles: joins each n consecutive tokens with one space.
+    * Documents with fewer than n tokens yield an empty array (sequence()
+    * would otherwise produce a DESCENDING range when size<n and slice(_,0,_)
+    * throws — guard the range explicitly).
+    */
+  def word_shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Canonical text normalization shared by dedup + fingerprinting:
     * lower-case, collapse whitespace, trim. */
   def normalize_text(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Register the SQL-surface names for the custom expressions. */
+  /** Register the SQL-surface names for the custom expressions.
+    * Arities are validated and optional k/seed arguments of
+    * `minhash_signature(arr[, k[, seed]])` are read from foldable literals —
+    * silent defaulting on extra args would return wrong signatures.
+    */
   def registerSql(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+    def litNum(e: Expression, fn: String, arg: String): Long = e match {
+      case Literal(v: Int, _)   => v.toLong
+      case Literal(v: Long, _)  => v
+      case Literal(v: Short, _) => v.toLong
+      case Literal(v: Byte, _)  => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+    def arity(fn: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+      if (exprs.size < min || exprs.size > max)
+        throw new IllegalArgumentException(
+          s"$fn expects $min..$max arguments, got ${exprs.size}")
+
     val reg = spark.sessionState.functionRegistry
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin // touch to ensure init
     reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      exprs => { arity("cosine_similarity", exprs, 2, 2)
+        CosineSimilarity(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), 128, 42L), "scala_udf")
+      exprs => { arity("minhash_signature", exprs, 1, 3)
+        val k = if (exprs.size >= 2) litNum(exprs(1), "minhash_signature", "k").toInt else 128
+        val seed = if (exprs.size >= 3) litNum(exprs(2), "minhash_signature", "seed") else 42L
+        MinHashSignature(exprs(0), k, seed) }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0)), "scala_udf")
+      exprs => { arity("simhash64", exprs, 1, 1)
+        SimHash64(exprs(0)) }, "scala_udf")
   }
 }

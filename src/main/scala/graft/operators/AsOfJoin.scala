@@ -29,30 +29,32 @@ object AsOfJoin {
     val payloadCols = right.columns.filter(c => c != key && c != rightTime).toSeq
     val leftCols = left.columns.toSeq
 
-    // unified schema: left rows tag=1 keep their columns; right rows tag=0
-    // expose their time + payload under asof_ names
+    // unified schema: left rows tag=1 keep their columns and a NULL __asof
+    // struct; right rows tag=0 pack (time, payload...) into one non-null
+    // struct. Carrying the WHOLE struct with last(ignoreNulls=true) attaches
+    // the most recent right row even when its payload fields are NULL —
+    // per-column carry-forward would skip legit NULLs and attach stale
+    // values from older rows (true ASOF semantics keep the NULL).
+    val asofStruct = struct(
+      (col(rightTime).as("__asof_t") +: payloadCols.map(col)): _*)
+    val nullStructType = right
+      .select(asofStruct.as("__asof")).schema("__asof").dataType
+
     val taggedLeft = left
       .withColumn("__tag", lit(1))
       .withColumn("__t", col(leftTime))
-      .withColumn("asof_time", lit(null).cast(right.schema(rightTime).dataType))
-    val taggedLeftFull = payloadCols.foldLeft(taggedLeft) { (df, c) =>
-      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val taggedRight0 = right
+      .withColumn("__asof", lit(null).cast(nullStructType))
+      .select((Seq(col(key), col("__tag"), col("__t"), col("__asof")) ++
+        leftCols.filter(_ != key).map(col)): _*)
+    val taggedRight = right
       .withColumn("__tag", lit(0))
       .withColumn("__t", col(rightTime))
-      .withColumn("asof_time", col(rightTime))
-    val taggedRight = payloadCols.foldLeft(taggedRight0) { (df, c) =>
-      df.withColumn(s"asof_$c", col(c))
-    }.select((Seq(col(key), col("__tag"), col("__t"), col("asof_time")) ++
-      leftCols.filter(c => c != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      payloadCols.map(c => col(s"asof_$c"))): _*)
+      .withColumn("__asof", asofStruct)
+      .select((Seq(col(key), col("__tag"), col("__t"), col("__asof")) ++
+        leftCols.filter(c => c != key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
-    val unioned = taggedLeftFull
-      .select((Seq(col(key), col("__tag"), col("__t"), col("asof_time")) ++
-        leftCols.filter(_ != key).map(col) ++
-        payloadCols.map(c => col(s"asof_$c"))): _*)
-      .unionByName(taggedRight)
+    val unioned = taggedLeft.unionByName(taggedRight)
 
     // right rows sort before left rows at equal time (tag 0 < 1), so
     // right.ts <= left.ts ties match — ASOF semantics
@@ -60,13 +62,10 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (Seq("asof_time") ++ payloadCols.map(c => s"asof_$c"))
-      .foldLeft(unioned) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-
-    carried.filter(col("__tag") === 1)
-      .select((leftCols.map(col) :+ col("asof_time")) ++
-        payloadCols.map(c => col(s"asof_$c")): _*)
+    unioned
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((leftCols.map(col) :+ col("__asof.__asof_t").as("asof_time")) ++
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

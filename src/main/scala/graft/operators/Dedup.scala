@@ -18,6 +18,23 @@ import graft.functions._
   */
 object Dedup {
 
+  // Persisted intermediates (minhash signatures) registered here so harness
+  // callers can release them once the downstream plan has materialized —
+  // otherwise repeated invocations (Verify runs dedup_minhash AND
+  // dedup_ngram_jaccard, which recomputes signatures) accumulate cached
+  // blocks for the session lifetime.
+  private val cached =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Unpersist every DataFrame this module persisted since the last call.
+    * Contract: call AFTER materializing (count/collect/write) the returned
+    * plan; unpersisting earlier just makes the job recompute signatures.
+    */
+  def releaseCaches(): Unit = cached.synchronized {
+    cached.foreach(_.unpersist(blocking = false))
+    cached.clear()
+  }
+
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
     * Returns one row per duplicate group (n_dups >= 2) with the kept id.
     * `prefixLen > 0` fingerprints only the first N normalized chars
@@ -57,9 +74,11 @@ object Dedup {
     // Callers pipelining over >memory corpora can opt out and recompute.
     val sigs0 = docs.select(col(idCol).as("id"),
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
-    val sigs = if (persistSignatures)
-      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sigs0
+    val sigs = if (persistSignatures) {
+      val p = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.synchronized { cached += p }
+      p
+    } else sigs0
 
     // Band keys shuffle id-only payloads (~20 bytes/row), never the
     // signature array; the self-join reuses one exchange for both sides.

@@ -60,18 +60,23 @@ object Pipeline {
     // ---- similarity search ----------------------------------------------
     QuerySpec(
       "ann_brute_topk",
-      // DuckDB's list_cosine_similarity is the oracle for exact top-k.
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      // DuckDB's list_cosine_similarity over DOUBLE[] is the oracle for
+      // exact top-k (the FLOAT[] variant accumulates in float32 and
+      // diverges from Spark's double accumulation at ~1e-7); the emitted
+      // cos is rounded to 6 decimals on both sides so the driver's exact
+      // hash matches — ranking stays on the raw double (gaps are >>1e-12).
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |         list_cosine_similarity(q.embedding, c.embedding) AS cos,
+        |         list_cosine_similarity(q.e, c.embedding::DOUBLE[]) AS rawcos,
         |         row_number() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+        |           ORDER BY list_cosine_similarity(q.e, c.embedding::DOUBLE[]) DESC, c.vec_id) AS rn
         |  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id)
-        |SELECT q_id, c_id, cos, rn FROM scored WHERE rn <= 10
+        |SELECT q_id, c_id, round(rawcos, 6) AS cos, rn FROM scored WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5), k = 10)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     },
 

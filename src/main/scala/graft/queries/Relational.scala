@@ -391,19 +391,22 @@ object Relational {
 
     QuerySpec(
       "agg_stats",
+      // round(_, 2) on both sides: Spark and DuckDB accumulate variance in
+      // different orders, so raw doubles differ in the last bits and the
+      // driver's exact hash would mismatch (values agree to ~1e-9 rel).
       """SELECT l_returnflag,
-        |  stddev_samp(l_extendedprice) AS sd_samp,
-        |  stddev_pop(l_extendedprice) AS sd_pop,
-        |  var_samp(l_extendedprice) AS v_samp,
-        |  var_pop(l_extendedprice) AS v_pop
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_samp,
+        |  round(stddev_pop(l_extendedprice), 2) AS sd_pop,
+        |  round(var_samp(l_extendedprice), 2) AS v_samp,
+        |  round(var_pop(l_extendedprice), 2) AS v_pop
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          stddev_samp(col("l_extendedprice")).as("sd_samp"),
-          stddev_pop(col("l_extendedprice")).as("sd_pop"),
-          var_samp(col("l_extendedprice")).as("v_samp"),
-          var_pop(col("l_extendedprice")).as("v_pop"))
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_samp"),
+          round(stddev_pop(col("l_extendedprice")), 2).as("sd_pop"),
+          round(var_samp(col("l_extendedprice")), 2).as("v_samp"),
+          round(var_pop(col("l_extendedprice")), 2).as("v_pop"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Regressions for the round-1 advisor findings (ADVICE.md). */
+class RegressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("word_shingles yields empty array for docs shorter than n tokens") {
+    // sequence(0, size-n) is DESCENDING when size<n and slice(_,0,_) throws
+    // — the guard must return [] for empty/1/2-token docs instead.
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"))
+      .toDF("id", "text")
+    val got = df.select($"id", word_shingles(tokens($"text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L) == Seq("one two three"))
+  }
+
+  test("minHashPairs survives a corpus with sub-n-token documents") {
+    val docs = Seq(
+      (1L, "a b"), (2L, ""), (3L, "tiny"),
+      (4L, "the quick brown fox jumps over the lazy dog again"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    // must not throw; the near pair must still be found
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5).collect()
+    Dedup.releaseCaches()
+    assert(pairs.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L),
+      s"near pair not found: ${pairs.mkString(";")}")
+  }
+
+  test("as-of join attaches NULL payload from the matched row, not a stale value") {
+    // right row at t=150 has a legitimately NULL score; a left row at
+    // t=200 must see NULL (most recent match), not 9.0 from t=90.
+    val left = Seq((1L, 200L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 90L, Some(9.0)), (1L, 150L, None))
+      .toDF("k", "t", "score")
+    val row = AsOfJoin.backward(left, right, "k", "t", "t").collect().head
+    assert(row.getAs[Long]("asof_time") == 150L,
+      s"matched wrong right row: ${row}")
+    assert(row.isNullAt(row.fieldIndex("asof_score")),
+      s"stale payload carried instead of NULL: ${row}")
+  }
+
+  test("SQL minhash_signature honors k and seed arguments") {
+    registerSql(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("mh_docs")
+    val k64 = spark.sql(
+      "SELECT minhash_signature(split(text, ' '), 64, 7) AS s FROM mh_docs")
+      .collect().head.getSeq[Long](0)
+    assert(k64.size == 64, s"k ignored: got ${k64.size} hashes")
+    val k64s2 = spark.sql(
+      "SELECT minhash_signature(split(text, ' '), 64, 8) AS s FROM mh_docs")
+      .collect().head.getSeq[Long](0)
+    assert(k64 != k64s2, "seed ignored: same signature for different seeds")
+    intercept[Exception] {
+      spark.sql("SELECT minhash_signature(split(text, ' '), 64, 7, 9) AS s FROM mh_docs")
+        .collect()
+    }
+  }
+
+  test("releaseCaches unpersists minhash signature cache") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    Dedup.minHashPairs(docs, threshold = 0.9).count()
+    Dedup.releaseCaches()
+    // allow async unpersist to settle
+    val deadline = System.currentTimeMillis() + 10000
+    def cachedTables() = spark.sparkContext.getPersistentRDDs.size
+    while (cachedTables() > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(cachedTables() == 0, "persisted RDDs leaked after releaseCaches")
+  }
+}
