@@ -128,6 +128,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs n-gram Jaccard. Quadratic — meant for bounded slices
+    * (oracle checks, final verification of a pre-filtered candidate set);
+    * [[minHashPairs]]/[[ngramJaccardPairs]] are the at-scale path.
+    */
+  def exactJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingle: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol).as("sid"),
+      array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("ss"))
+    val a = sets.select(col("sid").as("id_a"), col("ss").as("set_a"))
+    val b = sets.select(col("sid").as("id_b"), col("ss").as("set_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(union > 0)
+      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs embedding cosine above a threshold. Quadratic — for
+    * bounded slices; [[embeddingPairs]] is the LSH-bucketed scale path.
+    */
+  def exactCosinePairs(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Near-duplicate pairs via 64-bit SimHash: candidates share one of four
     * 16-bit bands; verified by Hamming distance <= maxHamming.
     */

@@ -17,6 +17,31 @@ object Pipeline {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** DuckDB replay of TextAnalysis.langId, generated from the SAME
+    * stopword map so the two can't drift. */
+  private def langIdOracleSql: String = {
+    val scored = TextAnalysis.stopwords.keys.toSeq.sorted.map { l =>
+      val lst = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'score': CASE WHEN len(tk)>0 THEN CAST(len(list_filter(tk, t -> list_contains($lst, t))) AS DOUBLE)/len(tk) ELSE 0.0 END, 'lang': '$l'}"
+    }.mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    list_aggregate($scored, 'max') AS best,
+       |    CASE WHEN len(text) > 0 THEN
+       |      CAST(len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)/len(text)
+       |      ELSE 0.0 END AS cjk
+       |  FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0.3 THEN 'zh'
+       |       WHEN best.score > 0.0 THEN best.lang
+       |       ELSE 'unknown' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- deduplication --------------------------------------------------
@@ -54,6 +79,49 @@ object Pipeline {
       // fixture embeddings are near-orthogonal (max cos ~0.48), so the
       // "near-dup" bar is the top ~0.5% of pairs; short codes keep recall.
       Dedup.embeddingPairs(t(s, dir, "embeddings"), planes = 6, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec(
+      "dedup_jaccard_exact",
+      // Oracle-checked exact n-gram Jaccard on a bounded id-slice: the
+      // all-pairs form verifies the Jaccard arithmetic itself (the LSH
+      // variants above are the 100 TB scale path, checked by ScalaTest
+      // recall tests). round(_,6) on both sides for the exact hash; the
+      // threshold compares the RAW ratio — both engines divide the same
+      // exact ints, so the doubles are bit-identical.
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS ss
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents WHERE doc_id < 200))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
+        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(a.ss || b.ss)) > 0
+        |  AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.exactJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          shingle = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec(
+      "dedup_embedding_exact",
+      // Exact cosine near-dup pairs on an id-slice; oracle over DOUBLE[]
+      // (float32 list_cosine_similarity diverges from double accumulation).
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.exactCosinePairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -139,7 +207,13 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    QuerySpec.noOracle("text_langid") { (s, dir) =>
+    QuerySpec(
+      "text_langid",
+      // The stopword-ratio argmax is deterministic arithmetic, so DuckDB
+      // can replay it: struct-list max mirrors Spark's array_max over
+      // (score, lang) structs (both compare field-by-field; ties pick the
+      // lexicographically greatest lang).
+      langIdOracleSql) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
