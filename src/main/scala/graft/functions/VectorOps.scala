@@ -99,6 +99,65 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Fused tokenize→shingle→minhash: one pass over the lowercased UTF-8
+    * bytes, no intermediate token/shingle arrays. Bit-identical to
+    * `minHash(word_shingles(tokens(text), n), k, seed)`: tokens are maximal
+    * runs of non-`\s` bytes of `lower(text)` and each shingle hash is
+    * FNV-1a over the n tokens' bytes with a single 0x20 between them —
+    * exactly the bytes of the array_join'd shingle string. This is the
+    * Spark analog of the reference's fused interops kernel (SURVEY §2.2):
+    * collapse an expression pipeline into one tight loop.
+    */
+  def minHashText(text: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val (pa, pb) = perms(seed, k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val bytes = text.toLowerCase.getBytes
+
+    // token offsets (maximal runs of non-ASCII-\s bytes; \s = [ \t\n\v\f\r])
+    // note: multi-byte UTF-8 units are all >= 0x80, never whitespace
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+
+    var w = 0
+    while (w <= nTok - n) {
+      var h = 0xcbf29ce484222325L
+      var t = 0
+      while (t < n) {
+        if (t > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        var p = starts(w + t)
+        val e = ends(w + t)
+        while (p < e) { h ^= (bytes(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        t += 1
+      }
+      var j = 0
+      while (j < k) {
+        val v = pa(j) * h + pb(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** 64-bit SimHash over token hashes: sign of per-bit vote counts. */
   def simHash(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)

@@ -49,6 +49,27 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused tokenize→shingle→minhash over a raw text column; bit-identical
+  * to `MinHashSignature(word_shingles(tokens(text), n), k, seed)` but one
+  * kernel call with no intermediate arrays (see VectorOps.minHashText).
+  */
+case class MinHashText(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(n > 0 && k > 0 && k <= 1024, s"minhash params out of range: n=$n k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.minHashText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.minHashText($c, $n, $k, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -27,6 +27,13 @@ package object functions {
   def simhash64(tokens: Column): Column =
     col0(SimHash64(expr0(tokens)))
 
+  /** Fused text→shingle→minhash signature (bit-identical to
+    * `minhash_signature(word_shingles(tokens(text), n), k, seed)`,
+    * ~10× cheaper: no intermediate token/shingle arrays). */
+  def minhash_text(text: Column, n: Int = 3, k: Int = 128,
+      seed: Long = 42L): Column =
+    col0(MinHashText(expr0(text), n, k, seed))
+
   // ---- composed built-ins (kept here so operators share one definition) --
 
   /** Whitespace tokens of lower-cased text; empty strings removed. */

@@ -50,9 +50,11 @@ object Dedup {
       .filter(col("n_dups") >= 2)
   }
 
-  /** MinHash signature column for a text column. */
+  /** MinHash signature column for a text column (fused kernel — see
+    * VectorOps.minHashText; bit-identical to the composed
+    * minhash_signature(word_shingles(tokens(text), n), k, seed)). */
   def minHashSig(text: Column, k: Int, shingle: Int, seed: Long): Column =
-    minhash_signature(word_shingles(tokens(text), shingle), k, seed)
+    minhash_text(text, shingle, k, seed)
 
   /** Near-duplicate pairs via MinHash + banded LSH.
     *
@@ -114,10 +116,22 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingle: Int = 3, threshold: Double = 0.5,
       k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
-    val cands = minHashPairs(docs, textCol, idCol, k, bands, shingle,
+    val cands0 = minHashPairs(docs, textCol, idCol, k, bands, shingle,
       threshold = threshold * 0.5, seed = seed) // loose pre-filter
-    val sets = docs.select(col(idCol).as("sid"),
-      array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("sset"))
+    // Candidates feed two consumers (the id prune below + the verify join)
+    // — persist so banding/join runs once; released via releaseCaches.
+    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.synchronized { cached += cands }
+
+    // Exact shingle SETS are the expensive artifact (full arrays, not
+    // 8-byte signatures) — build them only for docs that appear in a
+    // candidate pair. At corpus scale candidates are a sliver of the data,
+    // so this prunes almost all of the set materialization.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("sid"),
+        array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("sset"))
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
     val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
     cands
@@ -137,7 +151,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sets = docs.select(col(idCol).as("sid"),
       array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("ss"))
+    // repartition the streamed side with an explicit count (AQE never
+    // coalesces REPARTITION_BY_NUM): a bounded slice otherwise shrinks to
+    // one partition and the O(n²) intersect work runs single-threaded
+    val shufflePartitions = docs.sparkSession.sessionState.conf.numShufflePartitions
     val a = sets.select(col("sid").as("id_a"), col("ss").as("set_a"))
+      .repartition(shufflePartitions, col("id_a"))
     val b = sets.select(col("sid").as("id_b"), col("ss").as("set_b"))
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
     val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
@@ -153,6 +172,8 @@ object Dedup {
   def exactCosinePairs(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
     val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a")) // see exactJaccardPairs: keep the O(n²) work parallel
     val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

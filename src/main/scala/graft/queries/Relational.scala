@@ -604,9 +604,15 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sq
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      // two-phase: pre-aggregate to the distinct key combos (6 rows), then
+      // rollup the tiny intermediate — Expand over the raw table would
+      // multiply 100 TB of scan output ×3 before any reduction. sum is
+      // decomposable, so sum(psq) == sum(qty) per rollup group.
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("psq"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).cast("double").as("sq"))
+        .agg(sum(col("psq")).cast("double").as("sq"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }
   )

@@ -32,9 +32,14 @@ object Superset {
         |  count(*) AS n, CAST(sum(l_extendedprice) AS DOUBLE) AS total
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      // two-phase cube: pre-agg to distinct key combos, then Expand over
+      // the 6-row intermediate (see agg_rollup; count(*) == sum of partial
+      // counts, so both aggs decompose).
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(col("l_extendedprice")).as("pt"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).cast("double").as("total"))
+        .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
@@ -46,11 +51,16 @@ object Superset {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
         |ORDER BY l_returnflag NULLS FIRST, supp_bucket NULLS FIRST""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // two-phase grouping sets (see agg_rollup): the pre-agg reduces to
+      // ~30 (flag, bucket) rows before Expand triples anything.
       s.sql(
-        """SELECT l_returnflag, l_suppkey % 10 AS supp_bucket,
-          |  CAST(sum(l_quantity) AS DOUBLE) AS sq
-          |FROM lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey % 10), ())
+        """WITH pre AS (
+          |  SELECT l_returnflag, l_suppkey % 10 AS supp_bucket,
+          |    sum(l_quantity) AS psq
+          |  FROM lineitem GROUP BY l_returnflag, l_suppkey % 10)
+          |SELECT l_returnflag, supp_bucket, CAST(sum(psq) AS DOUBLE) AS sq
+          |FROM pre
+          |GROUP BY GROUPING SETS ((l_returnflag), (supp_bucket), ())
           |ORDER BY l_returnflag ASC NULLS FIRST, supp_bucket ASC NULLS FIRST""".stripMargin)
     },
 

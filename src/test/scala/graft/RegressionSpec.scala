@@ -63,6 +63,19 @@ class RegressionSpec extends SparkSuite {
     }
   }
 
+  test("fused minhash_text is bit-identical to composed shingle+minhash") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"doc_id", $"text")
+      // exercise short docs, weird whitespace, unicode
+      .union(Seq((900001L, ""), (900002L, "one two"), (900003L, "  tabs\tand\nnewlines  x "),
+        (900004L, "Ünïcödé ÇASE Mixed tokens here")).toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      minhash_text($"text", 3, 64, 7L).as("fused"),
+      minhash_signature(word_shingles(tokens($"text"), 3), 64, 7L).as("composed"))
+    val bad = both.filter(not($"fused" === $"composed")).count()
+    assert(bad == 0, s"$bad docs with differing signatures")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
