@@ -348,6 +348,53 @@ object FunctionMatrix {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).cast("long").as("k_sum"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    QuerySpec(
+      "expr_tsarith",
+      // TIMESTAMPADD / TIMESTAMPDIFF (reference: TimestampaddSuite.yaml,
+      // timestampdiffSuite.yaml; interval ms→unit conversion
+      // expression_utils.cpp:1341-1460). DuckDB spells them +INTERVAL and
+      // date_diff(part, ...).
+      """SELECT event_id,
+        |  ts + INTERVAL 90 DAY AS plus_days,
+        |  ts + INTERVAL 3 HOUR AS plus_hours,
+        |  CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d_days,
+        |  CAST(date_diff('minute', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d_min
+        |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          timestamp_add("DAY", lit(90), col("ts")).as("plus_days"),
+          timestamp_add("HOUR", lit(3), col("ts")).as("plus_hours"),
+          timestamp_diff("DAY", lit("2024-01-01 00:00:00").cast("timestamp"), col("ts"))
+            .cast("long").as("d_days"),
+          timestamp_diff("MINUTE", lit("2024-01-01 00:00:00").cast("timestamp"), col("ts"))
+            .cast("long").as("d_min"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "agg_count_multi",
+      // Multi-column COUNT(a,b) — rows where ALL args are non-null
+      // (reference: modify_multi_column_count_expression,
+      // expression_utils.cpp:~1560). The fixtures have no NULLs, so both
+      // sides synthesize them deterministically with nullif.
+      """SELECT l_returnflag,
+        |  count(CASE WHEN nullif(l_suppkey % 7, 0) IS NOT NULL
+        |              AND nullif(l_partkey % 5, 0) IS NOT NULL
+        |             THEN 1 END) AS n_both,
+        |  count(nullif(l_suppkey % 7, 0)) AS n_a,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val a = nullif(col("l_suppkey") % 7, lit(0))
+      val b = nullif(col("l_partkey") % 5, lit(0))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(a.isNotNull && b.isNotNull, lit(1))).as("n_both"),
+          count(a).as("n_a"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
