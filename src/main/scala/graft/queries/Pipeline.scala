@@ -148,10 +148,40 @@ object Pipeline {
         .orderBy(col("q_id"), col("rn"))
     },
 
-    QuerySpec.noOracle("ann_ivf_topk") { (s, dir) =>
+    QuerySpec(
+      "ann_ivf_topk",
+      // The IVF path is deterministic (centroids every n/nlist-th vector,
+      // argmax assignment, nprobe probing), so DuckDB can replay the whole
+      // pipeline as its oracle — ranking on raw doubles, output rounded.
+      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 16, 1) AS step),
+        |cents AS (
+        |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings, params WHERE vec_id % step = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT vec_id AS c_id, v AS cvec, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) x WHERE crn = 1),
+        |query_probe AS (
+        |  SELECT vec_id AS q_id, v AS qvec, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) x WHERE crn <= 4),
+        |scored AS (
+        |  SELECT q.q_id, a.c_id, list_cosine_similarity(q.qvec, a.cvec) AS rawcos,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.qvec, a.cvec) DESC, a.c_id) AS rn
+        |  FROM query_probe q JOIN corpus_assign a USING (centroid_id)
+        |  WHERE q.q_id <> a.c_id)
+        |SELECT q_id, c_id, round(rawcos, 6) AS cos, rn FROM scored WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")
       Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 5),
           k = 10, nlist = 16, nprobe = 4)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy(col("q_id"), col("rn"))
     },
 
