@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed partition-wise with typed Datasets.
@@ -70,6 +71,24 @@ object Multimodal {
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map(decodeOne))
+  }
+
+  /** STUB resize: deterministic "rescale" of decoded media to target
+    * dimensions. A real deployment swaps the body for an image kernel; the
+    * contract — typed map, no shuffle, output dims fixed so downstream
+    * batching is uniform — is the real part.
+    */
+  def resize(decoded: Dataset[DecodedMedia], targetW: Int,
+      targetH: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      // fold the scale change into the checksum + features so the fake
+      // stays deterministic per (input, target) — stands in for resampling
+      val scale = (targetW.toDouble * targetH) / math.max(m.width.toLong * m.height, 1L)
+      val h2 = VectorOps.mix64(m.checksum ^ (targetW.toLong << 32 | targetH.toLong))
+      DecodedMedia(m.media_id, m.media_type, targetW, targetH, m.channels,
+        m.n_bytes, h2, m.features.map(f => (f * scale).toFloat))
+    }
   }
 
   /** Frame sampling: split the payload into `n` fixed-stride "frames"

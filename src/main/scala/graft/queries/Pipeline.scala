@@ -260,6 +260,14 @@ object Pipeline {
         .orderBy(col("media_id"))
     },
 
+    QuerySpec.noOracle("multimodal_resize") { (s, dir) =>
+      val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(Multimodal.decode(s, media), 224, 224).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("checksum"), col("features")(0).as("f0"))
+        .orderBy(col("media_id"))
+    },
+
     QuerySpec.noOracle("multimodal_frames") { (s, dir) =>
       val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, n = 4)

@@ -144,6 +144,21 @@ class OperatorSpec extends SparkSuite {
     assert(d1.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
   }
 
+  test("multimodal resize fixes output dims deterministically") {
+    val media = Multimodal.mediaTable(
+      Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")
+    val decoded = Multimodal.decode(spark, media)
+    val r1 = Multimodal.resize(decoded, 224, 224).collect().sortBy(_.media_id)
+    val r2 = Multimodal.resize(decoded, 224, 224).collect().sortBy(_.media_id)
+    assert(r1.length == 30)
+    assert(r1.forall(m => m.width == 224 && m.height == 224))
+    assert(r1.zip(r2).forall { case (a, b) =>
+      a.checksum == b.checksum && a.features.sameElements(b.features) })
+    // different target → different deterministic output
+    val r3 = Multimodal.resize(decoded, 64, 64).collect().sortBy(_.media_id)
+    assert(r1.zip(r3).forall { case (a, b) => a.checksum != b.checksum })
+  }
+
   test("frame sampling yields frames only for video rows") {
     val media = Multimodal.mediaTable(
       Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")
