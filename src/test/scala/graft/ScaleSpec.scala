@@ -8,6 +8,33 @@ import graft.operators.SkewJoin
   */
 class ScaleSpec extends SparkSuite {
 
+  test("filters and projections reach the parquet scan") {
+    val plan = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"filter not pushed to scan:\n$plan")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"),
+      s"schema not pruned to the projection: $read")
+  }
+
+  test("small dimension joins broadcast, never shuffle the fact side") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge:\n$plan")
+  }
+
+  test("sorted top-k fuses into TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("sort_limit_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$plan")
+  }
+
   test("saltedEquiJoin equals plain join on a skewed key") {
     // events.user_id has only 15 distinct values over 1000 rows — skewed.
     val events = Tables.load(spark, sfDir, "events")
