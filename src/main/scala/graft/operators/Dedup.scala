@@ -82,20 +82,7 @@ object Dedup {
       p
     } else sigs0
 
-    // Band keys shuffle id-only payloads (~20 bytes/row), never the
-    // signature array; the self-join reuses one exchange for both sides.
-    val banded = sigs.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
-          .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-
-    val candidates = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates = bandCandidates(sigs, bands, r)
 
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -108,16 +95,40 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: MinHash-LSH generates the
-    * candidates (cheap), then the true shingle sets are joined back and
-    * intersected — the classic verify step, so the quadratic work only
-    * happens on the candidate set.
+  /** LSH band-collision candidate pairs over a signature table
+    * (id, sig). Band keys shuffle id-only payloads (~20 bytes/row), never
+    * the signature array; the self-join reuses one exchange for both sides.
+    */
+  private def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: MinHash-LSH banding
+    * generates the candidates (cheap), then the true shingle sets are
+    * joined back and intersected — the classic verify step, so the
+    * quadratic work only happens on the candidate set. No estimated-Jaccard
+    * pre-filter: the exact verify supersedes it, and skipping it drops two
+    * signature-array joins AND the recall loss from estimate noise.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingle: Int = 3, threshold: Double = 0.5,
       k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
-    val cands0 = minHashPairs(docs, textCol, idCol, k, bands, shingle,
-      threshold = threshold * 0.5, seed = seed) // loose pre-filter
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sigs0 = docs.select(col(idCol).as("id"),
+      minHashSig(col(textCol), k, shingle, seed).as("sig"))
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.synchronized { cached += sigs }
+    val cands0 = bandCandidates(sigs, bands, k / bands)
     // Candidates feed two consumers (the id prune below + the verify join)
     // — persist so banding/join runs once; released via releaseCaches.
     val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

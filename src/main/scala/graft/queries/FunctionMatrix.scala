@@ -395,6 +395,23 @@ object FunctionMatrix {
           count(a).as("n_a"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "expr_trim_chars",
+      // TRIM with a character set (reference: cudf strip with to_strip flag,
+      // LogicalProject.cpp:568-581) — same char-set semantics both engines.
+      """SELECT s_suppkey,
+        |  trim(s_name, 'S#upliner') AS trim_set,
+        |  ltrim(s_name, 'Supliner#') AS ltrim_set,
+        |  rtrim(s_name, '0123456789') AS rtrim_digits
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          trim(col("s_name"), "S#upliner").as("trim_set"),
+          ltrim(col("s_name"), "Supliner#").as("ltrim_set"),
+          rtrim(col("s_name"), "0123456789").as("rtrim_digits"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

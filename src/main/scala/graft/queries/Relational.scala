@@ -485,6 +485,25 @@ object Relational {
     },
 
     QuerySpec(
+      "set_union_widen",
+      // UNION type widening (reference: get_common_types /
+      // normalize_types, CommonOperations.cpp): BIGINT ∪ DOUBLE → DOUBLE in
+      // both engines' coercion rules — no explicit casts on either side.
+      """SELECT v, src FROM (
+        |  SELECT l_quantity AS v, 'q' AS src FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT o_orderkey, 'k' FROM orders WHERE o_orderkey <= 100
+        |) x ORDER BY src, v""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT v, src FROM (
+          |  SELECT l_quantity AS v, 'q' AS src FROM lineitem WHERE l_orderkey <= 100
+          |  UNION ALL
+          |  SELECT o_orderkey, 'k' FROM orders WHERE o_orderkey <= 100
+          |) x ORDER BY src, v""".stripMargin)
+    },
+
+    QuerySpec(
       "set_union_distinct",
       // UNION (distinct) — reference rewrites to UNION ALL + dedup
       // (PhysicalPlanGenerator.h:251-294); Spark: union + distinct.

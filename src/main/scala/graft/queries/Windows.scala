@@ -29,6 +29,31 @@ object Windows {
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
+      "win_ignore_nulls",
+      // IGNORE NULLS carry-forward / lookahead (reference NTH_ELEMENT has
+      // no null-skipping; Spark superset). NULLs synthesized
+      // deterministically — the fixtures have none.
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_fwd,
+        |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+        |FROM e ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true)
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("carry_fwd"),
+          lead(col("v"), 1, null, true).over(byUser).as("next_v"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
       "win_rownum",
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
