@@ -94,6 +94,16 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension. The dimension is broadcast — each micro-batch probes the
+    * in-memory table, no stream-side shuffle, the canonical shape for
+    * attaching reference data (user→segment, key→config) at any scale.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
+      .drop(dimKey)
+
   /** Drive a streaming DataFrame to a memory sink synchronously (test /
     * smoke harness): processes everything currently in the source dir.
     */

@@ -52,6 +52,23 @@ class StreamingSpec extends SparkSuite {
       s"got ${got.count()} rows, want $expected (duplicates not removed)")
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.enrichWithStatic(stream, dim, "user_id", "c_custkey"),
+      "enriched")
+    val batch = Tables.load(spark, sfDir, "events")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+    assert(got.count() == batch.count(), "left join must preserve row count")
+    val gotSeg = got.groupBy(col("c_mktsegment")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val batchSeg = batch.groupBy(col("c_mktsegment")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotSeg == batchSeg, s"segment histograms differ: $gotSeg vs $batchSeg")
+  }
+
   test("stateful sessionization closes sessions on the 30-min gap") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val sessions = EventStreams.sessionize(spark, stream)
