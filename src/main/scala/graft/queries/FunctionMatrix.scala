@@ -412,6 +412,44 @@ object FunctionMatrix {
           ltrim(col("s_name"), "Supliner#").as("ltrim_set"),
           rtrim(col("s_name"), "0123456789").as("rtrim_digits"))
         .orderBy(col("s_suppkey"))
+    },
+
+    QuerySpec(
+      "agg_argminmax",
+      // Deterministic first/last-by-key aggregation — the orderable analog
+      // of the reference's NTH_ELEMENT group aggs (GroupBy.h:15-28), which
+      // take the first/last row of the (sorted) group. event_id is unique,
+      // so both engines resolve identically.
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  arg_max(value, event_id) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("value"), col("event_id")).as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "agg_collect",
+      // Nested-array aggregation (absent in the reference — flat columns
+      // only, SURVEY §1.2; Spark superset). Sorted for determinism.
+      // joined to a string for the driver compare (array columns don't
+      // survive the pandas hash path); the aggregation itself is the array.
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  CAST(len(list(event_id)) AS INT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          size(collect_list(col("event_id"))).as("n_events"))
+        .orderBy(col("user_id"))
     }
   )
 }
