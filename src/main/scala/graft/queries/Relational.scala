@@ -216,6 +216,228 @@ object Relational {
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     },
 
+    // ---- TPC-H battery, part 2. The fixtures omit partsupp and the
+    // commitdate/receiptdate/phone columns, so Q2/Q11/Q16/Q20/Q21 are
+    // inexpressible and Q4/Q9/Q12/Q22 run as documented variants keeping
+    // the original plan shape (exists-subquery, multi-join profit,
+    // delay-bucket CASE agg, anti-join + scalar subquery). -----------------
+
+    QuerySpec(
+      "q4_late",
+      // Q4 variant: priority histogram of orders having a lineitem shipped
+      // >60 days after the order date (stands in for commit<receipt).
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    QuerySpec(
+      "q7_volume",
+      """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |         year(l_shipdate) AS l_year,
+          |         l_extendedprice * (1 - l_discount) AS volume
+          |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          |    JOIN orders ON o_orderkey = l_orderkey
+          |    JOIN customer ON c_custkey = o_custkey
+          |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    },
+
+    QuerySpec(
+      "q8_share",
+      """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |    AND p_type LIKE '%PROMO%') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+          |FROM (
+          |  SELECT year(o_orderdate) AS o_year,
+          |         l_extendedprice * (1 - l_discount) AS volume,
+          |         n2.n_name AS nation
+          |  FROM part JOIN lineitem ON p_partkey = l_partkey
+          |    JOIN supplier ON s_suppkey = l_suppkey
+          |    JOIN orders ON l_orderkey = o_orderkey
+          |    JOIN customer ON o_custkey = c_custkey
+          |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |    JOIN region ON n1.n_regionkey = r_regionkey
+          |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'ASIA'
+          |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+          |    AND p_type LIKE '%PROMO%') all_nations
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    },
+
+    QuerySpec(
+      "q9_profit",
+      // Q9 variant: no partsupp → profit = revenue (supplycost term
+      // dropped); plan shape (5-way join + LIKE on p_name + group by
+      // nation/year) preserved.
+      """SELECT nation, o_year, sum(amount) AS sum_profit FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT nation, o_year, sum(amount) AS sum_profit FROM (
+          |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          |         l_extendedprice * (1 - l_discount) AS amount
+          |  FROM part JOIN lineitem ON p_partkey = l_partkey
+          |    JOIN supplier ON s_suppkey = l_suppkey
+          |    JOIN orders ON o_orderkey = l_orderkey
+          |    JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE p_name LIKE '%widget%') profit
+          |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)
+    },
+
+    QuerySpec(
+      "q12_delay",
+      // Q12 variant: no shipmode/commit/receipt → bucket by ship delay
+      // (l_shipdate - o_orderdate), priority-split CASE aggregation kept.
+      """SELECT delay_bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM (
+        |  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+        |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
+        |              ELSE 'slow' END AS delay_bucket,
+        |         o_orderpriority
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_shipdate >= DATE '1996-01-01') x
+        |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT delay_bucket,
+          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+          |FROM (
+          |  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+          |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
+          |              ELSE 'slow' END AS delay_bucket,
+          |         o_orderpriority
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  WHERE l_shipdate >= DATE '1996-01-01') x
+          |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin)
+    },
+
+    QuerySpec(
+      "q13_orders",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          |  GROUP BY c_custkey) c_orders
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    },
+
+    QuerySpec(
+      "q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    QuerySpec(
+      "q22_idle_rich",
+      // Q22 variant: no c_phone → "rich but idle" customers: acctbal above
+      // the positive-balance average, with no orders (anti-join + scalar
+      // subquery shape preserved).
+      """SELECT c_mktsegment, count(*) AS numcust, CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '1999-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS numcust, CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '1999-01-01')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
     // ---- join types ---------------------------------------------------
     QuerySpec(
       "join_inner",
