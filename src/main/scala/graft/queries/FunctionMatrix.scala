@@ -435,6 +435,23 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "agg_percentile",
+      // Exact interpolated percentiles (Spark `percentile` ==
+      // DuckDB `quantile_cont`); round(_,2) both sides — the interpolation
+      // arithmetic differs in the last float bits.
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
       "agg_collect",
       // Nested-array aggregation (absent in the reference — flat columns
       // only, SURVEY §1.2; Spark superset). Sorted for determinism.
