@@ -435,6 +435,33 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "expr_bool3",
+      // Three-valued boolean predicates IS [NOT] TRUE / IS NOT FALSE
+      // (reference enum IS_TRUE/IS_NOT_TRUE/IS_NOT_FALSE,
+      // expression_utils.hpp:40-42) over a NULL-bearing boolean.
+      """SELECT c_custkey,
+        |  (b IS TRUE) AS is_true,
+        |  (b IS NOT TRUE) AS is_not_true,
+        |  (b IS FALSE) AS is_false,
+        |  (b IS NOT FALSE) AS is_not_false
+        |FROM (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal > 0 END AS b
+        |      FROM customer) x
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey,
+          |  (b IS TRUE) AS is_true,
+          |  (b IS NOT TRUE) AS is_not_true,
+          |  (b IS FALSE) AS is_false,
+          |  (b IS NOT FALSE) AS is_not_false
+          |FROM (SELECT c_custkey,
+          |        CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal > 0 END AS b
+          |      FROM customer) x
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    QuerySpec(
       "agg_percentile",
       // Exact interpolated percentiles (Spark `percentile` ==
       // DuckDB `quantile_cont`); round(_,2) both sides — the interpolation
