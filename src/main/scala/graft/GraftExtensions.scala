@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashText, SimHash64}
+
+/** SparkSessionExtensions entry point — the idiomatic injection path for
+  * the custom expressions, so any session (including spark-sql / thrift /
+  * connect sessions we don't construct ourselves) picks them up via
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Same registrations as `graft.functions.registerSql(spark)` (which
+  * remains for already-built sessions); this is the config-driven variant
+  * the reference exposes through engine startup flags
+  * (/root/reference pyblazing context.py:1291 BlazingContext config).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litNum(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, _)   => v.toLong
+    case Literal(v: Long, _)  => v
+    case Literal(v: Short, _) => v.toLong
+    case Literal(v: Byte, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+  private def arity(fn: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $min..$max arguments, got ${exprs.size}")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => {
+        arity("cosine_similarity", exprs, 2, 2)
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        arity("minhash_signature", exprs, 1, 3)
+        val k = if (exprs.size >= 2) litNum(exprs(1), "minhash_signature", "k").toInt else 128
+        val seed = if (exprs.size >= 3) litNum(exprs(2), "minhash_signature", "seed") else 42L
+        MinHashSignature(exprs(0), k, seed)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
+      (exprs: Seq[Expression]) => {
+        arity("minhash_text", exprs, 1, 4)
+        val n = if (exprs.size >= 2) litNum(exprs(1), "minhash_text", "n").toInt else 3
+        val k = if (exprs.size >= 3) litNum(exprs(2), "minhash_text", "k").toInt else 128
+        val seed = if (exprs.size >= 4) litNum(exprs(3), "minhash_text", "seed") else 42L
+        MinHashText(exprs(0), n, k, seed)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        arity("simhash64", exprs, 1, 1)
+        SimHash64(exprs(0))
+      }))
+  }
+}

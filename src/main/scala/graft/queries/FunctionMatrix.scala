@@ -435,6 +435,24 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "expr_json_extract",
+      // Real JSON-path extraction (Spark get_json_object ==
+      // DuckDB json_extract_string) — the structured twin of the regex
+      // fallback in expr_json_props.
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
       "expr_bool3",
       // Three-valued boolean predicates IS [NOT] TRUE / IS NOT FALSE
       // (reference enum IS_TRUE/IS_NOT_TRUE/IS_NOT_FALSE,

@@ -62,6 +62,20 @@ class GraftContextSpec extends SparkSuite {
     assert(parted.count() == li.count())
   }
 
+  test("GraftExtensions injects SQL functions via spark.sql.extensions") {
+    // spark.sql.extensions is a STATIC conf, set on the shared suite
+    // session (SparkSuite). minhash_text is injected ONLY by the
+    // extensions (registerSql doesn't register it), so resolving it here
+    // proves the injection path ran.
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+      "size(minhash_text('the quick brown fox jumps', 2, 16)) AS k, " +
+      "simhash64(array('a','b')) AS sh")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getInt(1) == 16)
+  }
+
   test("sqlAsync returns the same result as sql") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
