@@ -33,9 +33,11 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case t: Throwable =>
           System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
+      // capture BEFORE cache release/cleanup so only the query is measured
+      val elapsed = (System.nanoTime() - t0) / 1e9
       graft.operators.Dedup.releaseCaches()
       // failed queries record -1.0 so they can't masquerade as fast runs
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) elapsed else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

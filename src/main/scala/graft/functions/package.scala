@@ -41,15 +41,18 @@ package object functions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles: joins each n consecutive tokens with one space.
-    * Documents with fewer than n tokens yield an empty array (sequence()
-    * would otherwise produce a DESCENDING range when size<n and slice(_,0,_)
-    * throws — guard the range explicitly).
+    * NULL token arrays stay NULL (size(NULL) = -1 would otherwise fall into
+    * the empty branch and silently turn NULL into []). Documents with fewer
+    * than n tokens yield an empty array (sequence() would otherwise produce
+    * a DESCENDING range when size<n and slice(_,0,_) throws — guard the
+    * range explicitly).
     */
   def word_shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Canonical text normalization shared by dedup + fingerprinting:

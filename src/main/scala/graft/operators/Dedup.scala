@@ -56,6 +56,16 @@ object Dedup {
   def minHashSig(text: Column, k: Int, shingle: Int, seed: Long): Column =
     minhash_text(text, shingle, k, seed)
 
+  /** True when a signature came from a doc with ≥1 shingle. Zero-shingle
+    * docs (empty / < n tokens) yield the all-Long.MaxValue sentinel; left
+    * in, every such doc collides with every other in EVERY band (identical
+    * signatures), reporting unrelated short docs as est_jaccard=1.0 dups
+    * and going quadratic in the short-doc count. A real first minimum
+    * equals MaxValue with probability 2^-64 — acceptable to treat as empty.
+    */
+  private def hasShingles(sig: Column): Column =
+    element_at(sig, 1) =!= lit(Long.MaxValue)
+
   /** Near-duplicate pairs via MinHash + banded LSH.
     *
     * k minhashes split into `bands` bands of k/bands rows; docs sharing any
@@ -76,6 +86,7 @@ object Dedup {
     // Callers pipelining over >memory corpora can opt out and recompute.
     val sigs0 = docs.select(col(idCol).as("id"),
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
+      .filter(hasShingles(col("sig")))
     val sigs = if (persistSignatures) {
       val p = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.synchronized { cached += p }
@@ -126,6 +137,7 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs0 = docs.select(col(idCol).as("id"),
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
+      .filter(hasShingles(col("sig")))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.synchronized { cached += sigs }
     val cands0 = bandCandidates(sigs, bands, k / bands)

@@ -347,9 +347,12 @@ object Relational {
       "q12_delay",
       // Q12 variant: no shipmode/commit/receipt → bucket by ship delay
       // (l_shipdate - o_orderdate), priority-split CASE aggregation kept.
+      // CAST the sums: DuckDB sum(int) is HUGEINT → decimal128 through the
+      // driver's arrow path, Spark's is BIGINT; values match but the exact
+      // hash doesn't. BIGINT on both sides (no-op for Spark).
       """SELECT delay_bucket,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM (
         |  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
         |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
@@ -361,8 +364,8 @@ object Relational {
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT delay_bucket,
-          |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-          |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
           |FROM (
           |  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
           |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
@@ -848,7 +851,9 @@ object Relational {
       // two-phase: pre-aggregate to the distinct key combos (6 rows), then
       // rollup the tiny intermediate — Expand over the raw table would
       // multiply 100 TB of scan output ×3 before any reduction. sum is
-      // decomposable, so sum(psq) == sum(qty) per rollup group.
+      // decomposable, so sum(psq) == sum(qty) per rollup group. Unlike
+      // agg_cube, no rounding needed: l_quantity is integral, so every
+      // partial double sum is exact and reordering can't drift.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("psq"))

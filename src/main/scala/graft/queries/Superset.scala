@@ -29,17 +29,21 @@ object Superset {
     QuerySpec(
       "agg_cube",
       """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n, CAST(sum(l_extendedprice) AS DOUBLE) AS total
+        |  count(*) AS n, CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       // two-phase cube: pre-agg to distinct key combos, then Expand over
       // the 6-row intermediate (see agg_rollup; count(*) == sum of partial
-      // counts, so both aggs decompose).
+      // counts, so both aggs decompose). round(_, 2) on BOTH sides: the
+      // two-phase sum reorders double accumulation, so last-bit drift vs
+      // the oracle's single-phase sum is expected — the driver hash is
+      // exact (agg_stats pattern).
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("pn"), sum(col("l_extendedprice")).as("pt"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("pt")), 2).cast("double").as("total"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 

@@ -30,6 +30,38 @@ class RegressionSpec extends SparkSuite {
     Dedup.releaseCaches()
     assert(pairs.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L),
       s"near pair not found: ${pairs.mkString(";")}")
+    // zero-shingle docs (1,2,3) share the sentinel signature; left in, they
+    // collide in EVERY band at est_jaccard exactly 1.0 despite true
+    // Jaccard 0 — they must be excluded, not reported as duplicates
+    assert(pairs.length == 1,
+      s"spurious pairs among zero-shingle docs: ${pairs.mkString(";")}")
+  }
+
+  test("ngramJaccardPairs reports no pairs among zero-shingle documents") {
+    val docs = Seq(
+      (1L, ""), (2L, "x"), (3L, "y z"),
+      (4L, "the quick brown fox jumps over the lazy dog again"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    Dedup.releaseCaches()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 4L &&
+      pairs.head.getLong(1) == 5L,
+      s"expected only (4,5): ${pairs.mkString(";")}")
+  }
+
+  test("word_shingles of NULL tokens stays NULL (not [])") {
+    val df = Seq((1L, Some("a b c d")), (2L, None))
+      .toDF("id", "text")
+    val got = df.select($"id",
+      word_shingles(tokens($"text"), 3).as("sh"),
+      minhash_text($"text", 3, 16, 7L).as("fused"),
+      minhash_signature(word_shingles(tokens($"text"), 3), 16, 7L).as("composed"))
+    val r2 = got.filter($"id" === 2L).collect().head
+    assert(r2.isNullAt(1), "word_shingles(NULL) must be NULL")
+    // NULL input: fused and composed paths must AGREE (both NULL)
+    assert(r2.isNullAt(2) && r2.isNullAt(3),
+      "minhash of NULL text must be NULL on both fused and composed paths")
   }
 
   test("as-of join attaches NULL payload from the matched row, not a stale value") {
