@@ -196,6 +196,32 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "expr_decimal",
+      // Fixed-point DECIMAL casts + exact arithmetic (§1.2: the reference
+      // has no decimal type — cudf drops it; Spark's Decimal128 is a free
+      // superset). Both engines compute exact decimals, so the final
+      // CAST(... AS DOUBLE) is bit-identical with no rounding games.
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS dec_rev,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_min,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dec_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"),
+          (lit(1) - col("l_discount")).cast("decimal(18,4)").as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("p")).cast("double").as("dec_sum"),
+          sum(col("p") * col("d")).cast("double").as("dec_rev"),
+          min(col("p")).cast("double").as("dec_min"),
+          max(col("p")).cast("double").as("dec_max"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
       "expr_case",
       // CASE WHEN — the reference compiles this to MAGIC_IF_NOT /
       // FIRST_NON_MAGIC interpreter ops (expression_utils.hpp:80-81).

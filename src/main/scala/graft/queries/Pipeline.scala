@@ -202,6 +202,28 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_decontaminate",
+      // Benchmark decontamination — a core training-data op: flag docs
+      // containing any banned phrase and emit the redacted text (md5'd:
+      // array/long-string result columns break the compare path). Literal
+      // (non-regex) replace keeps both engines byte-identical and the
+      // whole thing one codegen'd scan — no join against the ban list
+      // needed while it stays a driver-side literal set.
+      """SELECT doc_id,
+        |  (contains(text, 'customer query') OR contains(text, 'spark order')) AS contaminated,
+        |  md5(replace(replace(text, 'customer query', '<REDACTED>'),
+        |      'spark order', '<REDACTED>')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val banned = Seq("customer query", "spark order")
+      val flag = banned.map(p => col("text").contains(p)).reduce(_ || _)
+      val cleaned = banned.foldLeft(col("text"))(
+        (c, p) => call_function("replace", c, lit(p), lit("<REDACTED>")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), flag.as("contaminated"), md5(cleaned).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "text_fingerprint",
       // sorted-distinct-token md5: same list machinery in DuckDB.
       """SELECT doc_id,

@@ -100,6 +100,54 @@ object Superset {
     },
 
     QuerySpec(
+      "pivot_wide",
+      // PIVOT — absent in the reference (closed Calcite operator set);
+      // Spark's groupBy().pivot() with explicit values keeps the plan a
+      // single pass (no per-value scans). Oracle = conditional aggregation;
+      // no ELSE so absent combos stay NULL, matching pivot semantics.
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      // explicit pivot values: skips the values-discovery job AND keeps
+      // the column set stable at any data scale
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_linestatus"),
+          col("A").cast("double").as("qty_a"),
+          col("N").cast("double").as("qty_n"),
+          col("R").cast("double").as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    QuerySpec(
+      "unpivot_long",
+      // UNPIVOT / melt — absent in the reference. Spark's unpivot is a
+      // single Expand node (one scan); the oracle's UNION ALL re-scans per
+      // measure, which is exactly why the operator matters at scale.
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity
+        |  FROM lineitem WHERE l_orderkey < 1000) u
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    },
+
+    QuerySpec(
       "explode_tokens",
       // Generator/UNNEST path — flat-column-only in the reference (§1.2).
       """SELECT tok, count(*) AS n FROM (

@@ -120,6 +120,23 @@ object Windows {
     },
 
     QuerySpec(
+      "win_cume_dist",
+      // cume_dist — completes the rank-family superset (reference rejects
+      // RANK et al., BatchWindowFunctionProcessing.cpp:60). Exact integer
+      // ratio p/n, so the double is bit-identical across engines.
+      """SELECT o_orderkey, o_orderstatus,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders WHERE o_orderkey < 5000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cume_dist().over(byStatus).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    QuerySpec(
       "win_rank",
       """SELECT event_id, event_type,
         |  rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
