@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
 import scala.concurrent.{ExecutionContext, Future}
 
 /** User-facing context with the reference's `BlazingContext` surface
@@ -59,9 +62,33 @@ class GraftContext(val spark: SparkSession) {
     df
   }
 
+  /** Persist a table bucketed (and optionally sorted within buckets) by
+    * `by`, so later equi-joins and aggregations on those keys read
+    * co-located buckets with NO shuffle — the Spark-native replacement for
+    * the reference's static hash-partition planning (JoinPartition kernel,
+    * BatchJoinProcessing.cpp:1075: it re-hash-partitions both sides on
+    * every join; bucketing pays that cost once at write time). At 100 TB
+    * this turns every fact⋈fact join on the bucket key from a full
+    * two-sided exchange into a local merge per bucket.
+    */
+  def createBucketedTable(name: String, df: DataFrame, by: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): DataFrame = {
+    require(by.nonEmpty, "bucketing requires at least one column")
+    val writer = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, by.head, by.tail: _*)
+    val sorted = if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+      else writer
+    sorted.saveAsTable(name)
+    val out = spark.table(name)
+    catalog.put(name, TableEntry(name, out, None, "bucketed-parquet"))
+    out
+  }
+
   def dropTable(name: String): Unit = {
+    val wasBucketed = catalog.get(name).exists(_.format == "bucketed-parquet")
     catalog.remove(name)
-    spark.catalog.dropTempView(name)
+    if (wasBucketed) spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    else spark.catalog.dropTempView(name)
   }
 
   def listTables(): Seq[String] = catalog.keys.toSeq.sorted
@@ -99,6 +126,72 @@ class GraftContext(val spark: SparkSession) {
     if (n > 0) df.repartition(n, cols: _*) else df.repartition(cols: _*)
   }
 
+  // ---- query log (context.py:3346-3608 bc.log over bsql_logs) ------------
+
+  private val logRows = ArrayBuffer.empty[LogRow]
+  private val nextLogId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val peakUsed = TrieMap.empty[String, Long]
+
+  // Listener-driven like the reference's engine log table: every
+  // materialized query (count/collect/write) appends one row. Also samples
+  // executor memory at completion for maxMemoryUsed() — the reference
+  // likewise reports memory per finished query, not continuously.
+  private val logListener = new QueryExecutionListener {
+    private def append(qe: QueryExecution, durationNs: Long, err: Option[String]): Unit = {
+      val row = LogRow(nextLogId.getAndIncrement(),
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        qe.optimizedPlan.nodeName,
+        qe.logical.treeString.linesIterator.take(1).mkString.take(500),
+        durationNs / 1e6, err.isEmpty, err.getOrElse(""))
+      logRows.synchronized { logRows += row }
+      sampleMemory()
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      append(qe, durationNs, None)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      append(qe, 0L, Some(String.valueOf(exception.getMessage).take(500)))
+  }
+  spark.listenerManager.register(logListener)
+
+  private def sampleMemory(): Unit =
+    spark.sparkContext.getExecutorMemoryStatus.foreach { case (exec, (maxMem, remaining)) =>
+      val used = maxMem - remaining
+      peakUsed.updateWith(exec) {
+        case Some(prev) if prev >= used => Some(prev)
+        case _ => Some(used)
+      }
+    }
+
+  /** The engine log as a queryable table (the reference's
+    * `bc.log("SELECT * FROM bsql_logs")`). Refreshes the `graft_logs`
+    * temp view and runs `query` over it.
+    */
+  def log(query: String = "SELECT * FROM graft_logs ORDER BY log_id"): DataFrame = {
+    import spark.implicits._
+    val snapshot = logRows.synchronized { logRows.toSeq }
+    spark.createDataset(snapshot)
+      .toDF("log_id", "log_time", "root_op", "plan_head", "duration_ms",
+        "success", "error")
+      .createOrReplaceTempView("graft_logs")
+    spark.sql(query)
+  }
+
+  // ---- memory introspection (context.py:1959-2077) ------------------------
+
+  /** Free storage memory per executor — the reference's get_free_memory()
+    * (GPU pool free bytes per worker). */
+  def getFreeMemory(): Map[String, Long] =
+    spark.sparkContext.getExecutorMemoryStatus.map {
+      case (exec, (_, remaining)) => exec -> remaining
+    }.toMap
+
+  /** Peak storage memory used per executor, sampled at each query
+    * completion — the reference's get_max_memory_used(). */
+  def getMaxMemoryUsed(): Map[String, Long] = {
+    sampleMemory()
+    peakUsed.toMap
+  }
+
   // ---- filesystem registration (context.py:1695-1827) --------------------
   // In Spark these are Hadoop FS configs; each helper is config-only.
 
@@ -122,6 +215,10 @@ class GraftContext(val spark: SparkSession) {
 object GraftContext {
   final case class TableEntry(name: String, df: DataFrame,
       path: Option[String], format: String)
+
+  final case class LogRow(logId: Long, logTime: java.sql.Timestamp,
+      rootOp: String, planHead: String, durationMs: Double,
+      success: Boolean, error: String)
 
   private def inferFormat(path: String): String = {
     val p = path.toLowerCase

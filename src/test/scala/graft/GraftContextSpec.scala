@@ -76,6 +76,61 @@ class GraftContextSpec extends SparkSuite {
     assert(r.getInt(1) == 16)
   }
 
+  test("query log records materialized queries, queryable via log()") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_log_nation", s"$sfDir/nation.parquet")
+    ctx.sql("SELECT count(*) AS n FROM gc_log_nation").collect()
+    // QueryExecutionListener delivery is async — poll until the row lands
+    val deadline = System.currentTimeMillis() + 15000
+    var n = 0L
+    while (n == 0 && System.currentTimeMillis() < deadline) {
+      n = ctx.log("SELECT count(*) AS n FROM graft_logs WHERE success").collect()(0).getLong(0)
+      if (n == 0) Thread.sleep(200)
+    }
+    assert(n > 0, "no successful query logged")
+    val row = ctx.log("SELECT * FROM graft_logs ORDER BY log_id DESC LIMIT 1").collect()(0)
+    assert(row.getAs[Double]("duration_ms") >= 0.0)
+  }
+
+  test("memory introspection reports per-executor numbers") {
+    val ctx = GraftContext(spark)
+    val free = ctx.getFreeMemory()
+    assert(free.nonEmpty && free.values.forall(_ > 0),
+      s"free memory should be positive: $free")
+    ctx.sql("SELECT 1").collect()
+    val peak = ctx.getMaxMemoryUsed()
+    assert(peak.nonEmpty && peak.values.forall(_ >= 0))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val ctx = GraftContext(spark)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    ctx.createBucketedTable("gcb_orders", orders, Seq("o_orderkey"), 4,
+      sortCols = Seq("o_orderkey"))
+    ctx.createBucketedTable("gcb_lineitem", lineitem, Seq("l_orderkey"), 4,
+      sortCols = Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join planner must pick a shuffle or
+      // bucket-reading sort-merge join — the assert is that bucketing
+      // removed the Exchange entirely
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ctx.sql(
+        """SELECT o.o_orderkey, count(*) AS n
+          |FROM gcb_orders o JOIN gcb_lineitem l ON o.o_orderkey = l.l_orderkey
+          |GROUP BY o.o_orderkey""".stripMargin)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$physical")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      ctx.dropTable("gcb_orders")
+      ctx.dropTable("gcb_lineitem")
+    }
+  }
+
   test("sqlAsync returns the same result as sql") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
