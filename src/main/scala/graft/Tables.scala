@@ -17,6 +17,17 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // Logical-plan cache: footer inspection + schema inference cost two
+  // driver-side parquet footer reads per load, and the SQL battery calls
+  // registerAll (10 tables) per query — ~0.5 s/query of pure overhead.
+  // A DataFrame is an immutable logical plan, so reuse per (session, path)
+  // is safe; keyed on the session identity because plans can't cross
+  // sessions.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * scan automatically because callers compose on the returned DataFrame.
     */
@@ -29,17 +40,18 @@ object Tables {
     * DuckDB sees at µs resolution. Footer inspection happens once on the
     * driver; the scan itself stays vectorized.
     */
-  def readParquet(spark: SparkSession, p: String): DataFrame = {
-    val nsCols = nanoTimestampColumns(spark, p)
-    if (nsCols.isEmpty) spark.read.parquet(p)
-    else {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      nsCols.foldLeft(spark.read.parquet(p)) { (df, c) =>
-        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+  def readParquet(spark: SparkSession, p: String): DataFrame =
+    planCache.getOrElseUpdate((System.identityHashCode(spark), p), {
+      val nsCols = nanoTimestampColumns(spark, p)
+      if (nsCols.isEmpty) spark.read.parquet(p)
+      else {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nsCols.foldLeft(spark.read.parquet(p)) { (df, c) =>
+          df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+        }
       }
-    }
-  }
+    })
 
   /** Names of top-level TIMESTAMP(NANOS) columns, from the first file
     * footer under `p`. */
@@ -69,7 +81,15 @@ object Tables {
     } finally reader.close()
   }
 
-  /** Register every fixture table as a temp view (for the SQL surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every fixture table as a temp view (for the SQL surface).
+    * Idempotent per (session, dir): re-registration is skipped until the
+    * dir changes (tests and the driver mains each pin one dir at a time).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val sid = System.identityHashCode(spark)
+    if (!registered.get(sid).contains(dir)) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(sid, dir)
+    }
+  }
 }

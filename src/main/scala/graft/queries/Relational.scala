@@ -831,13 +831,20 @@ object Relational {
         |WHERE total > (SELECT avg(total) FROM rev)
         |ORDER BY total DESC, s_suppkey""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // Spark inlines CTEs, so the scalar-subquery form scans + aggregates
+      // lineitem TWICE. Computing avg(total) as an empty-frame window over
+      // the aggregated rev keeps ONE lineitem scan; the window's
+      // single-partition exchange only sees |suppliers| aggregated rows,
+      // not base data — at 100 TB that's the difference between 2× scan IO
+      // and a kilobyte-scale exchange.
       s.sql(
         """WITH rev AS (
           |  SELECT l_suppkey AS supp, sum(l_extendedprice * (1 - l_discount)) AS total
           |  FROM lineitem GROUP BY l_suppkey
-          |)
-          |SELECT s_suppkey, s_name, total FROM supplier JOIN rev ON s_suppkey = supp
-          |WHERE total > (SELECT avg(total) FROM rev)
+          |),
+          |w AS (SELECT supp, total, avg(total) OVER () AS avg_total FROM rev)
+          |SELECT s_suppkey, s_name, total FROM supplier JOIN w ON s_suppkey = supp
+          |WHERE total > avg_total
           |ORDER BY total DESC, s_suppkey""".stripMargin)
     },
 
