@@ -68,6 +68,30 @@ class ScaleSpec extends SparkSuite {
     assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
   }
 
+  test("cte_query scans lineitem exactly once") {
+    // regression guard for the single-scan rewrite: the scalar-subquery
+    // form made Spark scan + aggregate lineitem twice (CTEs inline)
+    val plan = SparkEntry.queries("cte_query")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n$plan")
+  }
+
+  test("pivot plans as one scan + one aggregate pair (no per-value scans)") {
+    val plan = SparkEntry.queries("pivot_wide")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"pivot should read the fact table once:\n$plan")
+  }
+
+  test("unpivot plans as a single Expand, not a union of scans") {
+    val plan = SparkEntry.queries("unpivot_long")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand node:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"unpivot should read the fact table once:\n$plan")
+  }
+
   test("bucketed tables join without an exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val s2 = spark.newSession()
