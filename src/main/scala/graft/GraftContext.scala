@@ -227,6 +227,7 @@ object GraftContext {
     else if (p.endsWith(".csv")) "csv"
     else if (p.endsWith(".psv")) "psv"
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+    else if (p.endsWith(".txt")) "text"
     else "parquet"
   }
 

@@ -37,4 +37,59 @@ class SourcesSpec extends SparkSuite {
     assert(ctx.sql("SELECT * FROM psv_nation").count() == 25)
     ctx.dropTable("psv_nation")
   }
+
+  test("jdbc source round-trips through embedded Derby with filter pushdown") {
+    // The reference scans MySQL/PostgreSQL/SQLite with batching + filter
+    // transpilation (MySQLDataProvider.cpp et al.); Spark's jdbc source is
+    // the same capability. Derby (in the Spark distribution) stands in for
+    // an external DBMS so the path is tested end-to-end, not config-only.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val nation = Tables.load(spark, sfDir, "nation")
+    nation.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "NATION_JDBC").save()
+
+    val ctx = GraftContext(spark)
+    val back = ctx.createTable("gc_jdbc", "", format = "jdbc",
+      options = Map("url" -> url, "dbtable" -> "NATION_JDBC"))
+    assert(back.count() == nation.count())
+
+    // predicate pushdown must reach the JDBC scan (the analog of the
+    // reference's WHERE-clause transpilation into the DBMS query)
+    val pushed = ctx.sql("SELECT * FROM gc_jdbc WHERE n_nationkey > 10")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(n_nationkey,10)"),
+      s"filter not pushed into the JDBC source:\n$plan")
+    assert(pushed.count() ==
+      nation.filter(col("n_nationkey") > 10).count())
+    ctx.dropTable("gc_jdbc")
+  }
+
+  test("binaryFile source ingests opaque blobs with path + length metadata") {
+    // Multimodal ingestion path: image/audio/video files land as binary
+    // columns with typed metadata (SURVEY §8.9 stubs decode; THIS is the
+    // real read plumbing).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](9, 8, 7))
+    val ctx = GraftContext(spark)
+    val bin = ctx.createTable("gc_bin", dir.toString, format = "binaryFile",
+      options = Map("pathGlobFilter" -> "*.jpg"))
+    val rows = bin.select(col("path"), col("length"), col("content"))
+      .orderBy(col("path")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("length") == 4L)
+    assert(rows(0).getAs[Array[Byte]]("content").sameElements(Array[Byte](1, 2, 3, 4)))
+    ctx.dropTable("gc_bin")
+  }
+
+  test("text source reads raw lines for corpus ingestion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.write(dir.resolve("docs.txt"),
+      "line one\nline two\nline three\n".getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_txt", s"$dir/docs.txt")
+    assert(ctx.sql("SELECT * FROM gc_txt").count() == 3)
+    ctx.dropTable("gc_txt")
+  }
 }
