@@ -100,6 +100,55 @@ object Superset {
     },
 
     QuerySpec(
+      "agg_filter_clause",
+      // Aggregate FILTER clause — absent in the reference's closed
+      // aggregate set; both engines support it natively. Conditional
+      // aggregation without the CASE detour stays a single HashAggregate.
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          |  CAST(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    QuerySpec(
+      "expr_semistruct",
+      // Struct / map / array construction + access — the reference is
+      // flat-column-only (§1.2); these are scalar in/scalar out so the
+      // oracle replays the semantics (CASE for the map lookup) without
+      // needing DuckDB's nested syntax quirks.
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity AS s_qty,
+        |  CASE l_returnflag WHEN 'A' THEN 1.0 WHEN 'N' THEN 2.0
+        |       WHEN 'R' THEN 3.0 END AS flag_weight,
+        |  'q=' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS arr_pick
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // struct build + field access round-trip
+          struct(col("l_quantity").as("q"), col("l_returnflag").as("f"))
+            .getField("q").as("s_qty"),
+          // map literal lookup keyed by a column
+          element_at(
+            map_from_arrays(
+              typedlit(Seq("A", "N", "R")),
+              typedlit(Seq(1.0, 2.0, 3.0))),
+            col("l_returnflag")).as("flag_weight"),
+          // array build + element_at with a computed index
+          element_at(
+            transform(array(col("l_quantity")),
+              q => concat(lit("q="), q.cast("long").cast("string"))),
+            1).as("arr_pick"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
       "pivot_wide",
       // PIVOT — absent in the reference (closed Calcite operator set);
       // Spark's groupBy().pivot() with explicit values keeps the plan a
