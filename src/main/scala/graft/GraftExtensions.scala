@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn expects $min..$max arguments, got ${exprs.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom whole-operator plans (LogicalPlan + SparkPlan pairs)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -100,6 +100,28 @@ object Superset {
     },
 
     QuerySpec(
+      "topk_per_group",
+      // Custom Catalyst operator (plans/TopKPerGroup.scala): per-group
+      // top-k via partial→shuffle→final bounded heaps — no window sort,
+      // and the exchange carries ≤ k·groups·partitions rows. The oracle
+      // replays the semantics with row_number.
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) x WHERE rn <= 5
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.plans.TopKPerGroup(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        5)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
       "agg_filter_clause",
       // Aggregate FILTER clause — absent in the reference's closed
       // aggregate set; both engines support it natively. Conditional

@@ -1,14 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge to `private[sql]` Column↔Expression conversions (Spark 4.x moved
-  * Column onto ColumnNode; classic sessions convert via ExpressionUtils).
-  * This is the only place the library reaches into Spark internals.
+/** Bridge to `private[sql]` Column↔Expression and plan↔Dataset conversions
+  * (Spark 4.x moved Column onto ColumnNode; classic sessions convert via
+  * ExpressionUtils). This is the only place the library reaches into Spark
+  * internals.
   */
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan (e.g. a custom operator node) as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

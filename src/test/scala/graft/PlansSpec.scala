@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerGroup
+
+/** Specs for the custom Catalyst operator (LogicalPlan + Strategy +
+  * SparkPlan): per-group top-k via bounded heaps.
+  */
+class PlansSpec extends SparkSuite {
+
+  test("topKPerGroup equals the window row_number formulation") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val ours = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 5)
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val reference = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+
+    assert(ours.length == reference.length,
+      s"row counts differ: ${ours.length} vs ${reference.length}")
+    assert(ours.sameElements(reference), "rows differ from window formulation")
+  }
+
+  test("topKPerGroup plans partial and final heaps around one exchange") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val plan = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey")), 3)
+      .queryExecution.executedPlan.toString
+    val execs = "TopKPerGroup \\[".r.findAllIn(plan).length
+    assert(execs == 2, s"expected partial+final TopKPerGroupExec, got $execs:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange:\n$plan")
+    // map-side partial runs BEFORE the exchange: no full-table shuffle
+    assert(!plan.contains("Window"), s"fell back to a window plan:\n$plan")
+  }
+
+  test("topKPerGroup with no group columns is a global top-k") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val got = TopKPerGroup(orders, Nil,
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 10)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).collect()
+    val expect = orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10).collect()
+    assert(got.sameElements(expect))
+  }
+
+  test("topKPerGroup handles k larger than any group") {
+    val nation = Tables.load(spark, sfDir, "nation")
+    val got = TopKPerGroup(nation, Seq("n_regionkey"),
+      Seq(col("n_nationkey")), 1000).count()
+    assert(got == nation.count(), "k > group size must keep every row")
+  }
+}
