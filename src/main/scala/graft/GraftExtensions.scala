@@ -34,8 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn expects $min..$max arguments, got ${exprs.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // custom whole-operator plans (LogicalPlan + SparkPlan pairs)
+    // custom whole-operator plans (LogicalPlan + SparkPlan pairs) and the
+    // optimizer rewrite that recognizes the row_number top-k idiom
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rewrite: the ubiquitous SQL top-k-per-group idiom
+  *
+  * {{{
+  *   SELECT cols FROM (
+  *     SELECT *, row_number() OVER (PARTITION BY g ORDER BY o) AS rn
+  *     FROM t) WHERE rn <= k          -- and rn is then dropped
+  * }}}
+  *
+  * becomes [[TopKPerGroupPlan]], which plans as partial→shuffle→final
+  * bounded heaps instead of a full per-group window sort (see
+  * TopKPerGroup.scala). Fires only when the rank column is used for
+  * nothing but the limit predicate and is projected away — if rn
+  * survives into the output the window must stay.
+  *
+  * Registered via `GraftExtensions` (injectOptimizerRule) and
+  * `spark.experimental.extraOptimizations`.
+  */
+object RowNumberTopKRewrite extends Rule[LogicalPlan] {
+
+  /** k such that `cond` ⇔ rn <= k, if cond is such a bound on `rn`.
+    * Conjunctions are accepted when every other conjunct is an ignorable
+    * IsNotNull(rn) (the optimizer infers those; row_number is never null).
+    */
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = {
+    def bound(e: Expression): Option[Int] = e match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn.exprId => Some(1)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k - 1)
+      case _ => None
+    }
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(cond)
+    }
+    val (_, rest) = conjuncts.partition {
+      case IsNotNull(a: Attribute) => a.exprId == rn.exprId
+      case _ => false
+    }
+    rest match {
+      case Seq(only) => bound(only)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList,
+        Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
+            partitionSpec, orderSpec, child, _)))
+        if orderSpec.nonEmpty &&
+          spec.frameSpecification == SpecifiedWindowFrame(RowFrame,
+            UnboundedPreceding, CurrentRow) &&
+          // rn must not escape: the projection may only use child columns
+          projList.forall(_.references.subsetOf(child.outputSet)) =>
+      limitOf(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 =>
+          Project(projList,
+            TopKPerGroupPlan(partitionSpec, orderSpec, k, child))
+        case _ => p
+      }
+  }
+}

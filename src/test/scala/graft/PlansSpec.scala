@@ -58,6 +58,38 @@ class PlansSpec extends SparkSuite {
     assert(got.sameElements(expect))
   }
 
+  test("optimizer rewrites the row_number <= k idiom into TopKPerGroup") {
+    // the suite session sets spark.sql.extensions=graft.GraftExtensions,
+    // so rule + strategy arrive via injection — this is the e2e SQL path
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 4
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+
+    // reference: identical query but rn ESCAPES into the output (a
+    // .drop would collapse into the projection and legitimately re-arm
+    // the rewrite), which must suppress it; rn is stripped driver-side
+    val ref = spark.sql(sql.replace(
+      "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (",
+      "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM ("))
+    assert(ref.queryExecution.executedPlan.toString.contains("Window"),
+      "reference plan unexpectedly rewritten")
+    val refRows = ref.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val gotRows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(gotRows.sameElements(refRows),
+      "rewritten result differs from the window formulation")
+  }
+
   test("topKPerGroup handles k larger than any group") {
     val nation = Tables.load(spark, sfDir, "nation")
     val got = TopKPerGroup(nation, Seq("n_regionkey"),
