@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval range join.
+  *
+  * A pure range predicate (`p BETWEEN s AND e` with no equi-key) gives
+  * Spark nothing to hash on, so it plans a BroadcastNestedLoopJoin —
+  * O(|points|·|intervals|) compares, and only viable while one side
+  * broadcasts. Bucketing both sides on `floor(value / width)` turns the
+  * range predicate into an equi-join on the bucket id plus a residual
+  * filter: each point lands in ONE bucket, each interval is exploded over
+  * the buckets it covers, and the join shuffles on the bucket key like any
+  * equi-join. Work becomes O(n · interval_width/bucket_width) — pick
+  * `bucketWidth` near the typical interval length so intervals explode
+  * into ~1-2 buckets.
+  *
+  * The reference has no range join at all (SURVEY §2.3: equi-only
+  * conditions, pure-inequality falls back to cross join + filter,
+  * BatchJoinProcessing.cpp:148-230); this is the at-scale formulation of
+  * that fallback.
+  */
+object RangeJoin {
+
+  /** Join rows of `points` to rows of `intervals` where
+    * `points(pointCol)` lies in `[intervals(startCol), intervals(endCol)]`.
+    * Column sets of the two sides must be disjoint. Numeric columns;
+    * cast timestamps to epoch seconds first.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"column sets must be disjoint, both have: $overlap")
+
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor(col(endCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

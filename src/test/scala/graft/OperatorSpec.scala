@@ -169,4 +169,41 @@ class OperatorSpec extends SparkSuite {
     assert(frames.groupBy($"media_id").count()
       .filter($"count" > 4).count() == 0)
   }
+
+  test("bucketed range join equals the nested-loop formulation") {
+    val points = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val intervals = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey",
+        ($"c_acctbal" * 20).as("lo"),
+        ($"c_acctbal" * 20 + 500.0).as("hi"))
+      .filter($"lo" > 0)
+
+    val bucketed = RangeJoin.pointInInterval(
+      points, intervals, "o_totalprice", "lo", "hi", bucketWidth = 500.0)
+    val naive = points.join(intervals,
+      $"o_totalprice" >= $"lo" && $"o_totalprice" <= $"hi")
+
+    // correctness: identical (orderkey, custkey) pair sets
+    val a = bucketed.select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = naive.select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"pair sets differ: only-bucketed=${(a -- b).take(5)} only-naive=${(b -- a).take(5)}")
+    assert(a.nonEmpty, "test ranges matched nothing — fixture drift?")
+
+    // scale shape: the naive plan is a nested loop; the bucketed plan is
+    // an equi-join on the bucket id (hashable → shuffle/broadcast HASH)
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "naive range join unexpectedly not a nested loop")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"bucketed join fell back to nested loop:\n$plan")
+  }
+
+  test("range join rejects overlapping column names") {
+    val df = Tables.load(spark, sfDir, "orders")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(df, df, "o_totalprice", "o_totalprice", "o_totalprice", 1.0)
+    }
+  }
 }
