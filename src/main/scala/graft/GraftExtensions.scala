@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashText, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashText, NormalizeText, SimHash64}
 
 /** SparkSessionExtensions entry point — the idiomatic injection path for
   * the custom expressions, so any session (including spark-sql / thrift /
@@ -70,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("simhash64", exprs, 1, 1)
         SimHash64(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (exprs: Seq[Expression]) => {
+        arity("normalize_text", exprs, 1, 1)
+        NormalizeText(exprs(0))
       }))
   }
 }

@@ -158,6 +158,33 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Fused lower→collapse-whitespace→trim, byte-identical to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))`: Java regex `\s`
+    * is exactly [ \t\n\x0B\f\r] (bytes 9–13 + 0x20, never multi-byte
+    * UTF-8 units), interior runs collapse to one 0x20, and leading/
+    * trailing runs vanish (the composed form collapses them to a space
+    * that trim then strips). One pass, no regex machinery.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13)
+      if (ws) { if (o > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b; o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
   /** 64-bit SimHash over token hashes: sign of per-bit vote counts. */
   def simHash(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)

@@ -70,6 +70,24 @@ case class MinHashText(child: Expression, n: Int, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused text normalization (lower + collapse whitespace + trim);
+  * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`
+  * without the regex machinery — see VectorOps.normalizeText.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.normalizeText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.normalizeText($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -56,9 +56,13 @@ package object functions {
       .otherwise(array().cast("array<string>"))
 
   /** Canonical text normalization shared by dedup + fingerprinting:
-    * lower-case, collapse whitespace, trim. */
+    * lower-case, collapse whitespace, trim. Fused single-pass kernel,
+    * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`
+    * (asserted in RegressionSpec) — the regex form dominated dedup_exact
+    * wall-clock.
+    */
   def normalize_text(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    col0(NormalizeText(expr0(text)))
 
   /** Register the SQL-surface names for the custom expressions.
     * Arities are validated and optional k/seed arguments of
@@ -94,5 +98,8 @@ package object functions {
     reg.createOrReplaceTempFunction("simhash64",
       exprs => { arity("simhash64", exprs, 1, 1)
         SimHash64(exprs(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text",
+      exprs => { arity("normalize_text", exprs, 1, 1)
+        NormalizeText(exprs(0)) }, "scala_udf")
   }
 }

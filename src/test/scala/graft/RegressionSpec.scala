@@ -108,6 +108,20 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs with differing signatures")
   }
 
+  test("fused normalize_text is byte-identical to the regex formulation") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (910001L, ""), (910002L, "   "), (910003L, "\t\n mixed \r\n WS here  "),
+        (910004L, "Ünïcödé ÇASE\t\ttabs"), (910005L, "already clean"))
+        .toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      normalize_text($"text").as("fused"),
+      trim(regexp_replace(lower($"text"), "\\s+", " ")).as("composed"))
+    val bad = both.filter(not($"fused" <=> $"composed")).count()
+    assert(bad == 0, s"$bad docs where fused differs from regex form")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
