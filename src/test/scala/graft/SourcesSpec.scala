@@ -38,6 +38,37 @@ class SourcesSpec extends SparkSuite {
     ctx.dropTable("psv_nation")
   }
 
+  test("csv parser modes: PERMISSIVE nulls bad fields, DROPMALFORMED drops rows") {
+    // the reference's CSV parser surfaces pandas-style error handling
+    // (context.py:890-940 kwargs); Spark's mode option is the analog
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.write(dir.resolve("rows.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n".getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    val schema = "id INT, qty INT"
+
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .csv(dir.toString)
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("qty").isNull).count() == 1,
+      "bad field should become NULL in PERMISSIVE mode")
+
+    val dropped = spark.read.schema(schema)
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(dir.toString)
+    // count() alone skips field parsing (CSV count pushdown) — collect
+    // actual columns so malformed detection runs
+    assert(dropped.select(col("id"), col("qty")).collect().length == 2,
+      "malformed row should be dropped")
+
+    // and through the context's option passthrough
+    ctx.createTable("gc_badcsv", dir.toString, format = "csv",
+      options = Map("header" -> "true", "mode" -> "DROPMALFORMED",
+        "inferSchema" -> "false"))
+    ctx.dropTable("gc_badcsv")
+  }
+
   test("jdbc source round-trips through embedded Derby with filter pushdown") {
     // The reference scans MySQL/PostgreSQL/SQLite with batching + filter
     // transpilation (MySQLDataProvider.cpp et al.); Spark's jdbc source is
