@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import graft.functions._
+
+/** Streaming NEAR-duplicate detection: MinHash-LSH with band buckets as
+  * keyed state. Each arriving document's signature lands in its `bands`
+  * LSH buckets; the bucket's state holds the (id, signature) pairs seen so
+  * far, so a newcomer compares against exactly its bucket cohort — the
+  * streaming twin of `Dedup.minHashPairs`, with the band self-join
+  * replaced by `flatMapGroupsWithState` over the bucket key.
+  *
+  * Scale notes: state per bucket is the bucket's cohort (near-1 on a
+  * healthy corpus); the bucket keyspace hash-partitions evenly across
+  * executors. The same pair can surface from several bands — exactly like
+  * the batch candidate join — so callers dedupe downstream
+  * (dropDuplicates on (id_a, id_b), or within a watermark for unbounded
+  * streams). Production deployments should add a TTL timeout to bound
+  * state on unbounded corpora.
+  */
+object DedupStreams {
+
+  case class BandedDoc(bucket: Long, doc_id: Long, sig: Array[Long])
+  case class BucketCohort(docs: List[(Long, Array[Long])])
+  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Near-dup pairs from a streaming document source. Emits one row per
+    * (band-collision, threshold pass); dedupe downstream.
+    */
+  def nearDupStream(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, shingle: Int = 3,
+      threshold: Double = 0.5, seed: Long = 42L): Dataset[NearDupHit] = {
+    import spark.implicits._
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        minhash_text(col(textCol), shingle, k, seed).as("sig"))
+      // zero-shingle docs share the sentinel signature; see Dedup
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
+          .as("bk"))
+      // one long key: band in the high bits, band-hash (int) in the low
+      .select(
+        (col("bk.band").cast("long") * lit(4294967296L) +
+          (col("bk.bh").cast("long") + lit(2147483648L))).as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketCohort]) => {
+          var cohort = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupHit]
+          // deterministic processing order within a micro-batch
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            cohort.foreach { case (id0, sig0) =>
+              if (id0 != d.doc_id) {
+                var eq = 0; var i = 0
+                while (i < d.sig.length) {
+                  if (d.sig(i) == sig0(i)) eq += 1
+                  i += 1
+                }
+                val est = eq.toDouble / d.sig.length
+                if (est >= threshold)
+                  out += NearDupHit(math.min(id0, d.doc_id),
+                    math.max(id0, d.doc_id), est)
+              }
+            }
+            cohort = (d.doc_id, d.sig) :: cohort
+          }
+          state.update(BucketCohort(cohort))
+          out.result().iterator
+        })
+  }
+}

@@ -69,6 +69,33 @@ class StreamingSpec extends SparkSuite {
     assert(gotSeg == batchSeg, s"segment histograms differ: $gotSeg vs $batchSeg")
   }
 
+  test("streaming near-dup LSH matches the batch minHashPairs result") {
+    // stage documents as a stream source dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docsSchema = Tables.load(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(docsSchema).parquet(dir.toString)
+
+    val hits = graft.streaming.DedupStreams.nearDupStream(
+      spark, stream, k = 64, bands = 16, threshold = 0.5)
+    val got = EventStreams.runToMemory(spark, hits.toDF(), "near_dups")
+      .select(col("id_a"), col("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = graft.operators.Dedup.minHashPairs(
+        Tables.load(spark, sfDir, "documents"),
+        k = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.Dedup.releaseCaches()
+
+    assert(batch.nonEmpty, "batch found no near-dups — fixture drift?")
+    assert(got == batch,
+      s"stream vs batch pair sets differ: only-stream=${(got -- batch).take(5)} only-batch=${(batch -- got).take(5)}")
+  }
+
   test("stateful sessionization closes sessions on the 30-min gap") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val sessions = EventStreams.sessionize(spark, stream)
