@@ -222,6 +222,42 @@ object FunctionMatrix {
     },
 
     QuerySpec(
+      "expr_bitwise",
+      // Bitwise AND/OR/XOR/shifts/popcount — absent from the reference's
+      // operator enum (expression_utils.hpp:11-93); free Spark superset.
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey & 255 AS BIGINT) AS band_v,
+        |  CAST(l_orderkey | 4096 AS BIGINT) AS bor_v,
+        |  CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor_v,
+        |  CAST(l_partkey << 2 AS BIGINT) AS shl_v,
+        |  CAST(l_orderkey >> 3 AS BIGINT) AS shr_v,
+        |  CAST(bit_count(l_orderkey) AS INT) AS pop_v
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(255).as("band_v"),
+          col("l_orderkey").bitwiseOR(4096).as("bor_v"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor_v"),
+          shiftleft(col("l_partkey"), 2).as("shl_v"),
+          shiftright(col("l_orderkey"), 3).as("shr_v"),
+          bit_count(col("l_orderkey")).cast("int").as("pop_v"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
+      "expr_hashes",
+      // Cryptographic digests (content-addressing / fingerprint parity).
+      """SELECT doc_id, md5(text) AS md5_v, sha256(text) AS sha256_v
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_v"),
+          sha2(col("text"), 256).as("sha256_v"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "expr_case",
       // CASE WHEN — the reference compiles this to MAGIC_IF_NOT /
       // FIRST_NON_MAGIC interpreter ops (expression_utils.hpp:80-81).

@@ -77,6 +77,20 @@ object Superset {
         count(lit(1)).as("n"))
     },
 
+    // Approximate percentiles (Greenwald-Khanna sketch): mergeable across
+    // partitions — the at-scale path where exact interpolation
+    // (agg_percentile) would shuffle whole value sets. Sketch-specific, so
+    // rows-only; ScaleSpec bounds the error vs the exact quantile.
+    QuerySpec.noOracle("agg_approx_percentile") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(5000)).as("apx_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(5000)).as("apx_p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     QuerySpec(
       "asof_join",
       // As-of join composed from union + window carry-forward (see

@@ -68,6 +68,21 @@ class ScaleSpec extends SparkSuite {
     assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
   }
 
+  test("approx percentile within 2% of the exact quantile") {
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (p50, p95)) =>
+      val (a50, a95) = rows(flag)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$flag p50: approx=$a50 exact=$p50")
+      assert(math.abs(a95 - p95) / p95 < 0.02, s"$flag p95: approx=$a95 exact=$p95")
+    }
+  }
+
   test("cte_query scans lineitem exactly once") {
     // regression guard for the single-scan rewrite: the scalar-subquery
     // form made Spark scan + aggregate lineitem twice (CTEs inline)
