@@ -233,6 +233,46 @@ object Superset {
     },
 
     QuerySpec(
+      "expr_arrayfuncs",
+      // Array function battery (sort/distinct/slice/contains/join) — the
+      // reference is flat-column-only (§1.2). Sort-before-slice keeps the
+      // result independent of either engine's distinct ordering; outputs
+      // are joined to strings (array columns break the compare path).
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:8], ',') AS first8,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  list_contains(string_split(text, ' '), 'table') AS has_table
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = split(col("text"), " ")
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_join(slice(array_sort(array_distinct(words)), 1, 8), ",").as("first8"),
+          size(array_distinct(words)).cast("long").as("n_distinct"),
+          array_contains(words, "table").as("has_table"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "set_union_byname",
+      // unionByName with missing columns NULL-padded — schema-evolution
+      // union the reference's strict concat kernel cannot do
+      // (BatchUnionProcessing.cpp normalizes types but requires the same
+      // column set).
+      """SELECT id, price, bal FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS price, CAST(NULL AS DOUBLE) AS bal
+        |  FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(NULL AS DOUBLE), c_acctbal FROM customer) u
+        |ORDER BY id, price NULLS FIRST, bal NULLS FIRST""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      val b = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("id"), col("price").asc_nulls_first, col("bal").asc_nulls_first)
+    },
+
+    QuerySpec(
       "explode_tokens",
       // Generator/UNNEST path — flat-column-only in the reference (§1.2).
       """SELECT tok, count(*) AS n FROM (
