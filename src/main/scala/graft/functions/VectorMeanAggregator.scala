@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` computing the element-wise mean of a vector column —
+  * the centroid update step of IVF/k-means clustering, expressed through
+  * Spark's third extension tier (built-ins > custom Expression >
+  * Aggregator, SURVEY §7.3). The buffer is a (running-sum, count) pair, so
+  * partial aggregation and merge are exact and commutative: partials
+  * combine map-side before the shuffle like any built-in agg.
+  *
+  * Accumulates in double regardless of input width (float32 running sums
+  * lose precision long before 100 TB row counts).
+  */
+class VectorMeanAggregator(dim: Int)
+    extends Aggregator[Array[Float], VectorMeanAggregator.Buf, Array[Double]] {
+  import VectorMeanAggregator.Buf
+
+  override def zero: Buf = Buf(new Array[Double](dim), 0L)
+
+  override def reduce(b: Buf, v: Array[Float]): Buf = {
+    if (v != null) {
+      val n = math.min(dim, v.length)
+      var i = 0
+      while (i < n) { b.sum(i) += v(i); i += 1 }
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    var i = 0
+    while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+    a.n += b.n
+    a
+  }
+
+  override def finish(b: Buf): Array[Double] =
+    if (b.n == 0) null
+    else {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { out(i) = b.sum(i) / b.n; i += 1 }
+      out
+    }
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+object VectorMeanAggregator {
+  final case class Buf(sum: Array[Double], var n: Long)
+}

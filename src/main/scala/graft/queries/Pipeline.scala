@@ -202,6 +202,37 @@ object Pipeline {
     },
 
     QuerySpec(
+      "agg_vector_centroid",
+      // Typed Aggregator (functions/VectorMeanAggregator.scala): per-bucket
+      // embedding centroid — the k-means/IVF update step as a first-class
+      // mergeable aggregate (partials combine map-side like any built-in).
+      // Output reduced to scalars (norm + first dim), round-6 both sides:
+      // double addition order differs across partitions.
+      """WITH flat AS (
+        |  SELECT vec_id % 8 AS bucket, u.x AS x, u.i AS i
+        |  FROM embeddings, LATERAL (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS i) u
+        |), means AS (SELECT bucket, i, avg(x) AS m FROM flat GROUP BY bucket, i),
+        |counts AS (SELECT vec_id % 8 AS bucket, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT m.bucket, CAST(round(sqrt(sum(m*m)), 6) AS DOUBLE) AS centroid_norm,
+        |  CAST(round(max(CASE WHEN i = 1 THEN m END), 6) AS DOUBLE) AS dim1_mean,
+        |  any_value(c.n) AS n
+        |FROM means m JOIN counts c ON m.bucket = c.bucket
+        |GROUP BY m.bucket ORDER BY m.bucket""".stripMargin) { (s, dir) =>
+      val vm = udaf(new VectorMeanAggregator(64),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      t(s, dir, "embeddings")
+        .groupBy((col("vec_id") % 8).as("bucket"))
+        .agg(vm(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+        .select(col("bucket"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x)), 6)
+            .as("centroid_norm"),
+          round(element_at(col("centroid"), 1), 6).as("dim1_mean"),
+          col("n"))
+        .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
       "text_decontaminate",
       // Benchmark decontamination — a core training-data op: flag docs
       // containing any banned phrase and emit the redacted text (md5'd:

@@ -170,6 +170,21 @@ class OperatorSpec extends SparkSuite {
       .filter($"count" > 4).count() == 0)
   }
 
+  test("VectorMeanAggregator computes exact centroids") {
+    val vm = org.apache.spark.sql.functions.udaf(
+      new VectorMeanAggregator(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (0L, Array(3.0f, 2.0f, 1.0f)),
+      (1L, Array(10.0f, 0.0f, 0.0f)))
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(vm($"v").as("c")).orderBy($"g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(got(0)._2 == Seq(2.0, 2.0, 2.0), s"centroid 0: ${got(0)._2}")
+    assert(got(1)._2 == Seq(10.0, 0.0, 0.0), s"centroid 1: ${got(1)._2}")
+  }
+
   test("bucketed range join equals the nested-loop formulation") {
     val points = Tables.load(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_totalprice")
