@@ -233,6 +233,35 @@ object Superset {
     },
 
     QuerySpec(
+      "set_except_all",
+      // Multiset EXCEPT ALL — duplicate-preserving difference, beyond both
+      // the reference (no INTERSECT/EXCEPT at all, §2.7) and its distinct
+      // variants already covered by set_except.
+      """SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 = 0
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 = 1
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 7 === 0).select(col("l_suppkey"))
+        .exceptAll(
+          li.filter(col("l_orderkey") % 7 === 1).select(col("l_suppkey")))
+        .orderBy(col("l_suppkey"))
+    },
+
+    QuerySpec(
+      "set_intersect_all",
+      """SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 = 0
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_orderkey % 7 = 1
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 7 === 0).select(col("l_suppkey"))
+        .intersectAll(
+          li.filter(col("l_orderkey") % 7 === 1).select(col("l_suppkey")))
+        .orderBy(col("l_suppkey"))
+    },
+
+    QuerySpec(
       "expr_arrayfuncs",
       // Array function battery (sort/distinct/slice/contains/join) — the
       // reference is flat-column-only (§1.2). Sort-before-slice keeps the

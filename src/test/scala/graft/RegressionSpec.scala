@@ -108,6 +108,19 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs with differing signatures")
   }
 
+  test("dedup paths silently exclude NULL-text documents") {
+    // minhash_text(NULL) is NULL; the sentinel filter's NULL comparison is
+    // three-valued-false, so NULL-text docs drop out of banding entirely
+    // instead of crashing or colliding
+    val docs = Seq((1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, None), (3L, Some("the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5).collect()
+    Dedup.releaseCaches()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L &&
+      pairs.head.getLong(1) == 3L, s"got: ${pairs.mkString(";")}")
+  }
+
   test("fused normalize_text is byte-identical to the regex formulation") {
     val docs = Tables.load(spark, sfDir, "documents").limit(300)
       .select($"doc_id", $"text")
