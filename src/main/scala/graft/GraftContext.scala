@@ -126,6 +126,35 @@ class GraftContext(val spark: SparkSession) {
     if (n > 0) df.repartition(n, cols: _*) else df.repartition(cols: _*)
   }
 
+  // ---- engine configuration (BlazingContext(config_options={...})) -------
+
+  /** Apply engine options at runtime. Accepts Spark conf keys directly,
+    * plus the reference's config_options names translated to the Spark
+    * conf that governs the same concern:
+    *
+    *  - `MAX_JOIN_SCATTER_MEM_OVERHEAD` (scatter-small-table byte cap,
+    *    context.py:1336-1347) → `spark.sql.autoBroadcastJoinThreshold`
+    *  - `MAX_ORDER_BY_SAMPLES_PER_NODE` (range-sort sampling,
+    *    context.py:1348-1367) →
+    *    `spark.sql.execution.rangeExchange.sampleSizePerPartition`
+    *  - `MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE` (scan batch concat cap,
+    *    context.py:1360-1363) → `spark.sql.files.maxPartitionBytes`
+    *  - `TABLE_SCAN_KERNEL_NUM_THREADS` / `EXECUTOR_THREADS`
+    *    (context.py:1415-1422) → `spark.sql.shuffle.partitions` (the
+    *    per-stage parallelism Spark actually tunes at runtime)
+    *
+    * Unknown reference-style keys (ALL_CAPS) raise — silent acceptance
+    * would hide a no-op config.
+    */
+  def configure(options: Map[String, String]): Unit = options.foreach {
+    case (k, v) =>
+      val sparkKey = GraftContext.configKeyMap.getOrElse(k,
+        if (k.nonEmpty && k == k.toUpperCase && !k.contains("."))
+          throw new IllegalArgumentException(s"unknown engine config option: $k")
+        else k)
+      spark.conf.set(sparkKey, v)
+  }
+
   // ---- query log (context.py:3346-3608 bc.log over bsql_logs) ------------
 
   private val logRows = ArrayBuffer.empty[LogRow]
@@ -219,6 +248,15 @@ object GraftContext {
   final case class LogRow(logId: Long, logTime: java.sql.Timestamp,
       rootOp: String, planHead: String, durationMs: Double,
       success: Boolean, error: String)
+
+  /** Reference config_options → Spark conf (see [[GraftContext.configure]]). */
+  val configKeyMap: Map[String, String] = Map(
+    "MAX_JOIN_SCATTER_MEM_OVERHEAD" -> "spark.sql.autoBroadcastJoinThreshold",
+    "MAX_ORDER_BY_SAMPLES_PER_NODE" ->
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+    "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE" -> "spark.sql.files.maxPartitionBytes",
+    "TABLE_SCAN_KERNEL_NUM_THREADS" -> "spark.sql.shuffle.partitions",
+    "EXECUTOR_THREADS" -> "spark.sql.shuffle.partitions")
 
   private def inferFormat(path: String): String = {
     val p = path.toLowerCase

@@ -302,6 +302,23 @@ object Superset {
     },
 
     QuerySpec(
+      "explode_pos",
+      // Generator WITH ORDINALITY (posexplode) — position-aware UNNEST the
+      // flat-column reference can't express; DuckDB replays it by zipping
+      // a parallel generate_series unnest.
+      """SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (
+        |  SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS pos, unnest(tk) AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents WHERE doc_id < 50) x) y
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(graft.functions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    QuerySpec(
       "explode_tokens",
       // Generator/UNNEST path — flat-column-only in the reference (§1.2).
       """SELECT tok, count(*) AS n FROM (

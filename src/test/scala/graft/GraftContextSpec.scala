@@ -76,6 +76,20 @@ class GraftContextSpec extends SparkSuite {
     assert(r.getInt(1) == 16)
   }
 
+  test("configure translates reference config keys to Spark confs") {
+    val ctx = GraftContext(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      ctx.configure(Map("MAX_JOIN_SCATTER_MEM_OVERHEAD" -> "12345678"))
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "12345678")
+      ctx.configure(Map("spark.sql.autoBroadcastJoinThreshold" -> "23456789"))
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "23456789")
+      intercept[IllegalArgumentException] {
+        ctx.configure(Map("NOT_A_REAL_ENGINE_OPTION" -> "1"))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("query log records materialized queries, queryable via log()") {
     val ctx = GraftContext(spark)
     ctx.createTable("gc_log_nation", s"$sfDir/nation.parquet")
