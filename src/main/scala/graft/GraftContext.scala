@@ -146,50 +146,26 @@ class GraftContext(val spark: SparkSession) {
     * Unknown reference-style keys (ALL_CAPS) raise — silent acceptance
     * would hide a no-op config.
     */
-  def configure(options: Map[String, String]): Unit = options.foreach {
-    case (k, v) =>
+  def configure(options: Map[String, String]): Unit = {
+    // resolve (and validate) every key BEFORE mutating the session, so a
+    // typo partway through can't leave it half-configured
+    val resolved = options.map { case (k, v) =>
       val sparkKey = GraftContext.configKeyMap.getOrElse(k,
         if (k.nonEmpty && k == k.toUpperCase && !k.contains("."))
           throw new IllegalArgumentException(s"unknown engine config option: $k")
         else k)
-      spark.conf.set(sparkKey, v)
+      sparkKey -> v
+    }
+    resolved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   // ---- query log (context.py:3346-3608 bc.log over bsql_logs) ------------
 
-  private val logRows = ArrayBuffer.empty[LogRow]
-  private val nextLogId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val peakUsed = TrieMap.empty[String, Long]
-
-  // Listener-driven like the reference's engine log table: every
-  // materialized query (count/collect/write) appends one row. Also samples
-  // executor memory at completion for maxMemoryUsed() — the reference
-  // likewise reports memory per finished query, not continuously.
-  private val logListener = new QueryExecutionListener {
-    private def append(qe: QueryExecution, durationNs: Long, err: Option[String]): Unit = {
-      val row = LogRow(nextLogId.getAndIncrement(),
-        new java.sql.Timestamp(System.currentTimeMillis()),
-        qe.optimizedPlan.nodeName,
-        qe.logical.treeString.linesIterator.take(1).mkString.take(500),
-        durationNs / 1e6, err.isEmpty, err.getOrElse(""))
-      logRows.synchronized { logRows += row }
-      sampleMemory()
-    }
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      append(qe, durationNs, None)
-    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-      append(qe, 0L, Some(String.valueOf(exception.getMessage).take(500)))
-  }
-  spark.listenerManager.register(logListener)
-
-  private def sampleMemory(): Unit =
-    spark.sparkContext.getExecutorMemoryStatus.foreach { case (exec, (maxMem, remaining)) =>
-      val used = maxMem - remaining
-      peakUsed.updateWith(exec) {
-        case Some(prev) if prev >= used => Some(prev)
-        case _ => Some(used)
-      }
-    }
+  // One shared log per SESSION (like the engine-global bsql_logs): the
+  // listener registers on first GraftContext for a session and every later
+  // context reads the same state — constructing N contexts must not stack
+  // N listeners (each re-logging every query) on the shared session.
+  private val logState = GraftContext.logStateFor(spark)
 
   /** The engine log as a queryable table (the reference's
     * `bc.log("SELECT * FROM bsql_logs")`). Refreshes the `graft_logs`
@@ -197,7 +173,7 @@ class GraftContext(val spark: SparkSession) {
     */
   def log(query: String = "SELECT * FROM graft_logs ORDER BY log_id"): DataFrame = {
     import spark.implicits._
-    val snapshot = logRows.synchronized { logRows.toSeq }
+    val snapshot = logState.rows.synchronized { logState.rows.toSeq }
     spark.createDataset(snapshot)
       .toDF("log_id", "log_time", "root_op", "plan_head", "duration_ms",
         "success", "error")
@@ -217,8 +193,8 @@ class GraftContext(val spark: SparkSession) {
   /** Peak storage memory used per executor, sampled at each query
     * completion — the reference's get_max_memory_used(). */
   def getMaxMemoryUsed(): Map[String, Long] = {
-    sampleMemory()
-    peakUsed.toMap
+    logState.sampleMemory()
+    logState.peakUsed.toMap
   }
 
   // ---- filesystem registration (context.py:1695-1827) --------------------
@@ -248,6 +224,57 @@ object GraftContext {
   final case class LogRow(logId: Long, logTime: java.sql.Timestamp,
       rootOp: String, planHead: String, durationMs: Double,
       success: Boolean, error: String)
+
+  /** Per-session query-log state: rows, id counter, memory peaks, and the
+    * single listener feeding them. Weak session keys so sessions can GC.
+    */
+  final class LogState(spark: SparkSession) {
+    val rows = ArrayBuffer.empty[LogRow]
+    val nextLogId = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakUsed = TrieMap.empty[String, Long]
+
+    // weak: this object is a WeakHashMap VALUE keyed by the session — a
+    // strong session field would pin the key and defeat the weak map
+    private val sparkRef = new java.lang.ref.WeakReference(spark)
+
+    def sampleMemory(): Unit = {
+      val s = sparkRef.get()
+      if (s != null) s.sparkContext.getExecutorMemoryStatus.foreach {
+        case (exec, (maxMem, remaining)) =>
+          val used = maxMem - remaining
+          peakUsed.updateWith(exec) {
+            case Some(prev) if prev >= used => Some(prev)
+            case _ => Some(used)
+          }
+      }
+    }
+
+    spark.listenerManager.register(new QueryExecutionListener {
+      private def append(qe: QueryExecution, durationNs: Long, err: Option[String]): Unit = {
+        val row = LogRow(nextLogId.getAndIncrement(),
+          new java.sql.Timestamp(System.currentTimeMillis()),
+          qe.optimizedPlan.nodeName,
+          qe.logical.treeString.linesIterator.take(1).mkString.take(500),
+          durationNs / 1e6, err.isEmpty, err.getOrElse(""))
+        rows.synchronized { rows += row }
+        sampleMemory()
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        append(qe, durationNs, None)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        append(qe, 0L, Some(String.valueOf(exception.getMessage).take(500)))
+    })
+  }
+
+  private val logStates = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, LogState]())
+
+  private[graft] def logStateFor(spark: SparkSession): LogState =
+    logStates.synchronized {
+      var st = logStates.get(spark)
+      if (st == null) { st = new LogState(spark); logStates.put(spark, st) }
+      st
+    }
 
   /** Reference config_options → Spark conf (see [[GraftContext.configure]]). */
   val configKeyMap: Map[String, String] = Map(

@@ -21,12 +21,29 @@ object Tables {
   // driver-side parquet footer reads per load, and the SQL battery calls
   // registerAll (10 tables) per query — ~0.5 s/query of pure overhead.
   // A DataFrame is an immutable logical plan, so reuse per (session, path)
-  // is safe; keyed on the session identity because plans can't cross
-  // sessions.
-  private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[Int, String]
+  // is safe. Weak session keys: a plan strongly references its session,
+  // so a strong key would pin every session ever seen for the JVM
+  // lifetime. Caveat: the cached plan holds the file listing resolved at
+  // first load — call [[invalidateCache]] after rewriting files under a
+  // cached path in the same JVM.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  private def sessionCache(spark: SparkSession) = {
+    var m = planCache.get(spark)
+    if (m == null) planCache.synchronized {
+      m = planCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        planCache.put(spark, m)
+      }
+    }
+    m
+  }
+
+  /** Drop cached plans for a session (e.g. after rewriting fixture files). */
+  def invalidateCache(spark: SparkSession): Unit = planCache.remove(spark)
 
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * scan automatically because callers compose on the returned DataFrame.
@@ -41,7 +58,7 @@ object Tables {
     * driver; the scan itself stays vectorized.
     */
   def readParquet(spark: SparkSession, p: String): DataFrame =
-    planCache.getOrElseUpdate((System.identityHashCode(spark), p), {
+    sessionCache(spark).getOrElseUpdate(p, {
       val nsCols = nanoTimestampColumns(spark, p)
       if (nsCols.isEmpty) spark.read.parquet(p)
       else {
@@ -82,14 +99,11 @@ object Tables {
   }
 
   /** Register every fixture table as a temp view (for the SQL surface).
-    * Idempotent per (session, dir): re-registration is skipped until the
-    * dir changes (tests and the driver mains each pin one dir at a time).
+    * Always (re)registers: a caller may have dropped or shadowed a fixture
+    * view since the last call, and with the plans cached the registration
+    * itself is just ten catalog-map updates — the expensive part
+    * (footer reads) doesn't repeat.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val sid = System.identityHashCode(spark)
-    if (!registered.get(sid).contains(dir)) {
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(sid, dir)
-    }
-  }
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -21,9 +21,12 @@ class VectorMeanAggregator(dim: Int)
 
   override def reduce(b: Buf, v: Array[Float]): Buf = {
     if (v != null) {
-      val n = math.min(dim, v.length)
+      // fail fast: silently counting a short vector would average its
+      // missing dimensions as zeros and deflate the centroid
+      require(v.length == dim,
+        s"expected $dim-dimensional vector, got ${v.length}")
       var i = 0
-      while (i < n) { b.sum(i) += v(i); i += 1 }
+      while (i < dim) { b.sum(i) += v(i); i += 1 }
       b.n += 1
     }
     b

@@ -63,8 +63,16 @@ object Dedup {
     * and going quadratic in the short-doc count. A real first minimum
     * equals MaxValue with probability 2^-64 — acceptable to treat as empty.
     */
-  private def hasShingles(sig: Column): Column =
+  private[graft] def hasShingles(sig: Column): Column =
     element_at(sig, 1) =!= lit(Long.MaxValue)
+
+  /** (band, band-hash) pairs of a signature, exploded one row per band —
+    * shared by the batch candidate join and the streaming bucket keyer so
+    * the banding scheme cannot drift between the two.
+    */
+  private[graft] def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"), hash(slice(sig, b * r + 1, lit(r))).as("bh"))))
 
   /** Near-duplicate pairs via MinHash + banded LSH.
     *
@@ -115,10 +123,7 @@ object Dedup {
     * already makes the join single-shuffle over the banded rows.)
     */
   private def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
-    val banded = sigs.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
-          .as("bk"))
+    val banded = sigs.select(col("id"), bandKeys(col("sig"), bands, r).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),

@@ -27,20 +27,31 @@ object RangeJoin {
     * `points(pointCol)` lies in `[intervals(startCol), intervals(endCol)]`.
     * Column sets of the two sides must be disjoint. Numeric columns;
     * cast timestamps to epoch seconds first.
+    *
+    * An interval spanning more than `maxBucketsPerInterval` buckets fails
+    * the job FAST with the offending span in the message — one corrupt
+    * 1e9-wide interval would otherwise try to materialize a giant
+    * sequence() array deep inside a task with no hint which row did it.
+    * Raise the cap (or pre-filter) for legitimately wide intervals.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column sets must be disjoint, both have: $overlap")
 
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
+    val lo = floor(col(startCol) / bucketWidth).cast("long")
+    val hi = floor(col(endCol) / bucketWidth).cast("long")
+    val span = hi - lo + 1
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+      explode(when(span <= maxBucketsPerInterval, sequence(lo, hi))
+        .otherwise(raise_error(concat(
+          lit(s"range join interval spans too many buckets (cap $maxBucketsPerInterval, got "),
+          span.cast("string"),
+          lit(s"): widen bucketWidth=$bucketWidth or pre-filter the interval"))))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")

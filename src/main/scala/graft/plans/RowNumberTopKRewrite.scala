@@ -28,12 +28,14 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
     * IsNotNull(rn) (the optimizer infers those; row_number is never null).
     */
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = {
-    def bound(e: Expression): Option[Int] = e match {
-      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k)
-      case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k - 1)
-      case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn.exprId => Some(1)
-      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k)
-      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k - 1)
+    // compute in Long: `rn < Int.MinValue` must stay an (unrewritten)
+    // always-false filter, not wrap around to a top-Int.MaxValue rewrite
+    def bound(e: Expression): Option[Long] = e match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k.toLong)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rn.exprId => Some(k.toLong - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(1)) if a.exprId == rn.exprId => Some(1L)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k.toLong)
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.exprId == rn.exprId => Some(k.toLong - 1)
       case _ => None
     }
     val conjuncts = {
@@ -48,7 +50,8 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     rest match {
-      case Seq(only) => bound(only)
+      case Seq(only) =>
+        bound(only).collect { case k if k >= 1 && k <= Int.MaxValue => k.toInt }
       case _ => None
     }
   }

@@ -37,14 +37,13 @@ object DedupStreams {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
 
+    // sentinel filter + banding shared with the batch path
+    // (Dedup.hasShingles / Dedup.bandKeys), so the two cannot drift
     val sigs = docs.select(col(idCol).as("doc_id"),
         minhash_text(col(textCol), shingle, k, seed).as("sig"))
-      // zero-shingle docs share the sentinel signature; see Dedup
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .filter(graft.operators.Dedup.hasShingles(col("sig")))
     val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
-          .as("bk"))
+        graft.operators.Dedup.bandKeys(col("sig"), bands, r).as("bk"))
       // one long key: band in the high bits, band-hash (int) in the low
       .select(
         (col("bk.band").cast("long") * lit(4294967296L) +

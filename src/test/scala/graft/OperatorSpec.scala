@@ -183,6 +183,11 @@ class OperatorSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     assert(got(0)._2 == Seq(2.0, 2.0, 2.0), s"centroid 0: ${got(0)._2}")
     assert(got(1)._2 == Seq(10.0, 0.0, 0.0), s"centroid 1: ${got(1)._2}")
+    // ragged input must fail fast, not deflate the mean with zeros
+    val bad = Seq((0L, Array(1.0f))).toDF("g", "v")
+    intercept[Exception] {
+      bad.groupBy($"g").agg(vm($"v").as("c")).collect()
+    }
   }
 
   test("bucketed range join equals the nested-loop formulation") {

@@ -90,6 +90,19 @@ class PlansSpec extends SparkSuite {
       "rewritten result differs from the window formulation")
   }
 
+  test("rewrite is overflow-safe: rn < Int.MinValue stays an empty filter") {
+    Tables.registerAll(spark, sfDir)
+    // k - 1 on Int.MinValue would wrap to Int.MaxValue and rewrite an
+    // always-false predicate into a top-2-billion query
+    val df = spark.sql(
+      s"""SELECT o_orderkey FROM (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice) AS rn
+         |  FROM orders) WHERE rn < ${Int.MinValue}""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "overflowed bound must not fire the rewrite")
+    assert(df.count() == 0)
+  }
+
   test("topKPerGroup handles k larger than any group") {
     val nation = Tables.load(spark, sfDir, "nation")
     val got = TopKPerGroup(nation, Seq("n_regionkey"),
