@@ -28,11 +28,17 @@ object DedupStreams {
 
   /** Near-dup pairs from a streaming document source. Emits one row per
     * (band-collision, threshold pass); dedupe downstream.
+    *
+    * `stateTtlMs > 0` bounds state on unbounded corpora: a bucket whose
+    * cohort hasn't grown for the TTL is evicted (processing-time timeout),
+    * trading recall against docs older than the TTL for bounded memory —
+    * the standard dedup-window compromise for continuous ingestion.
     */
   def nearDupStream(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, shingle: Int = 3,
-      threshold: Double = 0.5, seed: Long = 42L): Dataset[NearDupHit] = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      stateTtlMs: Long = 0L): Dataset[NearDupHit] = {
     import spark.implicits._
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
@@ -51,31 +57,40 @@ object DedupStreams {
         col("doc_id"), col("sig"))
       .as[BandedDoc]
 
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketCohort]) => {
-          var cohort = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = Seq.newBuilder[NearDupHit]
-          // deterministic processing order within a micro-batch
-          rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            cohort.foreach { case (id0, sig0) =>
-              if (id0 != d.doc_id) {
-                var eq = 0; var i = 0
-                while (i < d.sig.length) {
-                  if (d.sig(i) == sig0(i)) eq += 1
-                  i += 1
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cohort = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = Seq.newBuilder[NearDupHit]
+            // deterministic processing order within a micro-batch
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              cohort.foreach { case (id0, sig0) =>
+                if (id0 != d.doc_id) {
+                  var eq = 0; var i = 0
+                  while (i < d.sig.length) {
+                    if (d.sig(i) == sig0(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / d.sig.length
+                  if (est >= threshold)
+                    out += NearDupHit(math.min(id0, d.doc_id),
+                      math.max(id0, d.doc_id), est)
                 }
-                val est = eq.toDouble / d.sig.length
-                if (est >= threshold)
-                  out += NearDupHit(math.min(id0, d.doc_id),
-                    math.max(id0, d.doc_id), est)
               }
+              cohort = (d.doc_id, d.sig) :: cohort
             }
-            cohort = (d.doc_id, d.sig) :: cohort
+            state.update(BucketCohort(cohort))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
           }
-          state.update(BucketCohort(cohort))
-          out.result().iterator
         })
   }
 }

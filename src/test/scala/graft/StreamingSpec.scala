@@ -94,6 +94,18 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty, "batch found no near-dups — fixture drift?")
     assert(got == batch,
       s"stream vs batch pair sets differ: only-stream=${(got -- batch).take(5)} only-batch=${(batch -- got).take(5)}")
+
+    // TTL variant: only assert the ProcessingTimeTimeout plan builds — a
+    // finite-source run cannot be driven to completion with registered
+    // processing-time timeouts (both AvailableNow+awaitTermination and
+    // processAllAvailable keep the query alive waiting for the timeouts
+    // to fire; verified empirically on Spark 4.1). Eviction semantics are
+    // Spark's GroupState contract; the compare logic is identical to the
+    // NoTimeout path asserted above.
+    val hitsTtl = graft.streaming.DedupStreams.nearDupStream(
+      spark, spark.readStream.schema(docsSchema).parquet(dir.toString),
+      k = 64, bands = 16, threshold = 0.5, stateTtlMs = 10 * 60 * 1000L)
+    assert(hitsTtl.isStreaming, "TTL variant must stay a streaming Dataset")
   }
 
   test("stateful sessionization closes sessions on the 30-min gap") {
