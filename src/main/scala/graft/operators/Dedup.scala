@@ -237,26 +237,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hyperplane count for [[embeddingPairs]] sized so the EXPECTED bucket
+    * population is ≤ `targetBucketSize`: planes = ⌈log₂(n/target)⌉,
+    * clamped to [4, 30]. The within-bucket join is O(Σ bucketᵢ²), so a
+    * FIXED plane count degenerates toward all-pairs as the corpus grows
+    * (2⁸ buckets over 10⁹ vectors ⇒ ~4M rows/bucket); deriving planes
+    * from n keeps per-bucket work constant at any scale.
+    */
+  def derivePlanes(n: Long, targetBucketSize: Long): Int = {
+    require(targetBucketSize > 0, s"targetBucketSize must be > 0: $targetBucketSize")
+    val p = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(30, math.max(4, p))
+  }
+
   /** Near-duplicate embedding pairs: random-hyperplane LSH buckets (sign
     * bits of `planes` pseudo-random projections) generate candidates;
     * exact cosine verifies. Two independent plane sets improve recall.
+    *
+    * `planes <= 0` (the default) derives the count from the corpus size
+    * via [[derivePlanes]] so bucket occupancy — and therefore the
+    * quadratic within-bucket verify — stays bounded at any scale. Pass an
+    * explicit `planes` only for recall tuning at a known corpus size.
     */
   def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", dim: Int = 64, planes: Int = 8,
-      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
-    def bucket(seedOffset: Long): Column = {
-      val rng = new scala.util.Random(seed + seedOffset)
-      val bits = (0 until planes).map { p =>
-        val plane = Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
-        (cosine_similarity(col(vecCol), typedlit(plane)) > 0).cast("long") * (1L << p)
-      }
-      bits.reduce(_ + _)
-    }
-    val tagged = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(
-        struct(lit(0).as("probe"), bucket(0).as("bkt")),
-        struct(lit(1).as("probe"), bucket(1000).as("bkt")))).as("pb"))
-      .select(col("id"), col("v"), col("pb.probe").as("probe"), col("pb.bkt").as("bkt"))
+      idCol: String = "vec_id", dim: Int = 64, planes: Int = 0,
+      threshold: Double = 0.95, seed: Long = 42L,
+      targetBucketSize: Long = 1024L): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes else derivePlanes(embs.count(), targetBucketSize)
+    val tagged = hyperplaneBuckets(embs, vecCol, idCol, dim, nPlanes, seed)
     val left = tagged.select(col("probe"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val right = tagged.select(col("probe"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
     left.join(right, Seq("probe", "bkt"))
@@ -265,5 +275,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** (id, v, probe, bkt) rows — each vector tagged with its sign-bit
+    * bucket under two independent hyperplane sets. Exposed for occupancy
+    * tests; [[embeddingPairs]] self-joins this on (probe, bkt).
+    */
+  private[graft] def hyperplaneBuckets(embs: DataFrame, vecCol: String,
+      idCol: String, dim: Int, nPlanes: Int, seed: Long): DataFrame = {
+    def bucket(seedOffset: Long): Column = {
+      val rng = new scala.util.Random(seed + seedOffset)
+      val bits = (0 until nPlanes).map { p =>
+        val plane = Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)
+        (cosine_similarity(col(vecCol), typedlit(plane)) > 0).cast("long") * (1L << p)
+      }
+      bits.reduce(_ + _)
+    }
+    embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(
+        struct(lit(0).as("probe"), bucket(0).as("bkt")),
+        struct(lit(1).as("probe"), bucket(1000).as("bkt")))).as("pb"))
+      .select(col("id"), col("v"), col("pb.probe").as("probe"), col("pb.bkt").as("bkt"))
   }
 }

@@ -14,7 +14,8 @@ import graft.functions._
   *  - IVF: a coarse quantizer (nlist centroids, broadcast) splits the
   *    corpus by nearest centroid; queries probe their nprobe closest
   *    centroids, so the fine search touches nprobe/nlist of the data.
-  *    The corpus assignment is computed map-side (broadcast join + argmax);
+  *    The corpus assignment is computed map-side (collected centroid
+  *    literal + argmax inside the projection — no shuffle, no join);
   *    the fine search joins on centroid id — a standard shuffle join keyed
   *    by a low-cardinality but evenly-populated key.
   */
@@ -55,18 +56,45 @@ object Similarity {
         col(vecCol).as("centroid_vec"))
   }
 
-  /** Assign each vector to its nearest centroid (map-side: broadcast+argmax). */
+  /** Assign each vector to its `top` nearest centroids.
+    *
+    * `top == 1` (the corpus side — the bulk of the data) is a pure
+    * map-side argmax: the ≤nlist centroids are collected (tiny by
+    * definition of a coarse quantizer) and inlined as an array-of-structs
+    * literal, and `array_max(struct(cos, -centroid_id))` picks the winner
+    * in the projection — ZERO shuffle, the corpus never moves. Ties break
+    * to the smallest centroid_id (hence the negated id in the struct),
+    * matching the window formulation exactly.
+    *
+    * `top > 1` (the query side — small by construction) keeps the
+    * row_number window: a shuffle of |queries|×nlist rows is negligible.
+    */
   def assign(vectors: DataFrame, cents: DataFrame,
       vecCol: String, idCol: String, outPrefix: String, top: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
-    vectors.join(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"),
-        cosine_similarity(col(vecCol), col("centroid_vec")).as("ccos"))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= top)
-      .select(col(idCol).as(s"${outPrefix}_id"), col(vecCol).as(s"${outPrefix}_vec"),
-        col("centroid_id"))
+    if (top == 1) {
+      val centRows = cents.select(col("centroid_id"), col("centroid_vec")).collect()
+      require(centRows.nonEmpty, "assign: empty centroid set")
+      val scored = centRows.map { r =>
+        val cid = r.getLong(0)
+        val vec = r.getSeq[Float](1).toArray
+        struct(cosine_similarity(col(vecCol), typedlit(vec)).as("ccos"),
+          lit(-cid).as("neg_cid"))
+      }
+      val best = array_max(array(scored.toIndexedSeq: _*))
+      vectors.select(col(idCol).as(s"${outPrefix}_id"),
+        col(vecCol).as(s"${outPrefix}_vec"),
+        (-best.getField("neg_cid")).as("centroid_id"))
+    } else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
+      vectors.join(broadcast(cents))
+        .select(col(idCol), col(vecCol),
+          col("centroid_id"),
+          cosine_similarity(col(vecCol), col("centroid_vec")).as("ccos"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= top)
+        .select(col(idCol).as(s"${outPrefix}_id"), col(vecCol).as(s"${outPrefix}_vec"),
+          col("centroid_id"))
+    }
   }
 
   /** IVF-style ANN top-k: probe `nprobe` of `nlist` coarse cells. */

@@ -107,6 +107,51 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("derivePlanes scales with corpus size and clamps to [4, 30]") {
+    assert(Dedup.derivePlanes(500, 16) == 5)      // ceil(log2(31.25))
+    assert(Dedup.derivePlanes(5000, 16) == 9)     // 10× data → +~3.3 bits
+    assert(Dedup.derivePlanes(1, 1024) == 4)      // tiny corpus → floor
+    assert(Dedup.derivePlanes(Long.MaxValue, 1) == 30) // ceiling
+    // invariant: expected bucket population n / 2^planes ≤ target
+    // (above the clamp floor)
+    for (n <- Seq(10000L, 1000000L, 100000000L); t <- Seq(64L, 1024L)) {
+      val p = Dedup.derivePlanes(n, t)
+      assert(n.toDouble / math.pow(2, p) <= t, s"n=$n target=$t planes=$p")
+    }
+    intercept[IllegalArgumentException] { Dedup.derivePlanes(100, 0) }
+  }
+
+  test("auto-derived planes keep bucket occupancy bounded on a 10x corpus") {
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = base.count()
+    // 10 deterministic per-dimension perturbed copies — scaling a vector
+    // uniformly would not move its sign-bit bucket, so perturb per-dim
+    val big = base.crossJoin(spark.range(10).toDF("copy"))
+      .select(($"vec_id" * 10 + $"copy").as("vec_id"),
+        zip_with($"embedding",
+          transform(sequence(lit(1), lit(64)), i => sin(($"copy" + 1) * i)),
+          (x, s) => x + s * lit(0.5)).cast("array<float>").as("embedding"))
+    val target = 16L
+    def maxOccupancy(df: org.apache.spark.sql.DataFrame, planes: Int): Long =
+      Dedup.hyperplaneBuckets(df, "embedding", "vec_id", 64, planes, 42L)
+        .groupBy($"probe", $"bkt").count()
+        .agg(max($"count")).collect()(0).getLong(0)
+    val autoPlanes = Dedup.derivePlanes(n * 10, target)
+    val fixedPlanes = Dedup.derivePlanes(n, target)
+    val autoMax = maxOccupancy(big, autoPlanes)
+    val fixedMax = maxOccupancy(big, fixedPlanes)
+    // auto sizing must hold the worst bucket well below the stale fixed
+    // plane count's worst bucket. Real embeddings cluster, so sign-bit
+    // buckets are skewed: the worst bucket runs a small multiple of the
+    // EXPECTED population, not equal to it — bound it loosely in absolute
+    // terms and tightly relative to the stale fixed-plane alternative.
+    assert(autoMax * 2 <= fixedMax,
+      s"auto=$autoMax (planes=$autoPlanes) vs fixed=$fixedMax (planes=$fixedPlanes)")
+    assert(autoMax <= target * 64,
+      s"worst bucket $autoMax exceeds ${target * 64} (planes=$autoPlanes)")
+  }
+
   test("langId picks en for english-looking text and zh for CJK") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),

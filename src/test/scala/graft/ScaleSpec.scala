@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.SkewJoin
+import graft.operators.{Similarity, SkewJoin}
 
 /** Scale-mechanics specs: salted skew joins, approximate aggregates,
   * bucketed co-located joins (SURVEY §4.2's shuffle-avoidance strategies).
@@ -33,6 +33,32 @@ class ScaleSpec extends SparkSuite {
     val plan = SparkEntry.queries("sort_limit_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$plan")
+  }
+
+  test("IVF corpus centroid assignment is map-side: no exchange, no window") {
+    // The corpus side (top=1) must be a pure projection over the scan —
+    // an argmax over the inlined centroid literals. A row_number window
+    // here would shuffle the whole corpus (vectors in the payload) by id.
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.centroids(embs, nlist = 8)
+    val plan = Similarity.assign(embs, cents, "embedding", "vec_id", "c", top = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"corpus assignment uses a window:\n$plan")
+    // and it must agree with the row_number-window formulation exactly
+    val viaArgmax = Similarity.assign(embs, cents, "embedding", "vec_id", "c", top = 1)
+      .select(col("c_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val viaWindow = embs.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.cosine_similarity(col("embedding"), col("centroid_vec")).as("ccos"))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaArgmax == viaWindow,
+      s"argmax and window assignments diverge on ${
+        viaArgmax.count { case (k, v) => viaWindow.get(k) != Some(v) }} ids")
   }
 
   test("saltedEquiJoin equals plain join on a skewed key") {
