@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 import scala.collection.concurrent.TrieMap
-import scala.collection.mutable.ArrayBuffer
+import scala.collection.mutable.ArrayDeque
 import scala.concurrent.{ExecutionContext, Future}
 
 /** User-facing context with the reference's `BlazingContext` surface
@@ -22,6 +22,7 @@ class GraftContext(val spark: SparkSession) {
   import GraftContext._
 
   private val catalog = TrieMap.empty[String, TableEntry]
+  private val tokenIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   graft.functions.registerSql(spark)
 
@@ -85,10 +86,12 @@ class GraftContext(val spark: SparkSession) {
   }
 
   def dropTable(name: String): Unit = {
-    val wasBucketed = catalog.get(name).exists(_.format == "bucketed-parquet")
     catalog.remove(name)
-    if (wasBucketed) spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    else spark.catalog.dropTempView(name)
+    // The instance map can be stale (a second context on the same session
+    // never saw the createBucketedTable) — consult the SESSION's state:
+    // drop the temp view if one exists, else fall through to the catalog
+    // table that saveAsTable created.
+    if (!spark.catalog.dropTempView(name)) spark.sql(s"DROP TABLE IF EXISTS `$name`")
   }
 
   def listTables(): Seq[String] = catalog.keys.toSeq.sorted
@@ -111,6 +114,71 @@ class GraftContext(val spark: SparkSession) {
     * status/fetch (context.py:3071-3344). */
   def sqlAsync(query: String)(implicit ec: ExecutionContext): Future[DataFrame] =
     Future(spark.sql(query))
+
+  // ---- token polling surface (context.py:3071-3344) ----------------------
+  // The reference's sql(..., return_token=True) returns a token the client
+  // polls with status(token) and redeems with fetch(token); here each token
+  // owns a Spark JOB GROUP so cancel(token) maps onto
+  // SparkContext.cancelJobGroup — killing the running stages, not just
+  // abandoning a Future.
+
+  private val tokens = TrieMap.empty[Long, TokenState]
+
+  /** Submit `query` for background execution; returns a token for
+    * [[tokenStatus]]/[[fetch]]/[[cancel]]. The result is materialized to
+    * the driver on completion (the reference's fetch returns a client-side
+    * DataFrame — same contract; keep LIMIT in the query for big results).
+    */
+  def sqlToken(query: String): Long = {
+    val id = tokenIds.getAndIncrement()
+    val st = new TokenState(s"graft-token-$id")
+    tokens.put(id, st)
+    val worker = new Thread(() => {
+      // job group is thread-local: set it in the thread that runs the jobs
+      spark.sparkContext.setJobGroup(st.group, s"graft sqlToken $id",
+        interruptOnCancel = true)
+      try {
+        val df = spark.sql(query)
+        st.finish(df.schema, df.collect())
+      } catch {
+        case e: Throwable => st.fail(e)
+      } finally spark.sparkContext.clearJobGroup()
+    }, s"graft-token-$id")
+    worker.setDaemon(true)
+    worker.start()
+    id
+  }
+
+  /** RUNNING | DONE | FAILED | CANCELLED (context.py:3192 status_). */
+  def tokenStatus(token: Long): String = tokenState(token).status
+
+  /** Block (up to `timeoutMs`) for the token's result and return it as a
+    * DataFrame. Throws the query's own failure for FAILED tokens and
+    * IllegalStateException for CANCELLED ones. */
+  def fetch(token: Long, timeoutMs: Long = 300000L): DataFrame = {
+    val st = tokenState(token)
+    if (!st.done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new java.util.concurrent.TimeoutException(
+        s"token $token still ${st.status} after ${timeoutMs}ms")
+    st.status match {
+      case "DONE" =>
+        val (schema, rows) = st.result.get
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case "CANCELLED" => throw new IllegalStateException(s"token $token was cancelled")
+      case _ => throw st.error.getOrElse(new IllegalStateException(s"token $token failed"))
+    }
+  }
+
+  /** Cancel a running token's Spark jobs (job-group cancel; stages die,
+    * not just the polling handle). No-op for finished tokens. */
+  def cancel(token: Long): Unit = {
+    val st = tokenState(token)
+    if (st.markCancelled()) spark.sparkContext.cancelJobGroup(st.group)
+  }
+
+  private def tokenState(token: Long): TokenState =
+    tokens.getOrElse(token,
+      throw new NoSuchElementException(s"unknown query token: $token"))
 
   /** Logical (and optionally physical) plan string — the reference's
     * explain(detail=) (context.py:1842-1923). */
@@ -139,24 +207,34 @@ class GraftContext(val spark: SparkSession) {
     *    `spark.sql.execution.rangeExchange.sampleSizePerPartition`
     *  - `MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE` (scan batch concat cap,
     *    context.py:1360-1363) → `spark.sql.files.maxPartitionBytes`
-    *  - `TABLE_SCAN_KERNEL_NUM_THREADS` / `EXECUTOR_THREADS`
-    *    (context.py:1415-1422) → `spark.sql.shuffle.partitions` (the
-    *    per-stage parallelism Spark actually tunes at runtime)
+    *  - `TABLE_SCAN_KERNEL_NUM_THREADS` (context.py:1415-1418) →
+    *    `spark.sql.files.minPartitionNum` (the knob that actually governs
+    *    scan-split parallelism; shuffle partitions do not touch the scan)
+    *  - `EXECUTOR_THREADS` (context.py:1419-1422) →
+    *    `spark.sql.shuffle.partitions` (per-stage parallelism)
     *
     * Unknown reference-style keys (ALL_CAPS) raise — silent acceptance
-    * would hide a no-op config.
+    * would hide a no-op config. Two option keys resolving to the SAME
+    * Spark conf with DIFFERENT values also raise, for the same reason:
+    * map iteration order silently picking a winner hides a config.
     */
   def configure(options: Map[String, String]): Unit = {
     // resolve (and validate) every key BEFORE mutating the session, so a
     // typo partway through can't leave it half-configured
-    val resolved = options.map { case (k, v) =>
+    val resolved = options.toSeq.map { case (k, v) =>
       val sparkKey = GraftContext.configKeyMap.getOrElse(k,
         if (k.nonEmpty && k == k.toUpperCase && !k.contains("."))
           throw new IllegalArgumentException(s"unknown engine config option: $k")
         else k)
-      sparkKey -> v
+      (k, sparkKey, v)
     }
-    resolved.foreach { case (k, v) => spark.conf.set(k, v) }
+    resolved.groupBy(_._2).foreach { case (sparkKey, entries) =>
+      if (entries.map(_._3).distinct.sizeIs > 1)
+        throw new IllegalArgumentException(
+          s"conflicting values for Spark conf $sparkKey via options " +
+            entries.map(e => s"${e._1}=${e._3}").mkString(", "))
+    }
+    resolved.foreach { case (_, k, v) => spark.conf.set(k, v) }
   }
 
   // ---- query log (context.py:3346-3608 bc.log over bsql_logs) ------------
@@ -221,6 +299,33 @@ object GraftContext {
   final case class TableEntry(name: String, df: DataFrame,
       path: Option[String], format: String)
 
+  /** Lifecycle of one [[GraftContext.sqlToken]] submission. Transitions
+    * RUNNING → {DONE, FAILED, CANCELLED} exactly once; a cancel that races
+    * a completed collect keeps CANCELLED (the reference's status_ also
+    * reports what the CLIENT requested, context.py:3192).
+    */
+  private[graft] final class TokenState(val group: String) {
+    @volatile var status: String = "RUNNING"
+    var result: Option[(org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])] = None
+    var error: Option[Throwable] = None
+    val done = new java.util.concurrent.CountDownLatch(1)
+
+    def finish(schema: org.apache.spark.sql.types.StructType,
+        rows: Array[org.apache.spark.sql.Row]): Unit = synchronized {
+      if (status == "RUNNING") { result = Some((schema, rows)); status = "DONE" }
+      done.countDown()
+    }
+    def fail(e: Throwable): Unit = synchronized {
+      if (status == "RUNNING") { error = Some(e); status = "FAILED" }
+      done.countDown()
+    }
+    def markCancelled(): Boolean = synchronized {
+      if (status == "RUNNING") { status = "CANCELLED"; done.countDown(); true }
+      else false
+    }
+  }
+
   final case class LogRow(logId: Long, logTime: java.sql.Timestamp,
       rootOp: String, planHead: String, durationMs: Double,
       success: Boolean, error: String)
@@ -229,7 +334,16 @@ object GraftContext {
     * single listener feeding them. Weak session keys so sessions can GC.
     */
   final class LogState(spark: SparkSession) {
-    val rows = ArrayBuffer.empty[LogRow]
+    // ring buffer, NOT an unbounded list: a long-running service appends a
+    // row per query for the session's lifetime (log() queries included),
+    // so the log must shed its oldest rows past the cap — the same
+    // bounded-state discipline as the streaming TTL. Read per-append so
+    // the cap can be retuned on a live session.
+    def maxRows: Int = {
+      val s = sparkRef.get()
+      if (s == null) 10000 else s.conf.get("graft.log.maxRows", "10000").toInt
+    }
+    val rows = ArrayDeque.empty[LogRow]
     val nextLogId = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakUsed = TrieMap.empty[String, Long]
 
@@ -256,7 +370,10 @@ object GraftContext {
           qe.optimizedPlan.nodeName,
           qe.logical.treeString.linesIterator.take(1).mkString.take(500),
           durationNs / 1e6, err.isEmpty, err.getOrElse(""))
-        rows.synchronized { rows += row }
+        rows.synchronized {
+          rows += row
+          while (rows.size > maxRows) rows.removeHead()
+        }
         sampleMemory()
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -282,7 +399,7 @@ object GraftContext {
     "MAX_ORDER_BY_SAMPLES_PER_NODE" ->
       "spark.sql.execution.rangeExchange.sampleSizePerPartition",
     "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE" -> "spark.sql.files.maxPartitionBytes",
-    "TABLE_SCAN_KERNEL_NUM_THREADS" -> "spark.sql.shuffle.partitions",
+    "TABLE_SCAN_KERNEL_NUM_THREADS" -> "spark.sql.files.minPartitionNum",
     "EXECUTOR_THREADS" -> "spark.sql.shuffle.partitions")
 
   private def inferFormat(path: String): String = {

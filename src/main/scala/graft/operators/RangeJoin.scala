@@ -40,6 +40,10 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column sets must be disjoint, both have: $overlap")
+    // the internal bucket column must not silently clobber a user column
+    val clash = (points.columns ++ intervals.columns).filter(_ == "__bucket")
+    require(clash.isEmpty,
+      "inputs must not already contain a __bucket column (reserved internally)")
 
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))

@@ -136,9 +136,21 @@ object TopKPerGroup {
       case other => throw new IllegalStateException(
         s"expected an analyzed Sort node, got ${other.nodeName}")
     }
-    val g = groupCols.map(c => child.output.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(
-        s"group column '$c' not in ${child.output.map(_.name).mkString(", ")}")))
+    // resolve group names under the session's case-sensitivity rule, like
+    // every other column reference in Spark (default: case-insensitive)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def matches(attrName: String, c: String): Boolean =
+      if (caseSensitive) attrName == c else attrName.equalsIgnoreCase(c)
+    val g = groupCols.map { c =>
+      child.output.filter(a => matches(a.name, c)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"group column '$c' not in ${child.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"group column '$c' is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
+    }
     Shims.ofRows(spark, TopKPerGroupPlan(g, so, k, child))
   }
 }

@@ -145,6 +145,115 @@ class GraftContextSpec extends SparkSuite {
     }
   }
 
+  test("configure maps scan vs shuffle parallelism to distinct confs") {
+    val ctx = GraftContext(spark)
+    val prevScan = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      ctx.configure(Map(
+        "TABLE_SCAN_KERNEL_NUM_THREADS" -> "24",
+        "EXECUTOR_THREADS" -> "48"))
+      assert(spark.conf.get("spark.sql.files.minPartitionNum") == "24")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "48")
+    } finally {
+      prevScan match {
+        case Some(v) => spark.conf.set("spark.sql.files.minPartitionNum", v)
+        case None => spark.conf.unset("spark.sql.files.minPartitionNum")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  test("configure raises on keys that collide on one Spark conf") {
+    val ctx = GraftContext(spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // conflicting values for the same resolved conf → raise, set nothing
+    val e = intercept[IllegalArgumentException] {
+      ctx.configure(Map(
+        "EXECUTOR_THREADS" -> "7",
+        "spark.sql.shuffle.partitions" -> "9"))
+    }
+    assert(e.getMessage.contains("spark.sql.shuffle.partitions"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "failed configure must not mutate the session")
+    // agreeing duplicates are fine
+    ctx.configure(Map(
+      "EXECUTOR_THREADS" -> prev,
+      "spark.sql.shuffle.partitions" -> prev))
+  }
+
+  test("dropTable removes a bucketed catalog table even from a fresh context") {
+    val ctx = GraftContext(spark)
+    ctx.createBucketedTable("gcb_drop_me",
+      Tables.load(spark, sfDir, "region"), Seq("r_regionkey"), 2)
+    assert(spark.catalog.tableExists("gcb_drop_me"))
+    // a SECOND context never saw the create; its instance map is stale
+    GraftContext(spark).dropTable("gcb_drop_me")
+    assert(!spark.catalog.tableExists("gcb_drop_me"),
+      "catalog table survived a dropTable from a fresh context")
+  }
+
+  test("query log is a bounded ring buffer under graft.log.maxRows") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_ring_nation", s"$sfDir/nation.parquet")
+    try {
+      spark.conf.set("graft.log.maxRows", "5")
+      for (i <- 1 to 12)
+        ctx.sql(s"SELECT count(*) + $i AS n FROM gc_ring_nation").collect()
+      // listener delivery is async — poll until appends landed, then the
+      // ring must hold at most the cap
+      val deadline = System.currentTimeMillis() + 15000
+      var seen = 0L
+      while (seen < 5 && System.currentTimeMillis() < deadline) {
+        seen = ctx.log("SELECT count(*) AS n FROM graft_logs").collect()(0).getLong(0)
+        if (seen < 5) Thread.sleep(200)
+      }
+      assert(seen <= 5, s"ring buffer exceeded cap: $seen rows")
+      assert(seen > 0, "no rows logged")
+    } finally {
+      spark.conf.unset("graft.log.maxRows")
+      ctx.dropTable("gc_ring_nation")
+    }
+  }
+
+  test("sqlToken: submit, poll to DONE, fetch matches sql") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_tok_orders", s"$sfDir/orders.parquet")
+    val tok = ctx.sqlToken(
+      "SELECT o_orderstatus, count(*) AS n FROM gc_tok_orders GROUP BY 1")
+    val df = ctx.fetch(tok, timeoutMs = 120000)
+    assert(ctx.tokenStatus(tok) == "DONE")
+    val expected = ctx.sql(
+      "SELECT o_orderstatus, count(*) AS n FROM gc_tok_orders GROUP BY 1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == expected)
+    // unknown token raises
+    intercept[NoSuchElementException] { ctx.tokenStatus(99999L) }
+  }
+
+  test("sqlToken: failed query surfaces FAILED and fetch rethrows") {
+    val ctx = GraftContext(spark)
+    val tok = ctx.sqlToken("SELECT * FROM definitely_not_a_table_xyz")
+    intercept[Exception] { ctx.fetch(tok, timeoutMs = 60000) }
+    assert(ctx.tokenStatus(tok) == "FAILED")
+  }
+
+  test("sqlToken: cancel kills the running job group") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_cancel_li", s"$sfDir/lineitem.parquet")
+    // a cross-join cube big enough to outlive the cancel at any fixture SF
+    val tok = ctx.sqlToken(
+      """SELECT count(*) AS n FROM gc_cancel_li a
+        |CROSS JOIN gc_cancel_li b CROSS JOIN gc_cancel_li c""".stripMargin)
+    // let the job actually start before cancelling
+    Thread.sleep(1500)
+    ctx.cancel(tok)
+    assert(ctx.tokenStatus(tok) == "CANCELLED")
+    intercept[IllegalStateException] { ctx.fetch(tok, timeoutMs = 60000) }
+    // cancel on a finished token is a no-op
+    ctx.cancel(tok)
+  }
+
   test("sqlAsync returns the same result as sql") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._

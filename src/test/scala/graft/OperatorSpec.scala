@@ -271,4 +271,16 @@ class OperatorSpec extends SparkSuite {
       RangeJoin.pointInInterval(df, df, "o_totalprice", "o_totalprice", "o_totalprice", 1.0)
     }
   }
+
+  test("range join rejects inputs that already carry a __bucket column") {
+    val points = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice", lit(0L).as("__bucket"))
+    val intervals = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice".as("lo"),
+        ($"l_extendedprice" + 10).as("hi"))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "o_totalprice", "lo", "hi", 100.0)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
 }

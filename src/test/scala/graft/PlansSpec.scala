@@ -109,4 +109,20 @@ class PlansSpec extends SparkSuite {
       Seq(col("n_nationkey")), 1000).count()
     assert(got == nation.count(), "k > group size must keep every row")
   }
+
+  test("topKPerGroup resolves group columns case-insensitively by default") {
+    val nation = Tables.load(spark, sfDir, "nation")
+    // the session default is spark.sql.caseSensitive=false — an upper-cased
+    // group name must resolve exactly like df("N_REGIONKEY") does
+    val upper = TopKPerGroup(nation, Seq("N_REGIONKEY"),
+      Seq(col("n_nationkey")), 2)
+    val lower = TopKPerGroup(nation, Seq("n_regionkey"),
+      Seq(col("n_nationkey")), 2)
+    assert(upper.collect().map(_.toString).sorted.toSeq ==
+      lower.collect().map(_.toString).sorted.toSeq)
+    // a genuinely absent column still raises
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(nation, Seq("no_such_col"), Seq(col("n_nationkey")), 2)
+    }
+  }
 }
