@@ -7,11 +7,14 @@ import graft.functions.VectorOps
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed partition-wise with typed Datasets.
   *
-  * The actual codecs (image/audio/video decode) are STUBBED with
-  * deterministic fakes — the container has no media libraries — but the
-  * Spark-side contract is real and tested: schema (binary + struct
-  * metadata), partition-preserving mapPartitions with batched iterators,
-  * fixed-shape feature vectors, and frame sampling via posexplode.
+  * IMAGE decode is REAL: `decode` runs `javax.imageio` (JDK built-in —
+  * PNG/JPEG/BMP/GIF) on any payload whose bytes parse as an image, and
+  * only falls back to the deterministic pseudo-decode when they don't.
+  * Audio/video codecs remain STUBBED with deterministic fakes — the
+  * container has no media libraries — but the Spark-side contract is real
+  * and tested: schema (binary + struct metadata), partition-preserving
+  * mapPartitions with batched iterators, fixed-shape feature vectors, and
+  * frame sampling via posexplode.
   *
   * At 100 TB the decode step is the dominant cost and is embarrassingly
   * parallel: mapPartitions keeps it scan-side (no shuffle), and the output
@@ -38,30 +41,121 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
       col(payloadCol).cast("binary").as("content"))
 
-  /** STUB decode: deterministic pseudo-decode of the byte payload.
-    * A real deployment swaps `decodeOne` for an actual codec call; the
-    * partition-iterator shape (reuse buffers, stream rows) is the real
-    * contract.
+  /** Deterministic RGB PNG for `id`: dimensions and the constant fill
+    * color are pure arithmetic on the id (`w = 8 + id%16`,
+    * `h = 8 + id%13`, `rgb = (id%256, id*7%256, id*13%256)`), so an
+    * independent engine can predict exactly what a REAL decoder must
+    * recover — that's what makes `multimodal_decode` oracle-checkable.
+    * Encoded with `javax.imageio` (JDK built-in; works headless).
     */
-  private def decodeOne(row: MediaRow): DecodedMedia = {
-    val bytes = if (row.content == null) Array.empty[Byte] else row.content
-    // rolling 64-bit checksum (FNV-1a), also the seed for fake dimensions
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + java.lang.Math.floorMod(id, 16L).toInt
+    val h = 8 + java.lang.Math.floorMod(id, 13L).toInt
+    val r = java.lang.Math.floorMod(id, 256L).toInt
+    val g = java.lang.Math.floorMod(id * 7, 256L).toInt
+    val b = java.lang.Math.floorMod(id * 13, 256L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Media table of REAL encoded PNGs, one per row of `df`, generated
+    * executor-side (mapPartitions — the bytes never route through the
+    * driver, matching how a real pipeline would scan already-encoded
+    * blobs).
+    */
+  def imageTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", syntheticPng(id))))
+      .toDF()
+  }
+
+  /** Real image decode via `javax.imageio`: dimensions, channel count, and
+    * mean R/G/B (features 0-2, scaled to [0,1]) come from the actual
+    * decoded raster. Returns None when the bytes aren't a parseable image
+    * (the caller falls back to the pseudo-decode).
+    */
+  private def decodeImage(row: MediaRow, bytes: Array[Byte]): Option[DecodedMedia] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val ch = img.getColorModel.getNumComponents
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val cks = fnv1a(bytes)
+        val feats = new Array[Float](FeatureDim)
+        feats(0) = (sumR.toDouble / n / 255.0).toFloat
+        feats(1) = (sumG.toDouble / n / 255.0).toFloat
+        feats(2) = (sumB.toDouble / n / 255.0).toFloat
+        var j = 3
+        while (j < FeatureDim) { feats(j) = pseudoFeature(cks, j); j += 1 }
+        Some(DecodedMedia(row.media_id, row.media_type, w, h, ch,
+          bytes.length.toLong, cks, feats))
+      }
+    } catch {
+      // corrupt payloads: some ImageIO plugins throw (IIOException, even
+      // RuntimeException on truncated streams) instead of returning null
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  private def fnv1a(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def pseudoFeature(seed: Long, j: Int): Float = {
+    // splitmix64 stream over the checksum: stable fake "embedding" dim
+    var z = seed + 0x9e3779b97f4a7c15L * (j + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0xffffff).toFloat / 0xffffff.toFloat
+  }
+
+  /** Decode one row: REAL `javax.imageio` decode for image payloads that
+    * parse; deterministic pseudo-decode otherwise (audio/video stubs and
+    * non-image bytes). The partition-iterator shape (reuse buffers, stream
+    * rows) is the at-scale contract either way.
+    */
+  private def decodeOne(row: MediaRow): DecodedMedia = {
+    val bytes = if (row.content == null) Array.empty[Byte] else row.content
+    if (row.media_type == "image" && bytes.length > 0) {
+      decodeImage(row, bytes) match {
+        case Some(d) => return d
+        case None => // not a real image — fall through to the pseudo path
+      }
+    }
+    // rolling 64-bit checksum (FNV-1a), also the seed for fake dimensions
+    val h = fnv1a(bytes)
     val w = 64 + (math.abs(h) % 1024).toInt
     val ht = 64 + (math.abs(h >> 10) % 1024).toInt
     val ch = if (row.media_type == "audio") 1 else 3
-    val feats = new Array[Float](FeatureDim)
-    var j = 0
-    while (j < FeatureDim) {
-      // splitmix64 stream over the checksum: stable fake "embedding"
-      var z = h + 0x9e3779b97f4a7c15L * (j + 1)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      feats(j) = ((z ^ (z >>> 31)) & 0xffffff).toFloat / 0xffffff.toFloat
-      j += 1
-    }
+    val feats = Array.tabulate(FeatureDim)(pseudoFeature(h, _))
     DecodedMedia(row.media_id, row.media_type, w, ht, ch, bytes.length.toLong, h, feats)
   }
 

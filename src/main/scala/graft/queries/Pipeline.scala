@@ -304,7 +304,34 @@ object Pipeline {
     },
 
     // ---- multimodal plumbing ---------------------------------------------
-    QuerySpec.noOracle("multimodal_decode") { (s, dir) =>
+    QuerySpec(
+      "multimodal_decode",
+      // REAL round-trip: Spark encodes a PNG per doc_id executor-side
+      // (dims + constant fill color are pure arithmetic on the id),
+      // javax.imageio decodes it back, and DuckDB independently predicts
+      // what a correct decoder must recover. Any PNG encode/decode or
+      // raster-traversal bug breaks the hash match.
+      """SELECT doc_id AS media_id,
+        |  8 + doc_id % 16 AS width,
+        |  8 + doc_id % 13 AS height,
+        |  3 AS channels,
+        |  doc_id % 256 AS mean_r,
+        |  (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.imageTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.decode(s, media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("int").as("channels"),
+          round(col("features")(0) * 255).cast("long").as("mean_r"),
+          round(col("features")(1) * 255).cast("long").as("mean_g"),
+          round(col("features")(2) * 255).cast("long").as("mean_b"))
+        .orderBy(col("media_id"))
+    },
+
+    QuerySpec.noOracle("multimodal_pseudo_decode") { (s, dir) =>
       val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decode(s, media).toDF()
         .select(col("media_id"), col("media_type"), col("width"), col("height"),

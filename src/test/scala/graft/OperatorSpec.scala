@@ -176,6 +176,36 @@ class OperatorSpec extends SparkSuite {
     assert(mism == 0)
   }
 
+  test("syntheticPng decodes back to its formula dims and fill color") {
+    val bytes = Multimodal.syntheticPng(42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "syntheticPng must emit a parseable PNG")
+    assert(img.getWidth == 8 + 42 % 16 && img.getHeight == 8 + 42 % 13)
+    val rgb = img.getRGB(3, 5)
+    assert(((rgb >> 16) & 0xff) == 42 % 256)
+    assert(((rgb >> 8) & 0xff) == (42 * 7) % 256)
+    assert((rgb & 0xff) == (42 * 13) % 256)
+  }
+
+  test("decode runs real imageio on PNG payloads, pseudo path otherwise") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val real = Multimodal.decode(spark, Multimodal.imageTable(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(real.length == 20)
+    real.foreach { d =>
+      assert(d.width == 8 + (d.media_id % 16) && d.height == 8 + (d.media_id % 13),
+        s"id=${d.media_id}: real decode must recover the encoded dims, got " +
+          s"${d.width}x${d.height}")
+      assert(d.channels == 3)
+      assert(math.round(d.features(0) * 255) == d.media_id % 256,
+        s"id=${d.media_id}: mean red must equal the constant fill")
+    }
+    // non-PNG payload (raw text bytes) falls back to the pseudo decode
+    val pseudo = Multimodal.decode(spark,
+      Multimodal.mediaTable(docs, "doc_id", "text")).collect()
+    assert(pseudo.forall(d => d.width >= 64 && d.width < 64 + 1024))
+  }
+
   test("multimodal decode is deterministic with fixed shapes") {
     val media = Multimodal.mediaTable(
       Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")
