@@ -56,6 +56,25 @@ class GraftContext(val spark: SparkSession) {
   def createTable(name: String, df: DataFrame): DataFrame =
     register(name, df, None, "dataframe")
 
+  /** Register an existing CATALOG (e.g. Hive-metastore) table under
+    * `alias` — the reference's `create_table(name, hive_cursor)` path
+    * (hive.py:96-294, consumed at context.py:476-626): schema AND
+    * partition metadata come from the metastore, so partition-pruned scans
+    * need no directory listing. Requires a session whose catalog sees the
+    * table (e.g. [[GraftContext.buildSession]] with `hive = true`).
+    */
+  def createTableFromCatalog(tableName: String, alias: String = ""): DataFrame = {
+    require(spark.catalog.tableExists(tableName),
+      s"catalog table not found: $tableName")
+    val df = spark.table(tableName)
+    val name = if (alias.nonEmpty) alias else tableName.split('.').last
+    // keep the catalog identity: queries against `name` resolve through
+    // the metastore relation (partition pruning intact), not a re-read
+    if (name != tableName) df.createOrReplaceTempView(name)
+    catalog.put(name, TableEntry(name, df, Some(tableName), "catalog"))
+    df
+  }
+
   private def register(name: String, df: DataFrame, path: Option[String],
       fmt: String): DataFrame = {
     df.createOrReplaceTempView(name)
@@ -416,10 +435,14 @@ object GraftContext {
   /** Session builder with the scale-appropriate defaults for this engine:
     * AQE on (runtime re-planning ≈ the reference's row-estimate adaptive
     * kernels), shuffle partitions sized for the local harness.
+    * `hive = true` backs the catalog with a Hive metastore
+    * (`enableHiveSupport`) so existing warehouse tables — schema AND
+    * partitions — resolve by name, like the reference's
+    * `create_table(name, hive_cursor)` (hive.py:96-294).
     */
   def buildSession(master: String = "local[32]",
-      shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession.builder()
+      shufflePartitions: Int = 32, hive: Boolean = false): SparkSession = {
+    val builder = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -428,7 +451,7 @@ object GraftContext {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (hive) builder.enableHiveSupport() else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -385,15 +385,34 @@ object FunctionMatrix {
 
     // CURRENT_DATE / CURRENT_TIMESTAMP / RAND: evaluated once per query
     // like the reference's literal-capture rewrite
-    // (expression_utils.cpp:1495-1540; BLZ_RND :271). Values are
-    // clock/seed dependent → rows-only check here, invariants in
-    // FunctionsSpec.
-    QuerySpec.noOracle("expr_nondet") { (s, dir) =>
-      t(s, dir, "region").select(
-        col("r_regionkey"),
-        current_date().as("today"),
-        current_timestamp().as("now"),
-        rand(42).as("rnd"))
+    // (expression_utils.cpp:1495-1540; BLZ_RND :271). The VALUES are
+    // clock/seed dependent, but their INVARIANTS are not — so the query
+    // emits the invariants as booleans and the oracle checks those
+    // hash-exact: rand in [0,1) and distinct across rows, current_date in
+    // a sane window and consistent across rows, current_timestamp on the
+    // same day as current_date (±1 day for a midnight-straddling run).
+    QuerySpec(
+      "expr_nondet",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS rnd_in_unit, true AS rnd_distinct,
+        |  true AS date_consistent, true AS date_plausible,
+        |  true AS ts_matches_date
+        |FROM region""".stripMargin) { (s, dir) =>
+      t(s, dir, "region")
+        .select(
+          col("r_regionkey"),
+          current_date().as("today"),
+          current_timestamp().as("now"),
+          rand(42).as("rnd"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          (min(col("rnd")) >= 0.0 && max(col("rnd")) < 1.0).as("rnd_in_unit"),
+          (countDistinct(col("rnd")) === count(lit(1))).as("rnd_distinct"),
+          (countDistinct(col("today")) === 1).as("date_consistent"),
+          (min(col("today")) >= lit("2026-01-01").cast("date") &&
+            max(col("today")) <= lit("2123-12-31").cast("date")).as("date_plausible"),
+          datediff(max(col("now")).cast("date"), max(col("today")))
+            .between(-1, 1).as("ts_matches_date"))
     },
 
     QuerySpec(

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Metastore-backed tables: the reference reads schema + partition
+  * metadata from a live Hive metastore (`get_hive_table`/`getPartitions`,
+  * hive.py:96-294, consumed at context.py:476-626). The Spark analog is
+  * `enableHiveSupport` + the session catalog; these specs prove the
+  * catalog path end to end — partitions tracked by the METASTORE (not
+  * directory listing) and partition pruning driven from catalog metadata.
+  * The suite session (SparkSuite) runs with an embedded Derby metastore.
+  */
+class HiveSpec extends SparkSuite {
+
+  test("metastore tracks partitions of a saveAsTable'd partitioned table") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.mode("overwrite").format("parquet")
+      .partitionBy("o_orderstatus").saveAsTable("hive_orders_part")
+    try {
+      // SHOW PARTITIONS resolves from the metastore, not the filesystem
+      val parts = spark.sql("SHOW PARTITIONS hive_orders_part")
+        .collect().map(_.getString(0)).sorted
+      val expected = orders.select("o_orderstatus").distinct()
+        .collect().map(r => s"o_orderstatus=${r.getString(0)}").sorted
+      assert(parts.toSeq == expected.toSeq,
+        s"metastore partitions ${parts.mkString(",")} != data ${expected.mkString(",")}")
+    } finally spark.sql("DROP TABLE IF EXISTS hive_orders_part")
+  }
+
+  test("catalog table scan prunes partitions from metastore metadata") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.mode("overwrite").format("parquet")
+      .partitionBy("o_orderstatus").saveAsTable("hive_orders_prune")
+    try {
+      val df = spark.table("hive_orders_prune")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+        s"no catalog partition pruning:\n$plan")
+      val expected = orders.filter(col("o_orderstatus") === "F").count()
+      assert(df.count() == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS hive_orders_prune")
+  }
+
+  test("GraftContext.createTableFromCatalog registers a metastore table") {
+    val nation = Tables.load(spark, sfDir, "nation")
+    nation.write.mode("overwrite").format("parquet")
+      .partitionBy("n_regionkey").saveAsTable("hive_nation_cat")
+    try {
+      val ctx = GraftContext(spark)
+      ctx.createTableFromCatalog("hive_nation_cat", alias = "nations_hv")
+      assert(ctx.listTables().contains("nations_hv"))
+      assert(ctx.describeTable("nations_hv").toMap.apply("n_name") == "string")
+      val got = ctx.sql(
+        "SELECT count(*) AS n FROM nations_hv WHERE n_regionkey = 2")
+        .collect()(0).getLong(0)
+      assert(got == nation.filter(col("n_regionkey") === 2).count())
+      // pruning still flows through the alias
+      val plan = ctx.sql("SELECT n_name FROM nations_hv WHERE n_regionkey = 2")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"alias lost pruning:\n$plan")
+      intercept[IllegalArgumentException] {
+        ctx.createTableFromCatalog("no_such_catalog_table")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS hive_nation_cat")
+  }
+
+  test("hive DDL round-trip: CREATE TABLE + INSERT + partition add") {
+    spark.sql("DROP TABLE IF EXISTS hive_ddl_t")
+    spark.sql(
+      """CREATE TABLE hive_ddl_t (k INT, v STRING)
+        |PARTITIONED BY (ds STRING) STORED AS PARQUET""".stripMargin)
+    try {
+      spark.sql("INSERT INTO hive_ddl_t PARTITION (ds='2026-01-01') VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO hive_ddl_t PARTITION (ds='2026-01-02') VALUES (3, 'c')")
+      assert(spark.sql("SHOW PARTITIONS hive_ddl_t").count() == 2)
+      assert(spark.table("hive_ddl_t").count() == 3)
+      assert(spark.sql("SELECT sum(k) AS s FROM hive_ddl_t WHERE ds='2026-01-01'")
+        .collect()(0).getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS hive_ddl_t")
+  }
+}

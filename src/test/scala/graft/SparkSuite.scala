@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM-wide session, lazy). */
 object SparkSuite {
   lazy val spark: SparkSession = {
+    // Hive catalog (embedded Derby metastore under /tmp) so suites can
+    // exercise metastore-backed tables + catalog partition pruning — the
+    // reference reads schema/partitions from a live metastore
+    // (hive.py:96-294); everything else behaves identically.
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
@@ -14,6 +18,10 @@ object SparkSuite {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/graft-test-metastore;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
