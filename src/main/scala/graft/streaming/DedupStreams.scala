@@ -22,6 +22,24 @@ import graft.functions._
   */
 object DedupStreams {
 
+  /** Back streaming state with Spark's RocksDB provider instead of the
+    * default in-heap HDFSBackedStateStore. At 100-TB corpus scale the
+    * bucket-cohort state outgrows executor heaps (heap state must fit in
+    * memory AND doubles during snapshot); RocksDB keeps state on local
+    * disk behind a bounded block cache and supports changelog
+    * checkpointing (upload only the delta per batch, not a full
+    * snapshot). Runtime conf — takes effect for queries started after
+    * the call.
+    */
+  def useRocksDBStateStore(spark: SparkSession,
+      changelogCheckpointing: Boolean = true): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelogCheckpointing.toString)
+  }
+
   case class BandedDoc(bucket: Long, doc_id: Long, sig: Array[Long])
   case class BucketCohort(docs: List[(Long, Array[Long])])
   case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
