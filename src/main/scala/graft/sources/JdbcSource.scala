@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DBMS ingestion, the Spark-native form of the reference's SQL data
+  * providers (engine/src/io/data_provider/sql/MySQLDataProvider.cpp,
+  * PostgreSQLDataProvider.cpp, SQLiteDataProvider.cpp): those hand-roll
+  * per-dialect quoting, type mapping, filter transpilation, and batched
+  * range reads; Spark's jdbc source + `JdbcDialects` registry provide the
+  * same per-dialect behavior (the dialect is selected from the URL), and
+  * the partitioned read turns one table into `numPartitions` concurrent
+  * range queries — the reference's `batches_per_thread` (context.py:927)
+  * expressed as Spark scan partitions.
+  *
+  * At scale the partitioned form is the only viable one: a single-cursor
+  * JDBC read funnels the whole table through one task; with
+  * (partitionColumn, bounds, numPartitions) every executor pulls its own
+  * range and the DB does the striding.
+  */
+object JdbcSource {
+
+  /** Read `table` over JDBC. With a `partitionColumn` (numeric/date) and
+    * `numPartitions > 1`, Spark issues one `WHERE col >= lo AND col < hi`
+    * range query per partition — set bounds to the column's actual
+    * min/max (stale bounds skew the stride). Filters on the result
+    * DataFrame push down into each range query through the dialect.
+    */
+  def read(spark: SparkSession, url: String, table: String,
+      partitionColumn: String = "", lowerBound: Long = 0L,
+      upperBound: Long = 0L, numPartitions: Int = 1,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(partitionColumn.isEmpty || upperBound > lowerBound,
+      s"partitioned read needs upperBound > lowerBound, got [$lowerBound, $upperBound]")
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+    val reader =
+      if (partitionColumn.nonEmpty && numPartitions > 1)
+        base.option("partitionColumn", partitionColumn)
+          .option("lowerBound", lowerBound.toString)
+          .option("upperBound", upperBound.toString)
+          .option("numPartitions", numPartitions.toString)
+      else base
+    reader.load()
+  }
+}
