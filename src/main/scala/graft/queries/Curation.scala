@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.operators.{Components, Dedup}
+
+/** Training-data curation operators beyond the dedup/ANN family already in
+  * [[Pipeline]]: pair→cluster resolution (connected components), term
+  * scoring (TF-IDF, BM25), repetition-based quality filters, deterministic
+  * sampling, and PII redaction. Every query here is DuckDB-oracle-checked —
+  * the arithmetic is integer counts, IEEE-exact ratios, or round-6'd
+  * logarithms, so an independent engine can replay it hash-exact.
+  */
+object Curation {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Shared edge set for the components oracle: exact 60-char-prefix
+    * duplicate pairs over the whole table ∪ exact 3-gram Jaccard ≥ 0.2
+    * pairs over a bounded id-slice. Deterministic text arithmetic only, so
+    * DuckDB rebuilds the identical graph.
+    */
+  private def exactDedupEdges(docs: DataFrame): DataFrame = {
+    val pref = docs.select(col("doc_id"),
+      md5(substring(normalize_text(col("text")), 1, 60)).as("fp"))
+    val exact = pref.as("a")
+      .join(pref.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val jac = Dedup.exactJaccardPairs(
+        docs.filter(col("doc_id") < 200), shingle = 3, threshold = 0.2)
+      .select(col("id_a"), col("id_b"))
+    exact.unionAll(jac).distinct()
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- pair→cluster resolution ----------------------------------------
+    QuerySpec(
+      "dedup_components",
+      // DuckDB replays the same edge set and closes it with a recursive
+      // CTE; component = min reachable id. The Spark side runs the
+      // at-scale large-graph algorithm (min-label propagation + pointer
+      // jumping), so this checks that the distributed algorithm reaches
+      // the true transitive closure.
+      """WITH RECURSIVE
+        |pref AS (
+        |  SELECT doc_id,
+        |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
+        |  FROM documents),
+        |eexact AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |sets AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS ss
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents WHERE doc_id < 200)),
+        |ejac AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.ss || b.ss)) > 0
+        |    AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2),
+        |e0 AS (SELECT id_a, id_b FROM eexact UNION SELECT id_a, id_b FROM ejac),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |          UNION SELECT id_b AS src, id_a AS dst FROM e0),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Components.connectedComponents(exactDedupEdges(t(s, dir, "documents")))
+        .orderBy(col("id"))
+    },
+
+    QuerySpec.noOracle("dedup_clusters") { (s, dir) =>
+      // the 100-TB path: MinHash-LSH pairs → components → cluster sizes
+      // (hash-family-specific, so rows-only; the algorithm itself is
+      // oracle-proven by dedup_components above and OperatorSpec).
+      Components.clusterSummary(
+          Components.nearDupClusters(t(s, dir, "documents"), threshold = 0.3))
+        .select(col("component"), col("size"),
+          element_at(col("member_ids"), -1).as("max_member"))
+        .orderBy(col("component"))
+    },
+
+    // ---- term scoring ----------------------------------------------------
+    QuerySpec(
+      "tfidf_topterms",
+      // tf and df are exact ints; idf = ln(N/df) is the only transcendental
+      // and is round-6'd on both sides. Ranking stays on the raw double
+      // with a term tie-break (equal (tf, df) ⇒ identical doubles).
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM toks),
+        |tf AS (SELECT doc_id, t, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t AS term, tf.tf,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, round(score, 6) AS score, rn
+        |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = toks.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("t")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t").as("term"), col("tf"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
+    QuerySpec(
+      "bm25_search",
+      // Okapi BM25 (k1=1.2, b=0.75) over a literal query term set; the
+      // whole corpus is ranked. Per-doc sums span ≤4 addends so round-6
+      // absorbs addition-order noise; rank ties break on doc_id.
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, t, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) x
+        |       WHERE t IN ('customer', 'query', 'spark', 'order') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, round(score, 6) AS score, rn
+        |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qTerms = Seq("customer", "query", "spark", "order")
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("tk"))).as("avgdl"))
+      val tf = toks.select(col("doc_id"), explode(col("tk")).as("t"))
+        .filter(col("t").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+      val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val term = idf * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      import org.apache.spark.sql.expressions.Window
+      tf.join(dfreq, Seq("t")).join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .groupBy(col("doc_id")).agg(sum(term).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("rn"))
+    },
+
+    // ---- repetition quality filters --------------------------------------
+    QuerySpec(
+      "text_repetition",
+      // Gopher-style repetition signals: duplicate-word fraction, top-word
+      // fraction, duplicate 2-/3-gram fractions. All ratios of exact ints.
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |freq AS (SELECT doc_id, t, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+        |        FROM freq GROUP BY 1),
+        |grams AS (SELECT doc_id,
+        |  CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS g2,
+        |  CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS g3
+        |  FROM toks)
+        |SELECT k.doc_id,
+        |  round(CASE WHEN coalesce(tot, 0) > 0 THEN 1.0 - CAST(nd AS DOUBLE) / tot ELSE 0.0 END, 6) AS dup_word_frac,
+        |  round(CASE WHEN coalesce(tot, 0) > 0 THEN CAST(mx AS DOUBLE) / tot ELSE 0.0 END, 6) AS top_word_frac,
+        |  round(CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
+        |FROM toks k
+        |LEFT JOIN top USING (doc_id)
+        |JOIN grams USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      val freq = toks.select(col("doc_id"), explode(col("tk")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val top = freq.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+          count(lit(1)).as("nd"))
+      val grams = toks.select(col("doc_id"),
+        word_shingles(col("tk"), 2).as("g2"),
+        word_shingles(col("tk"), 3).as("g3"))
+      def dupFrac(g: org.apache.spark.sql.Column) =
+        when(size(g) > 0,
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+          .otherwise(lit(0.0))
+      toks.join(top, Seq("doc_id"), "left").join(grams, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(when(coalesce(col("tot"), lit(0L)) > 0,
+            lit(1.0) - col("nd").cast("double") / col("tot"))
+            .otherwise(lit(0.0)), 6).as("dup_word_frac"),
+          round(when(coalesce(col("tot"), lit(0L)) > 0,
+            col("mx").cast("double") / col("tot"))
+            .otherwise(lit(0.0)), 6).as("top_word_frac"),
+          round(dupFrac(col("g2")), 6).as("dup_2gram_frac"),
+          round(dupFrac(col("g3")), 6).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic sampling ------------------------------------------
+    QuerySpec(
+      "sample_hash",
+      // Bernoulli sampling that any engine reproduces: keep rows whose
+      // md5(id) hex string sorts below the threshold — ~0x28/0x100 ≈ 15.6%.
+      // The same idiom shards a 100-TB corpus into stable train/eval splits.
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(md5(col("doc_id").cast("string")) < "28")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "sample_stratified",
+      // Exact-n per-stratum sampling: rank by md5(id) within each language
+      // and keep 5. Deterministic (md5 collisions impossible at any n that
+      // fits in a cluster), so resampling a grown corpus is stable.
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // ---- PII redaction ---------------------------------------------------
+    QuerySpec(
+      "text_pii",
+      // Both engines synthesize the same contact block per doc (the fixture
+      // text itself is PII-free), then count and redact emails / phones /
+      // IPv4s with regexes in the Java∩RE2 common subset. md5 of the
+      // redacted text proves the replacements are byte-identical.
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com phone 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(s, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+        |  len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com phone 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      def nMatches(c: org.apache.spark.sql.Column, re: String) =
+        size(call_function("regexp_extract_all", c, lit(re), lit(0))).cast("long")
+      t(s, dir, "documents")
+        .withColumn("s", aug)
+        .select(col("doc_id"),
+          nMatches(col("s"), email).as("n_emails"),
+          nMatches(col("s"), phone).as("n_phones"),
+          nMatches(col("s"), ip).as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("s"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
