@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Multimodal, Similarity, TextAnalysis}
 
 /** Beyond-parity training-data pipeline operators (BASELINE.json north
   * star): deduplication, similarity search, text analysis, multimodal
@@ -230,6 +230,46 @@ object Pipeline {
           round(element_at(col("centroid"), 1), 6).as("dim1_mean"),
           col("n"))
         .orderBy(col("bucket"))
+    },
+
+    QuerySpec(
+      "kmeans_fit",
+      // Two Lloyd rounds are fully deterministic (every-(n/k)-th init,
+      // double cosine argmax with min-cid ties, per-dim double means), so
+      // DuckDB replays the whole training loop. Output reduced to per-
+      // centroid scalars, round-6 both sides (parallel mean/sum order).
+      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 8, 1) AS step),
+        |c0 AS (SELECT vec_id // step AS cid, embedding::DOUBLE[] AS cv
+        |       FROM embeddings, params WHERE vec_id % step = 0 ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c0 c) x WHERE rn = 1),
+        |m1 AS (SELECT cid, u.i AS i, avg(u.x) AS m
+        |       FROM a1, LATERAL (SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS i) u
+        |       GROUP BY cid, u.i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c1 c) x WHERE rn = 1),
+        |m2 AS (SELECT cid, u.i AS i, avg(u.x) AS m
+        |       FROM a2, LATERAL (SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS i) u
+        |       GROUP BY cid, u.i),
+        |agg2 AS (SELECT cid, round(sqrt(sum(m*m)), 6) AS norm,
+        |                round(max(CASE WHEN i = 1 THEN m END), 6) AS dim1
+        |         FROM m2 GROUP BY cid),
+        |n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        |SELECT cid AS centroid_id, n, norm, dim1
+        |FROM agg2 JOIN n2 USING (cid) ORDER BY centroid_id""".stripMargin) { (s, dir) =>
+      KMeans.fit(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .select(col("centroid_id"), col("n"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)), 6)
+            .as("norm"),
+          round(element_at(col("centroid"), 1), 6).as("dim1"))
+        .orderBy(col("centroid_id"))
     },
 
     QuerySpec(

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KMeans, Similarity}
+
+class KMeansSpec extends SparkSuite {
+  import spark.implicits._
+
+  // three well-separated direction clusters in 4-d (cosine k-means
+  // separates by direction, not offset)
+  private def planted = {
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 1f)
+    ((0 until 30).map(i => (i.toLong, jitter(a, i))) ++
+      (30 until 60).map(i => (i.toLong, jitter(b, i))) ++
+      (60 until 90).map(i => (i.toLong, jitter(c, i))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("fit recovers planted direction clusters") {
+    val model = KMeans.fit(planted, k = 3, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(model.length == 3)
+    assert(model.map(_._3).sorted.toSeq == Seq(30L, 30L, 30L),
+      s"expected 3 clusters of 30, got ${model.map(_._3).toSeq}")
+    // each centroid must point dominantly along one planted axis-group
+    val doms = model.map(_._2.zipWithIndex.maxBy(_._1)._2).sorted
+    assert(doms.toSeq == Seq(0, 1, 2) || doms.toSeq == Seq(0, 1, 3),
+      s"unexpected dominant dims ${doms.toSeq}")
+  }
+
+  test("more iterations never lose members and stay deterministic") {
+    val m1 = KMeans.fit(planted, k = 3, iters = 1)
+      .agg(sum($"n")).head().getLong(0)
+    val m3 = KMeans.fit(planted, k = 3, iters = 3)
+      .agg(sum($"n")).head().getLong(0)
+    assert(m1 == 90L && m3 == 90L)
+    val a = KMeans.fit(planted, k = 3, iters = 3).orderBy($"centroid_id")
+      .collect().map(_.toString).mkString("|")
+    val b = KMeans.fit(planted, k = 3, iters = 3).orderBy($"centroid_id")
+      .collect().map(_.toString).mkString("|")
+    assert(a == b, "fit must be deterministic run-to-run")
+  }
+
+  test("fitted centroids drive ivfTopK as a drop-in quantizer") {
+    val model = KMeans.fit(planted, k = 3, iters = 2)
+      .select($"centroid_id",
+        $"centroid".cast("array<float>").as("centroid_vec"))
+    // nearest neighbors of a query in cluster A must come from cluster A
+    val queries = planted.filter($"vec_id" === 0L)
+    val cents = model // same schema Similarity.assign expects
+    val assignedQ = Similarity.assign(queries, cents, "embedding", "vec_id", "q", top = 1)
+    val corpusA = Similarity.assign(planted, cents, "embedding", "vec_id", "c", top = 1)
+    val cell = assignedQ.select($"centroid_id").head().getLong(0)
+    val members = corpusA.filter($"centroid_id" === cell)
+      .select($"c_id").collect().map(_.getLong(0)).toSet
+    assert(members.contains(0L) && members.forall(_ < 30L),
+      s"cluster cell should be exactly the planted A members, got $members")
+  }
+}
