@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry of persisted intermediates produced inside operator plans
+  * (minhash signatures, LSH candidates, k-means assignments). Harness
+  * callers release them once the downstream plan has materialized —
+  * repeated invocations would otherwise accumulate cached blocks for the
+  * session lifetime. Kept operator-internal: query code never needs it.
+  */
+private[graft] object Caches {
+  private val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  def register(df: DataFrame): DataFrame = synchronized { buf += df; df }
+
+  /** Unpersist every registered DataFrame. Contract: call AFTER
+    * materializing (count/collect/write) the consuming plan — earlier just
+    * makes the job recompute the intermediate.
+    */
+  def release(): Unit = synchronized {
+    buf.foreach(_.unpersist(blocking = false))
+    buf.clear()
+  }
+}

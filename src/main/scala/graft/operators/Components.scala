@@ -36,17 +36,23 @@ object Components {
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
 
+    // Materialize the pair source ONCE before fanning out: edges reference
+    // it three times (two symmetric branches + the node set), and when the
+    // pairs come from an LSH candidate pipeline each reference would
+    // re-run the whole signature+band-join computation.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // Symmetric edge list (self-pairs add no connectivity and are dropped),
     // plus one self-loop per node so the per-round neighbor-min already
     // includes each node's own label — no union inside the loop.
-    val sym = pairs
+    val sym = p
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("src"),
+      .unionAll(p.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
-    val nodes = pairs
+    val nodes = p
       .select(col(aCol).cast("long").as("src"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("src")))
+      .unionAll(p.select(col(bCol).cast("long").as("src")))
       .distinct()
     val edges = sym.unionAll(nodes.select(col("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -81,6 +87,7 @@ object Components {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     labels.withColumnRenamed("comp", "component")
   }
 

@@ -18,22 +18,14 @@ import graft.functions._
   */
 object Dedup {
 
-  // Persisted intermediates (minhash signatures) registered here so harness
-  // callers can release them once the downstream plan has materialized —
-  // otherwise repeated invocations (Verify runs dedup_minhash AND
-  // dedup_ngram_jaccard, which recomputes signatures) accumulate cached
-  // blocks for the session lifetime.
-  private val cached =
-    scala.collection.mutable.ListBuffer.empty[DataFrame]
-
-  /** Unpersist every DataFrame this module persisted since the last call.
-    * Contract: call AFTER materializing (count/collect/write) the returned
-    * plan; unpersisting earlier just makes the job recompute signatures.
+  /** Unpersist every operator-persisted intermediate since the last call
+    * (see [[Caches]] — minhash signatures, LSH candidates, k-means
+    * assignments all register there). Contract: call AFTER materializing
+    * (count/collect/write) the returned plan; unpersisting earlier just
+    * makes the job recompute signatures. Kept on Dedup for harness
+    * compatibility (Bench/Verify call this between queries).
     */
-  def releaseCaches(): Unit = cached.synchronized {
-    cached.foreach(_.unpersist(blocking = false))
-    cached.clear()
-  }
+  def releaseCaches(): Unit = Caches.release()
 
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
     * Returns one row per duplicate group (n_dups >= 2) with the kept id.
@@ -97,7 +89,7 @@ object Dedup {
       .filter(hasShingles(col("sig")))
     val sigs = if (persistSignatures) {
       val p = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.synchronized { cached += p }
+      Caches.register(p)
       p
     } else sigs0
 
@@ -148,12 +140,12 @@ object Dedup {
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
       .filter(hasShingles(col("sig")))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.synchronized { cached += sigs }
+    Caches.register(sigs)
     val cands0 = bandCandidates(sigs, bands, k / bands)
     // Candidates feed two consumers (the id prune below + the verify join)
     // — persist so banding/join runs once; released via releaseCaches.
     val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.synchronized { cached += cands }
+    Caches.register(cands)
 
     // Exact shingle SETS are the expensive artifact (full arrays, not
     // 8-byte signatures) — build them only for docs that appear in a
@@ -269,12 +261,17 @@ object Dedup {
     val tagged = hyperplaneBuckets(embs, vecCol, idCol, dim, nPlanes, seed)
     val left = tagged.select(col("probe"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
     val right = tagged.select(col("probe"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
+    // verify BEFORE de-duplicating across probe sets: the threshold filter
+    // runs inside the join's codegen stage and kills ~all candidates, so
+    // the dropDuplicates exchange shuffles only (id, id, cos) survivors —
+    // dedup-first would shuffle full vector payloads for every candidate
+    // pair (2×dim×4 bytes each), the dominant cost at corpus scale.
     left.join(right, Seq("probe", "bkt"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** (id, v, probe, bkt) rows — each vector tagged with its sign-bit

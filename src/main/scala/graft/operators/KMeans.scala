@@ -65,8 +65,11 @@ object KMeans {
 
     // final round stays distributed: per-dim means reassembled into the
     // centroid vector (sort_array on (pos, m) structs makes collect_list
-    // order-insensitive), joined with the assignment population
-    val last = assigned
+    // order-insensitive), joined with the assignment population. The
+    // assignment feeds two consumers (centroid agg + population count), so
+    // persist it — released by the harness via Dedup.releaseCaches.
+    val last = Caches.register(assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = last
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))

@@ -268,6 +268,55 @@ object Curation {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // ---- end-to-end curation pipeline ------------------------------------
+    QuerySpec(
+      "curate_pipeline",
+      // The whole training-data flow in one plan: quality gate (length +
+      // punctuation) → exact-dup removal keeping the min id per normalized
+      // 60-char-prefix fingerprint → deterministic md5 train/val split →
+      // per (lang, split) corpus stats. Every stage is deterministic
+      // arithmetic, so DuckDB replays the complete pipeline.
+      """WITH enriched AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT *, md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
+        |  FROM enriched WHERE n_tokens >= 20 AND punct_ratio < 0.2),
+        |deduped AS (
+        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM kept) x
+        |  WHERE doc_id = keep_id),
+        |split AS (
+        |  SELECT *, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '80' THEN 'train' ELSE 'val' END AS split
+        |  FROM deduped)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM split GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val q = graft.operators.TextAnalysis.qualityColumns(col("text"))
+      val enriched = docs.select(col("doc_id"), col("lang"), col("text"),
+        q(0).cast("long").as("n_tokens"), q(2).as("punct_ratio"))
+      val kept = enriched
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.2)
+        .withColumn("fp", md5(substring(normalize_text(col("text")), 1, 60)))
+      val deduped = kept
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+      deduped
+        .withColumn("split",
+          when(md5(col("doc_id").cast("string")) < "80", "train").otherwise("val"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("split"))
+    },
+
     // ---- PII redaction ---------------------------------------------------
     QuerySpec(
       "text_pii",

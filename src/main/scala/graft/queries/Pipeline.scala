@@ -77,8 +77,11 @@ object Pipeline {
 
     QuerySpec.noOracle("dedup_embedding") { (s, dir) =>
       // fixture embeddings are near-orthogonal (max cos ~0.48), so the
-      // "near-dup" bar is the top ~0.5% of pairs; short codes keep recall.
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), planes = 6, threshold = 0.3)
+      // "near-dup" bar is the top ~0.5% of pairs. planes DERIVE from the
+      // corpus size (the scale-safe path): a pinned plane count would turn
+      // the within-bucket verify quadratic as the corpus grows.
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.3,
+          targetBucketSize = 128L)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -104,6 +104,36 @@ object EventStreams {
     events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
       .drop(dimKey)
 
+  /** Watermarked stream-stream inner join: each view event pairs with the
+    * purchase events of the same user that follow it within `horizon`
+    * (attribution joins — "which exposure preceded the conversion").
+    *
+    * Both sides carry watermarks and the join condition bounds the event-
+    * time distance, so Spark derives state-eviction watermarks for BOTH
+    * buffers — without the time bound, stream-stream join state grows
+    * forever. State size ≈ horizon × per-user event rate, independent of
+    * stream length — safe on any cluster as long as user_id hash-
+    * partitions evenly.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftType: String = "view", rightType: String = "purchase",
+      horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Drive a streaming DataFrame to a memory sink synchronously (test /
     * smoke harness): processes everything currently in the source dir.
     */

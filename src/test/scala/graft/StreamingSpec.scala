@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSuite {
       s"got ${got.count()} rows, want $expected (duplicates not removed)")
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.streamStreamJoin(stream, stream), "ss_join")
+
+    val ev = Tables.load(spark, sfDir, "events")
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val batch = l.join(r,
+      col("l_user") === col("r_user") && col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+    assert(got.count() > 0, "stream-stream join emitted nothing")
+    // inner joins in append mode emit every matched pair once all inputs
+    // are below the watermark; AvailableNow over a static dir processes
+    // everything, so counts must agree exactly
+    assert(got.count() == batch.count(),
+      s"stream=${got.count()} batch=${batch.count()}")
+    val gotPairs = got.select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val batchPairs = batch.select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(gotPairs == batchPairs, "joined pair sets differ")
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     val dim = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
