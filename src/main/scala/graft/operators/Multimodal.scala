@@ -167,6 +167,68 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(decodeOne))
   }
 
+  /** REAL image resize: decode via `javax.imageio`, resample with
+    * deterministic nearest-neighbor (src = floor(dst·srcDim/dstDim) — our
+    * own loop, not AWT's smoothing scaler, so every JVM produces identical
+    * rasters), then re-extract features from the resampled raster. The
+    * checksum hashes the resampled RGB bytes, so any raster-geometry bug
+    * (off-by-one sampling, axis swap, out-of-bounds black rows) changes
+    * observable output. Non-image payloads take the pseudo path via
+    * [[resize]]. Partition-wise, no shuffle, fixed-size output rows.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, targetW: Int,
+      targetH: Int): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { row =>
+      val bytes = if (row.content == null) Array.empty[Byte] else row.content
+      val img =
+        if (row.media_type == "image" && bytes.length > 0)
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        else null
+      if (img == null) resizeOnePseudo(decodeOne(row), targetW, targetH)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](targetW * targetH * 3)
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var y = 0
+        while (y < targetH) {
+          val sy = y * h / targetH
+          var x = 0
+          while (x < targetW) {
+            val sx = x * w / targetW
+            val rgb = img.getRGB(sx, sy)
+            val i = (y * targetW + x) * 3
+            out(i) = ((rgb >> 16) & 0xff).toByte
+            out(i + 1) = ((rgb >> 8) & 0xff).toByte
+            out(i + 2) = (rgb & 0xff).toByte
+            sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = targetW.toLong * targetH
+        val cks = fnv1a(out)
+        val feats = new Array[Float](FeatureDim)
+        feats(0) = (sumR.toDouble / n / 255.0).toFloat
+        feats(1) = (sumG.toDouble / n / 255.0).toFloat
+        feats(2) = (sumB.toDouble / n / 255.0).toFloat
+        var j = 3
+        while (j < FeatureDim) { feats(j) = pseudoFeature(cks, j); j += 1 }
+        DecodedMedia(row.media_id, row.media_type, targetW, targetH,
+          img.getColorModel.getNumComponents, bytes.length.toLong, cks, feats)
+      }
+    })
+  }
+
+  private def resizeOnePseudo(m: DecodedMedia, targetW: Int,
+      targetH: Int): DecodedMedia = {
+    val scale = (targetW.toDouble * targetH) / math.max(m.width.toLong * m.height, 1L)
+    val h2 = VectorOps.mix64(m.checksum ^ (targetW.toLong << 32 | targetH.toLong))
+    DecodedMedia(m.media_id, m.media_type, targetW, targetH, m.channels,
+      m.n_bytes, h2, m.features.map(f => (f * scale).toFloat))
+  }
+
   /** STUB resize: deterministic "rescale" of decoded media to target
     * dimensions. A real deployment swaps the body for an image kernel; the
     * contract — typed map, no shuffle, output dims fixed so downstream
@@ -175,14 +237,7 @@ object Multimodal {
   def resize(decoded: Dataset[DecodedMedia], targetW: Int,
       targetH: Int): Dataset[DecodedMedia] = {
     import decoded.sparkSession.implicits._
-    decoded.map { m =>
-      // fold the scale change into the checksum + features so the fake
-      // stays deterministic per (input, target) — stands in for resampling
-      val scale = (targetW.toDouble * targetH) / math.max(m.width.toLong * m.height, 1L)
-      val h2 = VectorOps.mix64(m.checksum ^ (targetW.toLong << 32 | targetH.toLong))
-      DecodedMedia(m.media_id, m.media_type, targetW, targetH, m.channels,
-        m.n_bytes, h2, m.features.map(f => (f * scale).toFloat))
-    }
+    decoded.map(resizeOnePseudo(_, targetW, targetH))
   }
 
   /** Frame sampling: split the payload into `n` fixed-stride "frames"

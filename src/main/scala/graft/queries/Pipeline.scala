@@ -383,11 +383,29 @@ object Pipeline {
         .orderBy(col("media_id"))
     },
 
-    QuerySpec.noOracle("multimodal_resize") { (s, dir) =>
-      val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.resize(Multimodal.decode(s, media), 224, 224).toDF()
-        .select(col("media_id"), col("width"), col("height"),
-          col("checksum"), col("features")(0).as("f0"))
+    QuerySpec(
+      "multimodal_resize",
+      // REAL decode → nearest-neighbor resample → feature re-extract over
+      // generated PNGs. NN-resampling a constant-fill image preserves the
+      // fill exactly, so the oracle predicts the post-resize means from
+      // arithmetic on the id; dims/channels prove the raster geometry.
+      // (Gradient-image resample geometry is asserted in OperatorSpec,
+      // where double-vs-float32 noise isn't a constraint.)
+      """SELECT doc_id AS media_id, 224 AS width, 224 AS height,
+        |  3 AS channels,
+        |  doc_id % 256 AS mean_r,
+        |  (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.imageTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.resizeImages(s, media, 224, 224).toDF()
+        .select(col("media_id"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          col("channels").cast("int").as("channels"),
+          round(col("features")(0) * 255).cast("long").as("mean_r"),
+          round(col("features")(1) * 255).cast("long").as("mean_g"),
+          round(col("features")(2) * 255).cast("long").as("mean_b"))
         .orderBy(col("media_id"))
     },
 

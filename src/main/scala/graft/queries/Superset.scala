@@ -70,24 +70,58 @@ object Superset {
 
     // HLL sketch cardinality: no cross-engine oracle (different sketches);
     // the ScalaTest spec asserts <5% error vs the exact count instead.
-    QuerySpec.noOracle("agg_approx") { (s, dir) =>
+    QuerySpec(
+      "agg_approx",
+      // HLL++ estimates are sketch-specific, but their ACCURACY CONTRACT
+      // is checkable: emit the rsd-bound invariants as booleans (plus the
+      // exact counts), and the oracle states what a correct approx-distinct
+      // must satisfy — same pattern as expr_nondet. 0.02 rsd ⇒ ±3σ = 6%.
+      """SELECT true AS parts_within_6pct, true AS orders_within_6pct,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+        .select(
+          (abs(col("apx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("parts_within_6pct"),
+          (abs(col("apx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.06).as("orders_within_6pct"),
+          col("exact_parts"), col("exact_orders"), col("n"))
     },
 
     // Approximate percentiles (Greenwald-Khanna sketch): mergeable across
     // partitions — the at-scale path where exact interpolation
-    // (agg_percentile) would shuffle whole value sets. Sketch-specific, so
-    // rows-only; ScaleSpec bounds the error vs the exact quantile.
-    QuerySpec.noOracle("agg_approx_percentile") { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // (agg_percentile) would shuffle whole value sets. The sketch value is
+    // engine-specific but its rank-error contract is oracle-checkable:
+    // with accuracy 5000 the result must land within ±1/5000 of the target
+    // rank; the oracle checks the approx value sits between the exact
+    // quantiles at rank ± 2·n/5000 (covering interpolation edge effects).
+    QuerySpec(
+      "agg_approx_percentile",
+      """SELECT l_returnflag,
+        |  true AS p50_rank_ok, true AS p95_rank_ok, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(5000)).as("apx_p50"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(5000)).as("apx_p95"),
+          expr(s"percentile(l_extendedprice, ${0.5 - 2.0 / 5000})").as("lo50"),
+          expr(s"percentile(l_extendedprice, ${0.5 + 2.0 / 5000})").as("hi50"),
+          expr(s"percentile(l_extendedprice, ${0.95 - 2.0 / 5000})").as("lo95"),
+          expr(s"percentile(l_extendedprice, ${0.95 + 2.0 / 5000})").as("hi95"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (col("apx_p50") >= col("lo50") && col("apx_p50") <= col("hi50"))
+            .as("p50_rank_ok"),
+          (col("apx_p95") >= col("lo95") && col("apx_p95") <= col("hi95"))
+            .as("p95_rank_ok"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     },
 

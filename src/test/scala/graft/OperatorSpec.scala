@@ -219,6 +219,30 @@ class OperatorSpec extends SparkSuite {
     assert(d1.forall(d => d.features.forall(f => f >= 0f && f <= 1f)))
   }
 
+  test("real NN-resize reproduces exact resample geometry on a gradient") {
+    // 4x2 image with red = x*60: NN-resample to 8x2 duplicates each source
+    // column (sx = x*4/8 = x/2), so the resampled mean is the exact mean
+    // of [0,0,60,60,120,120,180,180] = 90 — computed here in double, so a
+    // raster-geometry bug (off-by-one, axis swap) shifts it detectably.
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, (x * 60) << 16)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    import spark.implicits._
+    val media = Seq((7L, "image", baos.toByteArray))
+      .toDF("media_id", "media_type", "content")
+    val out = Multimodal.resizeImages(spark, media, 8, 2).collect().head
+    assert(out.width == 8 && out.height == 2 && out.channels == 3)
+    assert(math.abs(out.features(0) * 255.0 - 90.0) < 0.01,
+      s"gradient resample mean off: ${out.features(0) * 255.0}")
+    assert(out.features(1) == 0f && out.features(2) == 0f)
+    // upscale then check a distinctive corner mapping: dst x=7 -> src x=3
+    val out2 = Multimodal.resizeImages(spark, media, 2, 2).collect().head
+    // downscale 2x2: sx = x*4/2 = {0,2} -> mean of [0,120] = 60
+    assert(math.abs(out2.features(0) * 255.0 - 60.0) < 0.01)
+  }
+
   test("multimodal resize fixes output dims deterministically") {
     val media = Multimodal.mediaTable(
       Tables.load(spark, sfDir, "documents").limit(30), "doc_id", "text")

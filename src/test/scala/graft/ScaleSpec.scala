@@ -85,27 +85,23 @@ class ScaleSpec extends SparkSuite {
     assert(exact == salted)
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct accuracy invariants hold (oracle booleans)") {
+    // the query now emits its rsd-bound invariants as booleans the DuckDB
+    // oracle checks hash-exact; here we assert they are actually true AND
+    // the exact counts are sane
     val row = SparkEntry.queries("agg_approx")(spark, sfDir).collect()(0)
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val exactParts = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
-    val exactOrders = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
-    assert(math.abs(row.getLong(0) - exactParts).toDouble / exactParts < 0.05)
-    assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
+    assert(row.getBoolean(0), "apx_parts outside the 6% rsd bound")
+    assert(row.getBoolean(1), "apx_orders outside the 6% rsd bound")
+    assert(row.getLong(2) > 0 && row.getLong(3) > 0 && row.getLong(4) > 0)
   }
 
-  test("approx percentile within 2% of the exact quantile") {
-    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = Tables.load(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    exact.foreach { case (flag, (p50, p95)) =>
-      val (a50, a95) = rows(flag)
-      assert(math.abs(a50 - p50) / p50 < 0.02, s"$flag p50: approx=$a50 exact=$p50")
-      assert(math.abs(a95 - p95) / p95 < 0.02, s"$flag p95: approx=$a95 exact=$p95")
+  test("approx percentile rank-error invariants hold (oracle booleans)") {
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"${r.getString(0)}: p50 outside rank bound")
+      assert(r.getBoolean(2), s"${r.getString(0)}: p95 outside rank bound")
+      assert(r.getLong(3) > 0)
     }
   }
 
