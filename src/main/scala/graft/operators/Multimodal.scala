@@ -95,15 +95,31 @@ object Multimodal {
         val h = img.getHeight
         val ch = img.getColorModel.getNumComponents
         var sumR = 0L; var sumG = 0L; var sumB = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
-            x += 1
+        // fast path: PNG/JPEG decode to TYPE_3BYTE_BGR — sum straight off
+        // the raster's backing byte buffer (getRGB does a per-pixel
+        // colorspace conversion and dominated decode wall-clock at scale)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          val end = w * h * 3
+          while (i < end) {
+            sumB += buf(i) & 0xff
+            sumG += buf(i + 1) & 0xff
+            sumR += buf(i + 2) & 0xff
+            i += 3
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
         }
         val n = w.toLong * h
         val cks = fnv1a(bytes)

@@ -88,6 +88,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** N-gram-overlap benchmark decontamination (the GPT-3/Pile recipe):
+    * flag any document sharing at least one word n-gram with the benchmark
+    * set, with the matching-gram count for thresholding.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites, not training data) — broadcast it; corpus grams stream
+    * through the join scan-side (explode → broadcast-hash-join → count),
+    * so nothing corpus-sized shuffles and no gram set is ever collected.
+    */
+  def ngramDecontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def grams(df: DataFrame) =
+      explode(array_distinct(word_shingles(tokens(df(textCol)), n))).as("gram")
+    val bg = benchmark.select(grams(benchmark)).distinct()
+    val hits = docs.select(col(idCol), grams(docs))
+      .join(broadcast(bg), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram")).as("n_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

@@ -268,6 +268,32 @@ object Curation {
         .orderBy(col("lang"), col("rn"))
     },
 
+    QuerySpec(
+      "text_decontaminate_ngram",
+      // n-gram-overlap decontamination (text_decontaminate is the literal
+      // ban-phrase variant): benchmark = every 97th doc, 3-grams (fixture
+      // docs are ~25-60 tokens, so 13-grams would be vacuous at this SF).
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END)) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        |         FROM grams g JOIN bench USING (gram) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(n_hits, 0) AS n_contaminated_grams,
+        |  coalesce(n_hits, 0) > 0 AS contaminated
+        |FROM toks t LEFT JOIN hits USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.ngramDecontaminate(
+          docs, docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- end-to-end curation pipeline ------------------------------------
     QuerySpec(
       "curate_pipeline",
