@@ -78,6 +78,10 @@ class GraftContext(val spark: SparkSession) {
   private def register(name: String, df: DataFrame, path: Option[String],
       fmt: String): DataFrame = {
     df.createOrReplaceTempView(name)
+    // global temp view too: sibling sessions spawned by the per-query
+    // config_options path (sql(query, options)) resolve the same tables
+    // through global_temp without re-reading or re-planning anything
+    df.createOrReplaceGlobalTempView(name)
     catalog.put(name, TableEntry(name, df, path, fmt))
     df
   }
@@ -106,6 +110,7 @@ class GraftContext(val spark: SparkSession) {
 
   def dropTable(name: String): Unit = {
     catalog.remove(name)
+    spark.catalog.dropGlobalTempView(name)
     // The instance map can be stale (a second context on the same session
     // never saw the createBucketedTable) — consult the SESSION's state:
     // drop the temp view if one exists, else fall through to the catalog
@@ -128,6 +133,36 @@ class GraftContext(val spark: SparkSession) {
     * reference returns a materialized cudf DataFrame — call `.collect()`
     * for that behavior). */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Run SQL under per-query engine-config overrides — the reference's
+    * `sql(query, config_options={...})` (context.py:3071-3121), where the
+    * options govern that one query and never touch the context's settings.
+    *
+    * Spark-native isolation instead of set-then-restore: the query plans
+    * against a SIBLING session (`SparkSession.newSession` — shared
+    * SparkContext, shared external catalog and cached data, independent
+    * SQLConf). The returned DataFrame stays lazy and still executes under
+    * the overrides whenever the caller finally acts on it, and concurrent
+    * queries on the main session never observe the temporary values (a
+    * save/restore on the shared conf would race them). Registered tables
+    * resolve through the global temp views created at create_table time —
+    * same logical plans, no re-read.
+    */
+  def sql(query: String, configOptions: Map[String, String]): DataFrame = {
+    if (configOptions.isEmpty) return sql(query)
+    val resolved = resolveOptions(configOptions) // validate BEFORE spawning
+    val sub = spark.newSession()
+    graft.functions.registerSql(sub)
+    resolved.foreach { case (_, k, v) => sub.conf.set(k, v) }
+    // alias each registered table into the sibling session; a temp view
+    // over global_temp is pure analysis-time aliasing (pushdown intact)
+    catalog.keys.foreach { name =>
+      if (spark.catalog.tableExists("global_temp", name))
+        sub.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
+          s"SELECT * FROM global_temp.`$name`")
+    }
+    sub.sql(query)
+  }
 
   /** Async submission: the reference's sql(..., return_token=True) +
     * status/fetch (context.py:3071-3344). */
@@ -237,9 +272,16 @@ class GraftContext(val spark: SparkSession) {
     * Spark conf with DIFFERENT values also raise, for the same reason:
     * map iteration order silently picking a winner hides a config.
     */
-  def configure(options: Map[String, String]): Unit = {
-    // resolve (and validate) every key BEFORE mutating the session, so a
-    // typo partway through can't leave it half-configured
+  def configure(options: Map[String, String]): Unit =
+    resolveOptions(options).foreach { case (_, k, v) => spark.conf.set(k, v) }
+
+  /** Resolve (and validate) config options to `(givenKey, sparkKey, value)`
+    * BEFORE any session is mutated, so a typo partway through can't leave
+    * it half-configured. Shared by [[configure]] and the per-query
+    * `sql(query, configOptions)` overload.
+    */
+  private def resolveOptions(
+      options: Map[String, String]): Seq[(String, String, String)] = {
     val resolved = options.toSeq.map { case (k, v) =>
       val sparkKey = GraftContext.configKeyMap.getOrElse(k,
         if (k.nonEmpty && k == k.toUpperCase && !k.contains("."))
@@ -253,7 +295,7 @@ class GraftContext(val spark: SparkSession) {
           s"conflicting values for Spark conf $sparkKey via options " +
             entries.map(e => s"${e._1}=${e._3}").mkString(", "))
     }
-    resolved.foreach { case (_, k, v) => spark.conf.set(k, v) }
+    resolved
   }
 
   // ---- query log (context.py:3346-3608 bc.log over bsql_logs) ------------

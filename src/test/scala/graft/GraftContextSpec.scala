@@ -90,6 +90,28 @@ class GraftContextSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sql(query, configOptions) scopes overrides to that one query") {
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_cfg_nation", s"$sfDir/nation.parquet")
+    val mainShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = "SELECT n_regionkey, count(*) AS n FROM gc_cfg_nation " +
+      "GROUP BY n_regionkey ORDER BY n_regionkey"
+
+    val df = ctx.sql(q, Map("EXECUTOR_THREADS" -> "7"))
+    // override is live on the query's own (sibling) session, invisible to
+    // the context's session — per-query scoping, not set-then-restore
+    assert(df.sparkSession.conf.get("spark.sql.shuffle.partitions") == "7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == mainShuffle)
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      ctx.sql(q).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
+
+    // validation happens before any session is touched
+    intercept[IllegalArgumentException] {
+      ctx.sql(q, Map("NOT_A_REAL_ENGINE_OPTION" -> "1"))
+    }
+    ctx.dropTable("gc_cfg_nation")
+  }
+
   test("query log records materialized queries, queryable via log()") {
     val ctx = GraftContext(spark)
     ctx.createTable("gc_log_nation", s"$sfDir/nation.parquet")
