@@ -274,6 +274,44 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup whose
+    * quadratic pair search is BOUNDED by clustering first — near-dup
+    * candidates exist only within a cluster, so per-cluster verify work is
+    * (n/k)² instead of n², and the cluster id is the one shuffle key.
+    *
+    * Keep rule: a document is dropped when some smaller-id document in the
+    * SAME cluster is ≥ `threshold` cosine-similar ("keep lowest id" — the
+    * paper keeps the pair member farthest from the centroid; any
+    * deterministic representative works, and min-id is non-recursive, so
+    * an independent engine replays it with a plain anti-join).
+    *
+    * Scale shape: the coarse assignment is [[Similarity.assign]]'s
+    * map-side argmax over broadcast centroids (zero shuffle for the
+    * corpus); the within-cluster self-join is the only exchange, keyed by
+    * centroid_id, and the cosine filter runs inside its codegen stage so
+    * only surviving (id, id) pairs reach the distinct.
+    *
+    * Returns (idCol, centroid_id, kept) for every input vector.
+    */
+  def semDedup(embs: DataFrame, nlist: Int = 16, threshold: Double = 0.9,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = Similarity.centroids(embs, nlist, vecCol, idCol)
+    val assigned = Similarity.assign(embs, cents, vecCol, idCol, "c", top = 1)
+    val a = assigned.select(col("centroid_id"), col("c_id").as("id_a"),
+      col("c_vec").as("v_a"))
+    val b = assigned.select(col("centroid_id"), col("c_id").as("id_b"),
+      col("c_vec").as("v_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_similarity(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select(col("c_id").as(idCol), col("centroid_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
   /** (id, v, probe, bkt) rows — each vector tagged with its sign-bit
     * bucket under two independent hyperplane sets. Exposed for occupancy
     * tests; [[embeddingPairs]] self-joins this on (probe, bkt).

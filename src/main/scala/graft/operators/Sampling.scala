@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deterministic corpus sampling for training-data assembly.
+  *
+  * Everything here is pure hash arithmetic — membership in a sample is a
+  * property of the ROW, not of partitioning, executor count, or iteration
+  * order, so a 100-TB corpus resampled after growing (or on a different
+  * cluster) keeps every previously-selected row stable, and an independent
+  * engine can replay the exact selection.
+  */
+object Sampling {
+
+  /** 32-bit uniform hash of an id: the first 8 md5 hex digits as a long in
+    * [0, 2³²). Cheap, engine-agnostic, and uncorrelated with the id's own
+    * magnitude (unlike `id % k` sampling, which aliases any id-assignment
+    * pattern straight into the sample).
+    */
+  def hash32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Bernoulli-sample `fraction` of rows, deterministically. */
+  def bernoulli(docs: DataFrame, fraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    docs.filter(hash32(col(idCol)) < math.floor(fraction * 4294967296.0).toLong)
+  }
+
+  /** Domain-mixture sampling to a token budget (the data-mixing step of a
+    * pretraining pipeline: "50% en, 20% zh, ... capped at N tokens").
+    *
+    * Per domain d with normalized weight w_d: the token target is
+    * `budgetTokens`·w_d, the sampling fraction is min(1, target/available),
+    * and a document is kept when hash32(id) < fraction·2³². Domains absent
+    * from `weights` get fraction 0 (dropped).
+    *
+    * Scale shape: one partial-aggregated pass computes per-domain token
+    * availability (a handful of rows), which broadcast-joins back onto the
+    * corpus; the keep decision is then a scan-local filter — nothing
+    * corpus-sized shuffles, and the sample needs no sorting or windowing.
+    *
+    * Returns one row per input document: (idCol, domainCol, n_tokens,
+    * threshold, kept) — callers filter on `kept`; the threshold column
+    * makes the decision auditable.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      budgetTokens: Long, domainCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: empty weight map")
+    val wSum = weights.values.sum
+    require(wSum > 0, s"mixtureSample: weights must sum > 0, got $wSum")
+    val wCol = coalesce(
+      element_at(typedlit(weights), col(domainCol)), lit(0.0))
+    val toks = docs.select(col(idCol), col(domainCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val avail = toks.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+    toks.join(broadcast(avail), Seq(domainCol))
+      .withColumn("threshold",
+        floor(least(lit(1.0),
+          lit(budgetTokens) * wCol / wSum / col("avail_tokens"))
+          * 4294967296.0).cast("long"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("threshold"),
+        (hash32(col(idCol)) < col("threshold")).as("kept"))
+  }
+}

@@ -113,6 +113,38 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** GPT-style sequence packing: documents are concatenated in id order
+    * and cut into fixed `seqLen`-token training sequences; a document whose
+    * tokens straddle a cut spans consecutive sequences (pretraining packs
+    * split documents across context boundaries rather than padding).
+    *
+    * Packing runs independently per `shardSize`-doc shard: the shard is
+    * the parallelism unit — the running-total window partitions by shard,
+    * so no stage ever funnels the corpus into one partition, and at
+    * cluster scale each shard maps onto one output file of the training
+    * set. Sequence numbers are shard-local.
+    *
+    * Returns (idCol, shard, n_tokens, first_seq, last_seq, n_seqs).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048, shardSize: Int = 500,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0 && shardSize > 0, "seqLen and shardSize must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        expr(s"$idCol div $shardSize").as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // empty docs still occupy a point in the stream: greatest(n,1) keeps
+      // last_seq >= first_seq without advancing the cumulative offset
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("first_seq"),
+        expr(s"(cum_before + greatest(n_tokens, 1L) - 1L) div $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

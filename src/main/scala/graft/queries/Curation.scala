@@ -268,6 +268,38 @@ object Curation {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // ---- semantic (embedding-cluster) dedup ------------------------------
+    QuerySpec(
+      "dedup_semantic",
+      // SemDeDup replayed end-to-end: deterministic coarse centroids
+      // (every n/8-th vector), argmax assignment (tie → smallest centroid),
+      // within-cluster cosine ≥ 0.42 against any smaller id ⇒ dropped
+      // (the fixture's top decile of similarity; sf1's perturbed copies sit
+      // far above it, so the same query drops true near-dups at scale).
+      // Cosines compare on raw doubles (DOUBLE[] cast matches Spark's
+      // double accumulation); no cosine is emitted, so no rounding needed.
+      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 8, 1) AS step),
+        |cents AS (
+        |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings, params WHERE vec_id % step = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) x WHERE crn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42)
+        |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings"), nlist = 8, threshold = 0.42)
+        .orderBy(col("vec_id"))
+    },
+
     QuerySpec(
       "text_decontaminate_ngram",
       // n-gram-overlap decontamination (text_decontaminate is the literal
@@ -291,6 +323,60 @@ object Curation {
       val docs = t(s, dir, "documents")
       graft.operators.TextAnalysis.ngramDecontaminate(
           docs, docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- dataset assembly: packing and mixing ----------------------------
+    QuerySpec(
+      "pack_sequences",
+      // GPT-style concatenate-and-chunk: within each 200-doc shard, docs
+      // concatenate in id order and cut into 1024-token sequences; a doc
+      // straddling a cut spans consecutive ones. Pure integer window
+      // arithmetic — replayed exactly.
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 200 AS shard,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum_before // 1024 AS first_seq,
+        |  (cum_before + greatest(n_tokens, 1) - 1) // 1024 AS last_seq,
+        |  (cum_before + greatest(n_tokens, 1) - 1) // 1024 - cum_before // 1024 + 1 AS n_seqs
+        |FROM cum ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAnalysis.packSequences(
+          t(s, dir, "documents"), seqLen = 1024, shardSize = 200)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "sample_mixture",
+      // Domain mixing to a 10k-token budget with power-of-two weights
+      // (their sum is EXACTLY 1.0 in binary under any summation order, so
+      // the normalizing division is an exact no-op on both engines and the
+      // per-lang threshold integer is bit-reproducible).
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens FROM toks GROUP BY 1),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0, 10000 *
+        |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 WHEN 'es' THEN 0.125
+        |                 WHEN 'de' THEN 0.0625 WHEN 'fr' THEN 0.0625 ELSE 0.0 END)
+        |      / avail_tokens) * 4294967296.0) AS BIGINT) AS threshold
+        |  FROM avail)
+        |SELECT t.doc_id, t.lang, t.n_tokens, thr.threshold,
+        |  ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr.threshold AS kept
+        |FROM toks t JOIN thr USING (lang) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+          t(s, dir, "documents"),
+          weights = Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.125,
+            "de" -> 0.0625, "fr" -> 0.0625),
+          budgetTokens = 10000L)
         .orderBy(col("doc_id"))
     },
 

@@ -152,6 +152,48 @@ class OperatorSpec extends SparkSuite {
       s"worst bucket $autoMax exceeds ${target * 64} (planes=$autoPlanes)")
   }
 
+  test("semDedup drops only higher-id within-cluster near-dups") {
+    // Two well-separated directions (→ 2 clusters with nlist=2); ids 0,1,4
+    // point one way, ids 2,3,5 the other. Within each cluster every pair is
+    // near-identical, so the keep-lowest-id rule keeps exactly {0, 2}.
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val embs = Seq(
+      (0L, v(1f, 0f)), (1L, v(0.999f, 0.01f)), (4L, v(0.998f, 0.02f)),
+      (2L, v(0f, 1f)), (3L, v(0.01f, 0.999f)), (5L, v(0.02f, 0.998f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(embs, nlist = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 6)
+    assert(out.filter(_._2).keySet == Set(0L, 2L),
+      s"kept set was ${out.filter(_._2).keySet}")
+  }
+
+  test("packSequences cuts the concatenated stream at exact token offsets") {
+    // token counts 3,4,2,5 into 4-token sequences (one shard):
+    // offsets 0,3,7,9 → spans [0,0],[0,1],[1,2],[2,3]
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b"), (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, seqLen = 4, shardSize = 100)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq((0L, 0L, 0L, 1L), (1L, 0L, 1L, 2L),
+      (2L, 1L, 2L, 2L), (3L, 2L, 3L, 2L)))
+  }
+
+  test("mixtureSample keeps everything under a loose budget, drops unweighted domains") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "b", "six seven eight")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixtureSample(docs, Map("a" -> 1.0), budgetTokens = 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // budget >> available ⇒ fraction 1 ⇒ threshold 2^32, every hash below it
+    assert(out(1L) == (4294967296L, true) && out(2L) == (4294967296L, true))
+    // domain with no weight ⇒ threshold 0 ⇒ dropped
+    assert(out(3L) == (0L, false))
+  }
+
   test("langId picks en for english-looking text and zh for CJK") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),
