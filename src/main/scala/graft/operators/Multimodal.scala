@@ -49,6 +49,21 @@ object Multimodal {
     * Encoded with `javax.imageio` (JDK built-in; works headless).
     */
   def syntheticPng(id: Long): Array[Byte] = {
+    // every output field is a function of (id mod 256, id mod 13): w = 8 +
+    // id%16 and 16 | 256, and r/g/b reduce mod 256 — so there are only
+    // 256×13 = 3328 distinct payloads. Memoize the encode executor-side;
+    // encoding (writer lookup + deflate) per ROW had dominated both
+    // multimodal fixtures' wall-clock at sf1, which measured the
+    // generator, not the decoder under test.
+    val key = (java.lang.Math.floorMod(id, 256L) * 13 +
+      java.lang.Math.floorMod(id, 13L)).toInt
+    pngCache.computeIfAbsent(key, _ => encodePng(id))
+  }
+
+  private val pngCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  private def encodePng(id: Long): Array[Byte] = {
     val w = 8 + java.lang.Math.floorMod(id, 16L).toInt
     val h = 8 + java.lang.Math.floorMod(id, 13L).toInt
     val r = java.lang.Math.floorMod(id, 256L).toInt
@@ -56,12 +71,13 @@ object Multimodal {
     val b = java.lang.Math.floorMod(id * 13, 256L).toInt
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val rgb = (r << 16) | (g << 8) | b
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
+    // constant fill straight into the raster buffer (BGR byte order)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < buf.length) {
+      buf(i) = b.toByte; buf(i + 1) = g.toByte; buf(i + 2) = r.toByte
+      i += 3
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
@@ -81,6 +97,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** Thread-local PNG reader: `ImageIO.read` does a plugin-registry scan
+    * and allocates a fresh reader PER CALL — measurable at millions of
+    * small images. One reader per executor thread, `setInput` per payload.
+    */
+  private val pngReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        if (it.hasNext) it.next() else null
+      }
+    }
+
+  /** Decode any supported format; PNG payloads (signature-sniffed) reuse
+    * the thread-local reader, everything else takes the general
+    * registry path. Returns null when the bytes aren't a parseable image.
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      val rd = pngReader.get()
+      if (rd != null) {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          rd.setInput(iis)
+          return rd.read(0)
+        } catch {
+          case scala.util.control.NonFatal(_) => // corrupt → general path
+        } finally iis.close()
+      }
+    }
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** Real image decode via `javax.imageio`: dimensions, channel count, and
     * mean R/G/B (features 0-2, scaled to [0,1]) come from the actual
     * decoded raster. Returns None when the bytes aren't a parseable image
@@ -88,7 +138,7 @@ object Multimodal {
     */
   private def decodeImage(row: MediaRow, bytes: Array[Byte]): Option[DecodedMedia] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) None
       else {
         val w = img.getWidth
@@ -199,7 +249,7 @@ object Multimodal {
       val bytes = if (row.content == null) Array.empty[Byte] else row.content
       val img =
         if (row.media_type == "image" && bytes.length > 0)
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          try readImage(bytes)
           catch { case scala.util.control.NonFatal(_) => null }
         else null
       if (img == null) resizeOnePseudo(decodeOne(row), targetW, targetH)
@@ -207,18 +257,31 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Byte](targetW * targetH * 3)
         var sumR = 0L; var sumG = 0L; var sumB = 0L
+        // same raster fast path as decodeImage: read source pixels straight
+        // off the TYPE_3BYTE_BGR backing buffer; getRGB's per-pixel
+        // colorspace conversion dominated resize wall-clock at sf1
+        val bgr =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+          else null
         var y = 0
         while (y < targetH) {
           val sy = y * h / targetH
           var x = 0
           while (x < targetW) {
             val sx = x * w / targetW
-            val rgb = img.getRGB(sx, sy)
             val i = (y * targetW + x) * 3
-            out(i) = ((rgb >> 16) & 0xff).toByte
-            out(i + 1) = ((rgb >> 8) & 0xff).toByte
-            out(i + 2) = (rgb & 0xff).toByte
-            sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+            var r = 0; var g = 0; var b = 0
+            if (bgr != null) {
+              val s = (sy * w + sx) * 3
+              b = bgr(s) & 0xff; g = bgr(s + 1) & 0xff; r = bgr(s + 2) & 0xff
+            } else {
+              val rgb = img.getRGB(sx, sy)
+              r = (rgb >> 16) & 0xff; g = (rgb >> 8) & 0xff; b = rgb & 0xff
+            }
+            out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+            sumR += r; sumG += g; sumB += b
             x += 1
           }
           y += 1
