@@ -46,7 +46,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // materialize through the query's OWN plan (toRdd): a plain count()
+      // lets the optimizer prune every unreferenced column — a
+      // projection/window query would bench its scan, not its compute
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case t: Throwable =>
           System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
       // capture BEFORE cache release/cleanup so only the query is measured

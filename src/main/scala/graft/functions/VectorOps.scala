@@ -185,6 +185,94 @@ object VectorOps {
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  /** Canonical stopword sets for the langId heuristic (shared with
+    * `TextAnalysis.stopwords` — one definition, two surfaces). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "por", "con"),
+    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "con", "non"))
+
+  private val langIdLangs: Array[String] = stopwords.keys.toArray.sorted
+  private val langIdMaxSwLen = stopwords.valuesIterator.flatten.map(_.length).max
+  // token → bitmask of languages that list it as a stopword: ONE hash
+  // lookup per token instead of 5 langs × 10 array_contains scans
+  private val stopwordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var li = 0
+    while (li < langIdLangs.length) {
+      stopwords(langIdLangs(li)).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue) | (1 << li)))
+      }
+      li += 1
+    }
+    m
+  }
+
+  /** Fused language-ID kernel, result-identical to the declarative
+    * stopword-ratio argmax (`TextAnalysis` composed form, asserted in
+    * RegressionSpec): CJK code-point ratio > 0.3 ⇒ "zh"; otherwise the
+    * language with the max stopword-hit ratio over the `\s+` tokens of
+    * `lower(text)` (ties → lexicographically greatest lang, exactly like
+    * `array_max` over (score, lang) structs); all-zero scores ⇒ "unknown".
+    * One pass over the bytes; no regexes, no intermediate arrays.
+    */
+  def langId(text: UTF8String): UTF8String = {
+    // CJK override counts CODE POINTS of the raw text (Spark's length())
+    val s = text.toString
+    var ci = 0; var nCp = 0; var nCjk = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) nCjk += 1
+      nCp += 1
+      ci += Character.charCount(cp)
+    }
+    if (nCp > 0 && nCjk.toDouble / nCp > 0.3) return UTF8String.fromString("zh")
+
+    val bytes = text.toLowerCase.getBytes
+    val counts = new Array[Int](langIdLangs.length)
+    var nTok = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13)
+      if (!ws) {
+        val st = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+        }) i += 1
+        nTok += 1
+        // stopwords are short ASCII: longer tokens can't match, skip decode
+        if (i - st <= langIdMaxSwLen) {
+          val mask = stopwordMask.get(
+            new String(bytes, st, i - st, java.nio.charset.StandardCharsets.UTF_8))
+          if (mask != null) {
+            val m = mask.intValue
+            var j = 0
+            while (j < counts.length) {
+              if ((m & (1 << j)) != 0) counts(j) += 1
+              j += 1
+            }
+          }
+        }
+      } else i += 1
+    }
+    var best = 0.0
+    var bestLang: String = langIdLangs(0)
+    if (nTok > 0) {
+      var j = 0
+      while (j < counts.length) {
+        val sc = counts(j).toDouble / nTok
+        if (sc >= best) { best = sc; bestLang = langIdLangs(j) } // tie → later lang
+        j += 1
+      }
+    }
+    UTF8String.fromString(if (best > 0.0) bestLang else "unknown")
+  }
+
   /** 64-bit SimHash over token hashes: sign of per-bit vote counts. */
   def simHash(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)

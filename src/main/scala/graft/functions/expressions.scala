@@ -88,6 +88,23 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused stopword-ratio language ID over a raw text column;
+  * result-identical to the declarative argmax form (RegressionSpec) with
+  * no regexes or intermediate arrays — see VectorOps.langId. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.langId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.langId($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -55,6 +55,11 @@ package object functions {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Fused stopword-ratio language ID (result-identical to the composed
+    * argmax form; one pass, no regexes — see VectorOps.langId). */
+  def lang_id(text: Column): Column =
+    col0(LangIdExpr(expr0(text)))
+
   /** Canonical text normalization shared by dedup + fingerprinting:
     * lower-case, collapse whitespace, trim. Fused single-pass kernel,
     * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`

@@ -10,13 +10,9 @@ import graft.functions._
   */
 object TextAnalysis {
 
-  /** Small per-language stopword sets for the n-gram/stopword heuristic. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
-    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "por", "con"),
-    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "con", "non"))
+  /** Small per-language stopword sets for the n-gram/stopword heuristic
+    * (canonical definition lives beside the fused kernel in VectorOps). */
+  val stopwords: Map[String, Seq[String]] = VectorOps.stopwords
 
   /** Fraction of tokens that are stopwords of `lang`. */
   def stopwordRatio(toks: Column, lang: String): Column = {
@@ -28,8 +24,14 @@ object TextAnalysis {
 
   /** Heuristic language ID: stopword-ratio argmax across known languages,
     * with a CJK-character override for zh. Returns a language code.
+    * Runs as the fused one-pass kernel (`lang_id`); the declarative
+    * composition it must match stays below for the bit-identity spec.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = lang_id(text)
+
+  /** The composed-builtins form of [[langId]] — the kernel's semantic
+    * specification, asserted result-identical in RegressionSpec. */
+  private[graft] def langIdDeclarative(text: Column): Column = {
     val toks = tokens(text)
     val cjkRatio = when(length(text) > 0,
       (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")))

@@ -571,9 +571,10 @@ object FunctionMatrix {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 2).as("med"),
+          round(col("ps").getItem(1), 2).as("p90"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -107,20 +107,21 @@ object Superset {
       """SELECT l_returnflag,
         |  true AS p50_rank_ok, true AS p95_rank_ok, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // one sketch and one exact-percentile buffer per group, not 2 + 4:
+      // both aggregates take percentage ARRAYS and share a single pass
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(5000)).as("apx_p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(5000)).as("apx_p95"),
-          expr(s"percentile(l_extendedprice, ${0.5 - 2.0 / 5000})").as("lo50"),
-          expr(s"percentile(l_extendedprice, ${0.5 + 2.0 / 5000})").as("hi50"),
-          expr(s"percentile(l_extendedprice, ${0.95 - 2.0 / 5000})").as("lo95"),
-          expr(s"percentile(l_extendedprice, ${0.95 + 2.0 / 5000})").as("hi95"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(5000)).as("apx"),
+          expr(s"percentile(l_extendedprice, array(${0.5 - 2.0 / 5000}, " +
+            s"${0.5 + 2.0 / 5000}, ${0.95 - 2.0 / 5000}, ${0.95 + 2.0 / 5000}))")
+            .as("ex"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"),
-          (col("apx_p50") >= col("lo50") && col("apx_p50") <= col("hi50"))
-            .as("p50_rank_ok"),
-          (col("apx_p95") >= col("lo95") && col("apx_p95") <= col("hi95"))
-            .as("p95_rank_ok"),
+          (col("apx").getItem(0) >= col("ex").getItem(0) &&
+            col("apx").getItem(0) <= col("ex").getItem(1)).as("p50_rank_ok"),
+          (col("apx").getItem(1) >= col("ex").getItem(2) &&
+            col("apx").getItem(1) <= col("ex").getItem(3)).as("p95_rank_ok"),
           col("n"))
         .orderBy(col("l_returnflag"))
     },

@@ -135,6 +135,25 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs where fused differs from regex form")
   }
 
+  test("fused lang_id is result-identical to the declarative argmax form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (920001L, ""), (920002L, "   "),
+        (920003L, "der die und ist mit"),              // de
+        (920004L, "le la les et est pour"),            // fr
+        (920005L, "的 人 在 有 我 他 这 中 大 来"),      // zh via CJK override
+        (920006L, "zzz qqq xxx www"),                  // no stopword hits
+        (920007L, "la la la"),                         // es/fr/it tie → it
+        (920008L, "mixed 的 text with one cjk char"))
+        .toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      graft.functions.lang_id($"text").as("fused"),
+      graft.operators.TextAnalysis.langIdDeclarative($"text").as("composed"))
+    val bad = both.filter(not($"fused" <=> $"composed")).count()
+    assert(bad == 0, s"$bad docs where fused lang_id differs from declarative form")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
