@@ -208,9 +208,21 @@ object Multimodal {
     * non-image bytes). The partition-iterator shape (reuse buffers, stream
     * rows) is the at-scale contract either way.
     */
+  /** Magic-byte sniff (PNG/JPEG/GIF/BMP) before attempting a real decode:
+    * ImageIO's failure path is a full plugin-registry probe per call,
+    * which dominated the pseudo-decode fixture (arbitrary non-image
+    * payloads) at sf1. Real decoders sniff containers the same way.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length > 8 && (
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   private def decodeOne(row: MediaRow): DecodedMedia = {
     val bytes = if (row.content == null) Array.empty[Byte] else row.content
-    if (row.media_type == "image" && bytes.length > 0) {
+    if (row.media_type == "image" && looksLikeImage(bytes)) {
       decodeImage(row, bytes) match {
         case Some(d) => return d
         case None => // not a real image — fall through to the pseudo path
@@ -248,7 +260,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map { row =>
       val bytes = if (row.content == null) Array.empty[Byte] else row.content
       val img =
-        if (row.media_type == "image" && bytes.length > 0)
+        if (row.media_type == "image" && looksLikeImage(bytes))
           try readImage(bytes)
           catch { case scala.util.control.NonFatal(_) => null }
         else null

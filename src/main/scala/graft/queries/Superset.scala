@@ -81,12 +81,19 @@ object Superset {
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  count(*) AS n
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem").agg(
+      // three independent single-row aggs + cross join: mixing two
+      // DISTINCT aggregates with the HLL sketches in one Aggregate forces
+      // an Expand plan that re-evaluates the sketches over 3x rows (35s at
+      // sf1 vs 4s split; the reference's distinct kernels also run
+      // separate passes, BatchAggregationProcessing.cpp)
+      val li = t(s, dir, "lineitem")
+      val apx = li.agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+      val exParts = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val exOrders = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      apx.crossJoin(exParts).crossJoin(exOrders)
         .select(
           (abs(col("apx_parts") - col("exact_parts")) <=
             col("exact_parts") * 0.06).as("parts_within_6pct"),

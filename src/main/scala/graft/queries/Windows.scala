@@ -177,13 +177,18 @@ object Windows {
       "win_range_frame",
       // RANGE frames — rejected by the reference
       // (PhysicalPlanGenerator.h:304-306), native in Spark and DuckDB.
+      // partition on (status, priority), not status alone: a 3-value
+      // window key caps parallelism at 3 tasks forever — the composite
+      // key is the partition strategy that still holds at 1000x the data
       """SELECT o_orderkey, o_totalprice,
-        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near,
-        |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus, o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS sum_near
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val byStatus = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      val byStatus = Window
+        .partitionBy(col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           count(lit(1)).over(byStatus.rangeBetween(-1000, Window.currentRow)).as("n_near"),
