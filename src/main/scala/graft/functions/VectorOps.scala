@@ -158,6 +158,64 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Fused tokenize→shingle→hash: the DISTINCT FNV-1a hashes of the word
+    * n-gram shingles of `lower(text)` (sorted, so equal sets are equal
+    * arrays). Hash-space twin of
+    * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
+    * verification: intersecting long arrays costs a fraction of string
+    * arrays and the 64-bit hash makes collisions irrelevant at any corpus
+    * size. Same tokenizer and shingle-byte hashing as [[minHashText]].
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+    val m = math.max(nTok - n + 1, 0)
+    val hs = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var h = 0xcbf29ce484222325L
+      var t = 0
+      while (t < n) {
+        if (t > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        var p = starts(w + t)
+        val e = ends(w + t)
+        while (p < e) { h ^= (bytes(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        t += 1
+      }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted): distinct sets must compare equal
+    var o = 0
+    var r = 0
+    while (r < m) {
+      if (o == 0 || hs(r) != hs(o - 1)) { hs(o) = hs(r); o += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, o))
+  }
+
   /** Fused lower→collapse-whitespace→trim, byte-identical to
     * `trim(regexp_replace(lower(text), "\\s+", " "))`: Java regex `\s`
     * is exactly [ \t\n\x0B\f\r] (bytes 9–13 + 0x20, never multi-byte

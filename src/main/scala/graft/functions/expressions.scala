@@ -88,6 +88,25 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct sorted FNV-1a shingle hashes of a raw text column — the
+  * hash-space twin of `array_distinct(word_shingles(tokens(text), n))`
+  * for cheap Jaccard verification (see VectorOps.shingleHashes). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle size out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused stopword-ratio language ID over a raw text column;
   * result-identical to the declarative argmax form (RegressionSpec) with
   * no regexes or intermediate arrays — see VectorOps.langId. */

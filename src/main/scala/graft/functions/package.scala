@@ -60,6 +60,12 @@ package object functions {
   def lang_id(text: Column): Column =
     col0(LangIdExpr(expr0(text)))
 
+  /** Distinct sorted FNV-1a shingle hashes — hash-space twin of
+    * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
+    * verification over longs instead of strings. */
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    col0(ShingleHashes(expr0(text), n))
+
   /** Canonical text normalization shared by dedup + fingerprinting:
     * lower-case, collapse whitespace, trim. Fused single-pass kernel,
     * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`

@@ -150,12 +150,16 @@ object Dedup {
     // Exact shingle SETS are the expensive artifact (full arrays, not
     // 8-byte signatures) — build them only for docs that appear in a
     // candidate pair. At corpus scale candidates are a sliver of the data,
-    // so this prunes almost all of the set materialization.
+    // so this prunes almost all of the set materialization. Sets are the
+    // fused 64-bit shingle HASHES, not strings: same Jaccard (collisions
+    // are irrelevant at 64 bits), long-array intersection, one kernel
+    // pass, and the verify join moves 8 bytes per shingle instead of the
+    // shingle text.
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("sid"),
-        array_distinct(word_shingles(tokens(col(textCol)), shingle)).as("sset"))
+        shingle_hashes(col(textCol), shingle).as("sset"))
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
     val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
     cands

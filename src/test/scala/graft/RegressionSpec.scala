@@ -154,6 +154,27 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs where fused lang_id differs from declarative form")
   }
 
+  test("shingle_hashes jaccard equals string-set jaccard") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"doc_id", $"text")
+    val strSets = docs.select($"doc_id",
+      array_distinct(word_shingles(tokens($"text"), 3)).as("ss"))
+    val hashSets = docs.select($"doc_id", shingle_hashes($"text", 3).as("hs"))
+    val joined = strSets.as("a").join(strSets.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        size(array_intersect($"a.ss", $"b.ss")).as("i_str"),
+        size(array_union($"a.ss", $"b.ss")).as("u_str"))
+    val hashed = hashSets.as("a").join(hashSets.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        size(array_intersect($"a.hs", $"b.hs")).as("i_hash"),
+        size(array_union($"a.hs", $"b.hs")).as("u_hash"))
+    val bad = joined.join(hashed, Seq("id_a", "id_b"))
+      .filter($"i_str" =!= $"i_hash" || $"u_str" =!= $"u_hash").count()
+    assert(bad == 0, s"$bad pairs where hash-space sets diverge from string sets")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")

@@ -61,6 +61,41 @@ class ScaleSpec extends SparkSuite {
         viaArgmax.count { case (k, v) => viaWindow.get(k) != Some(v) }} ids")
   }
 
+  test("semDedup's only exchanges are the centroid-keyed pair join") {
+    // assignment must stay map-side (broadcast centroids, no shuffle of
+    // the corpus by vector id) — the exchanges in the plan may only key on
+    // centroid_id (pair join) or the dropped-id sets, never carry a window
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val plan = operators.Dedup.semDedup(embs, nlist = 4, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"semDedup assignment uses a window:\n$plan")
+    assert(!plan.contains("hashpartitioning(c_id"),
+      s"semDedup shuffles the corpus by vector id:\n$plan")
+  }
+
+  test("mixtureSample broadcasts the per-domain stats, never sorts or windows") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.Sampling.mixtureSample(docs,
+        Map("en" -> 0.5, "zh" -> 0.5), budgetTokens = 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"domain stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"mixtureSample plan has a sort/window stage:\n$plan")
+  }
+
+  test("packSequences windows by shard, never a single global partition") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.TextAnalysis.packSequences(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"packing lost its window:\n$plan")
+    // a partition-less window plans as 'Window [...] ORDER BY ...' over a
+    // SinglePartition exchange — the shard key must appear in the spec
+    assert(plan.contains("shard"), s"window not partitioned by shard:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing funnels the corpus into one partition:\n$plan")
+  }
+
   test("saltedEquiJoin equals plain join on a skewed key") {
     // events.user_id has only 15 distinct values over 1000 rows — skewed.
     val events = Tables.load(spark, sfDir, "events")
