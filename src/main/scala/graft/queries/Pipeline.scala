@@ -409,7 +409,21 @@ object Pipeline {
         .orderBy(col("media_id"))
     },
 
-    QuerySpec.noOracle("multimodal_frames") { (s, dir) =>
+    QuerySpec(
+      "multimodal_frames",
+      // Frame sampling is deterministic substring arithmetic over the
+      // synthetic payload (text bytes): video rows are doc_id%3==2, frame
+      // stride is greatest(bytes/4, 1), each frame reads up to 1024 bytes
+      // — DuckDB replays the geometry exactly from byte lengths.
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS L
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |    CAST(least(1024, L - i * greatest(L // 4, 1)) AS INT) AS frame_len
+        |  FROM m, (SELECT unnest(generate_series(0, 3)) AS i))
+        |SELECT media_id, frame_idx, frame_len
+        |FROM f WHERE frame_len > 0 ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
       val media = Multimodal.mediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, n = 4)
         .select(col("media_id"), col("frame_idx"),
