@@ -10,11 +10,14 @@ import graft.functions.VectorOps
   * IMAGE decode is REAL: `decode` runs `javax.imageio` (JDK built-in —
   * PNG/JPEG/BMP/GIF) on any payload whose bytes parse as an image, and
   * only falls back to the deterministic pseudo-decode when they don't.
-  * Audio/video codecs remain STUBBED with deterministic fakes — the
-  * container has no media libraries — but the Spark-side contract is real
-  * and tested: schema (binary + struct metadata), partition-preserving
-  * mapPartitions with batched iterators, fixed-shape feature vectors, and
-  * frame sampling via posexplode.
+  * AUDIO decode is REAL too: `decodeAudio` parses RIFF/WAVE through
+  * `javax.sound.sampled` (JDK built-in) — header metadata and PCM sample
+  * statistics come from the actual decoded stream. Only COMPRESSED
+  * audio/video codecs (mp3/h264/...) remain out of scope — the container
+  * ships no codec libraries — and the video path keeps its deterministic
+  * fake behind the real Spark-side contract: schema (binary + struct
+  * metadata), partition-preserving mapPartitions with batched iterators,
+  * fixed-shape feature vectors, and frame sampling via posexplode.
   *
   * At 100 TB the decode step is the dominant cost and is embarrassingly
   * parallel: mapPartitions keeps it scan-side (no shuffle), and the output
@@ -82,6 +85,81 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** Deterministic 8-bit PCM WAV for `id`: mono, 8 kHz,
+    * `n = 64 + id%128` samples with `sample[i] = (i·(1 + id%7) + id%13)
+    * mod 256` — pure integer arithmetic, so an independent engine can
+    * predict every statistic a REAL decoder must recover (the audio
+    * analog of [[syntheticPng]]). Encoded as a standard RIFF/WAVE
+    * container that `javax.sound.sampled` parses.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 64 + java.lang.Math.floorMod(id, 128L).toInt
+    val step = 1 + java.lang.Math.floorMod(id, 7L).toInt
+    val base = java.lang.Math.floorMod(id, 13L).toInt
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      data(i) = ((i * step + base) % 256).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(44 + n)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1) /* PCM */ ; w16(1) /* mono */ ; w32(8000) /* rate */
+    w32(8000) /* byte rate */ ; w16(1) /* block align */ ; w16(8) /* bits */
+    out.write("data".getBytes); w32(n)
+    out.write(data)
+    out.toByteArray
+  }
+
+  /** Media table of REAL encoded WAVs (one per row), executor-side. */
+  def audioTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "audio", syntheticWav(id))))
+      .toDF()
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, mean_amp: Double, min_amp: Int, max_amp: Int)
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in): format
+    * metadata comes from the parsed RIFF header, sample statistics from
+    * the decoded PCM stream. Rows whose bytes aren't a parseable WAV are
+    * dropped (a real pipeline routes them to quarantine). Partition-wise,
+    * no shuffle, fixed-size output rows.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { row =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.content))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        var sum = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        val n = bytes.length.toLong
+        Some(DecodedAudio(row.media_id, fmt.getSampleRate.toInt,
+          fmt.getChannels, n,
+          if (n > 0) sum.toDouble / n else 0.0, mn, mx))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    })
   }
 
   /** Media table of REAL encoded PNGs, one per row of `df`, generated

@@ -410,6 +410,30 @@ object Pipeline {
     },
 
     QuerySpec(
+      "multimodal_audio",
+      // REAL round-trip, the audio analog of multimodal_decode: Spark
+      // encodes an 8-bit PCM RIFF/WAVE per doc_id executor-side (samples
+      // are pure integer arithmetic on the id), javax.sound.sampled
+      // parses it back, and DuckDB independently predicts what a correct
+      // decoder must recover — header fields AND sample statistics.
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    64 + doc_id % 128 AS n, 1 + doc_id % 7 AS step, doc_id % 13 AS base
+        |  FROM documents),
+        |l AS (SELECT media_id, n,
+        |        list_transform(range(0, n), i -> (i * step + base) % 256) AS s
+        |      FROM p)
+        |SELECT media_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(s) AS DOUBLE) / n AS mean_amp,
+        |  CAST(list_min(s) AS INT) AS min_amp,
+        |  CAST(list_max(s) AS INT) AS max_amp
+        |FROM l ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val audio = Multimodal.audioTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeAudio(s, audio).toDF().orderBy(col("media_id"))
+    },
+
+    QuerySpec(
       "multimodal_frames",
       // Frame sampling is deterministic substring arithmetic over the
       // synthetic payload (text bytes): video rows are doc_id%3==2, frame

@@ -152,6 +152,23 @@ class OperatorSpec extends SparkSuite {
       s"worst bucket $autoMax exceeds ${target * 64} (planes=$autoPlanes)")
   }
 
+  test("decodeAudio round-trips real WAV bytes and drops corrupt payloads") {
+    val ids = Seq(0L, 1L, 6L, 12L, 127L).toDF("doc_id")
+    val audio = Multimodal.audioTable(ids, "doc_id")
+      .union(Seq((900L, "audio", "not a wav".getBytes))
+        .toDF("media_id", "media_type", "content"))
+    val out = Multimodal.decodeAudio(spark, audio).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(!out.contains(900L), "corrupt payload not dropped")
+    assert(out.size == 5)
+    // id 12: n = 64+12 = 76, step = 1+12%7 = 6, base = 12
+    val a = out(12L)
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.n_samples == 76)
+    val samples = (0 until 76).map(i => (i * 6 + 12) % 256)
+    assert(a.min_amp == samples.min && a.max_amp == samples.max)
+    assert(math.abs(a.mean_amp - samples.sum.toDouble / 76) < 1e-12)
+  }
+
   test("semDedup drops only higher-id within-cluster near-dups") {
     // Two well-separated directions (→ 2 clusters with nlist=2); ids 0,1,4
     // point one way, ids 2,3,5 the other. Within each cluster every pair is
