@@ -162,6 +162,97 @@ object Multimodal {
     })
   }
 
+  /** Deterministic MJPEG-style video container for `id`: magic "GFV0",
+    * little-endian frame count and per-frame byte lengths, then `n`
+    * concatenated REAL PNGs (frame k is [[syntheticPng]] of `id + k`, so
+    * an oracle predicts every frame's dims and fill color). The simplest
+    * honest stand-in for an uncompressed video container — the frames are
+    * real encoded images, only inter-frame compression is out of scope.
+    */
+  def syntheticVideo(id: Long, nFrames: Int = 4): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(k => syntheticPng(id + k))
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("GFV0".getBytes)
+    w32(nFrames)
+    frames.foreach(f => w32(f.length))
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Media table of REAL video containers (one per row), executor-side. */
+  def videoTable(df: DataFrame, idCol: String, nFrames: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "video", syntheticVideo(id, nFrames))))
+      .toDF()
+  }
+
+  case class DecodedFrame(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** REAL video frame decode: parse the GFV0 container, slice out each
+    * frame's bytes, and run the real image decoder on every frame. Rows
+    * that aren't a parseable container are dropped. Per-frame output is
+    * fixed-size — downstream stages shuffle frame features, never frame
+    * bytes.
+    */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { row =>
+      val b = row.content
+      if (b == null || b.length < 8 ||
+          b(0) != 'G' || b(1) != 'F' || b(2) != 'V' || b(3) != '0') Iterator.empty
+      else try {
+        def r32(off: Int): Int =
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+            ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+        val n = r32(4)
+        val lens = Array.tabulate(n)(k => r32(8 + 4 * k))
+        var off = 8 + 4 * n
+        (0 until n).iterator.flatMap { k =>
+          val fb = java.util.Arrays.copyOfRange(b, off, off + lens(k))
+          off += lens(k)
+          val img = readImage(fb)
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+              val buf = img.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferByte].getData
+              var i = 0
+              while (i < buf.length) {
+                sb += buf(i) & 0xff; sg += buf(i + 1) & 0xff; sr += buf(i + 2) & 0xff
+                i += 3
+              }
+            } else {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            val np = w.toLong * h
+            Some(DecodedFrame(row.media_id, k, w, h,
+              (sr / np).toInt, (sg / np).toInt, (sb / np).toInt))
+          }
+        }.toVector
+      } catch {
+        case scala.util.control.NonFatal(_) => Iterator.empty
+      }
+    })
+  }
+
   /** Media table of REAL encoded PNGs, one per row of `df`, generated
     * executor-side (mapPartitions — the bytes never route through the
     * driver, matching how a real pipeline would scan already-encoded

@@ -434,6 +434,29 @@ object Pipeline {
     },
 
     QuerySpec(
+      "multimodal_video",
+      // REAL container round-trip: Spark encodes a GFV0 video (4 REAL
+      // PNG frames, frame k = syntheticPng(id+k)) per doc executor-side,
+      // parses it back, and runs the real image decoder on every frame.
+      // DuckDB predicts each frame's dims and fill color from the id
+      // arithmetic — a container-parse or frame-slicing bug breaks it.
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+        |    doc_id + k AS fid
+        |  FROM documents, (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT media_id, frame_idx,
+        |  CAST(8 + fid % 16 AS INT) AS width,
+        |  CAST(8 + fid % 13 AS INT) AS height,
+        |  CAST(fid % 256 AS INT) AS mean_r,
+        |  CAST((fid * 7) % 256 AS INT) AS mean_g,
+        |  CAST((fid * 13) % 256 AS INT) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      val video = Multimodal.videoTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeVideoFrames(s, video).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    QuerySpec(
       "multimodal_frames",
       // Frame sampling is deterministic substring arithmetic over the
       // synthetic payload (text bytes): video rows are doc_id%3==2, frame

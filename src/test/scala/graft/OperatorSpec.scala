@@ -169,6 +169,19 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(a.mean_amp - samples.sum.toDouble / 76) < 1e-12)
   }
 
+  test("decodeVideoFrames parses the container and really decodes each frame") {
+    val ids = Seq(5L, 20L).toDF("doc_id")
+    val video = Multimodal.videoTable(ids, "doc_id", nFrames = 3)
+      .union(Seq((901L, "video", "not a container".getBytes))
+        .toDF("media_id", "media_type", "content"))
+    val out = Multimodal.decodeVideoFrames(spark, video).collect()
+    assert(out.length == 6 && !out.exists(_.media_id == 901L))
+    // frame 2 of id 5 is syntheticPng(7): w=8+7%16=15, h=8+7%13=15, r=7
+    val f = out.find(x => x.media_id == 5L && x.frame_idx == 2).get
+    assert(f.width == 15 && f.height == 15)
+    assert(f.mean_r == 7 && f.mean_g == 49 && f.mean_b == 91)
+  }
+
   test("semDedup drops only higher-id within-cluster near-dups") {
     // Two well-separated directions (→ 2 clusters with nlist=2); ids 0,1,4
     // point one way, ids 2,3,5 the other. Within each cluster every pair is
