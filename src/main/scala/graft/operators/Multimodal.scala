@@ -131,16 +131,60 @@ object Multimodal {
   case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
       n_samples: Long, mean_amp: Double, min_amp: Int, max_amp: Int)
 
-  /** REAL audio decode via `javax.sound.sampled` (JDK built-in): format
-    * metadata comes from the parsed RIFF header, sample statistics from
-    * the decoded PCM stream. Rows whose bytes aren't a parseable WAV are
-    * dropped (a real pipeline routes them to quarantine). Partition-wise,
-    * no shuffle, fixed-size output rows.
+  /** RIFF chunk walk for 8-bit PCM WAV — the hot decode path. Returns
+    * null for anything it doesn't handle (wrong magic, compressed, 16-bit,
+    * truncated), and the caller falls back to `javax.sound.sampled`.
+    * A real parser, validated against the JDK codec in OperatorSpec;
+    * `AudioSystem.getAudioInputStream` probes the provider registry per
+    * call, which dominated wall-clock at millions of small clips.
+    */
+  private def parseWav8(b: Array[Byte], mediaId: Long): DecodedAudio = {
+    def r32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def r16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def tag(o: Int, s: String): Boolean =
+      b(o) == s(0) && b(o + 1) == s(1) && b(o + 2) == s(2) && b(o + 3) == s(3)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val sz = r32(off + 4)
+      if (tag(off, "fmt ")) {
+        if (r16(off + 8) != 1) return null // not plain PCM
+        channels = r16(off + 10); rate = r32(off + 12); bits = r16(off + 22)
+      } else if (tag(off, "data")) { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0 || bits != 8 ||
+        dataOff + dataLen > b.length) return null
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = dataOff
+    val end = dataOff + dataLen
+    while (i < end) {
+      val v = b(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    DecodedAudio(mediaId, rate, channels, dataLen.toLong,
+      if (dataLen > 0) sum.toDouble / dataLen else 0.0, mn, mx)
+  }
+
+  /** REAL audio decode: the RIFF/PCM chunk walker handles the common
+    * 8-bit WAV case in-line; anything else goes through
+    * `javax.sound.sampled` (JDK built-in — 16-bit, other containers).
+    * Rows whose bytes parse as neither are dropped (a real pipeline
+    * routes them to quarantine). Partition-wise, no shuffle, fixed-size
+    * output rows.
     */
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.flatMap { row =>
-      try {
+      val fast =
+        try parseWav8(row.content, row.media_id)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (fast != null) Some(fast)
+      else try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(row.content))
         val fmt = ais.getFormat

@@ -167,6 +167,19 @@ class OperatorSpec extends SparkSuite {
     val samples = (0 until 76).map(i => (i * 6 + 12) % 256)
     assert(a.min_amp == samples.min && a.max_amp == samples.max)
     assert(math.abs(a.mean_amp - samples.sum.toDouble / 76) < 1e-12)
+    // cross-validate the fast RIFF walker against the JDK codec itself
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticWav(id)))
+      val jdk = ais.readAllBytes().map(_ & 0xff)
+      val ours = out(id)
+      assert(ours.sample_rate == ais.getFormat.getSampleRate.toInt &&
+        ours.channels == ais.getFormat.getChannels &&
+        ours.n_samples == jdk.length &&
+        ours.min_amp == jdk.min && ours.max_amp == jdk.max &&
+        math.abs(ours.mean_amp - jdk.sum.toDouble / jdk.length) < 1e-12,
+        s"RIFF walker diverges from AudioSystem on id $id")
+    }
   }
 
   test("decodeVideoFrames parses the container and really decodes each frame") {
