@@ -97,6 +97,26 @@ object Similarity {
     }
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `maxabs = max|v_i|`, code `q_i = trunc(v_i · 127 / maxabs)` stored as
+    * TINYINT — 4× smaller than float32 at rest and in shuffle payloads,
+    * the standard memory-scale path for billion-vector ANN. Zero vectors
+    * quantize to all-zero codes. `qd` re-widens the codes to double for
+    * the scoring kernels (codes are small integers, so the widening is
+    * exact and an independent engine replays the whole pipeline).
+    */
+  def quantizeInt8(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val mx = aggregate(col(vecCol), lit(0.0), (a, x) => greatest(a, abs(x)))
+    embs
+      .select(col(idCol), col(vecCol), mx.as("maxabs"))
+      .select(col(idCol), col("maxabs"),
+        transform(col(vecCol), x =>
+          when(col("maxabs") > 0, (x * 127.0 / col("maxabs")).cast("tinyint"))
+            .otherwise(lit(0).cast("tinyint"))).as("q"))
+      .withColumn("qd", col("q").cast("array<double>"))
+  }
+
   /** IVF-style ANN top-k: probe `nprobe` of `nlist` coarse cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,

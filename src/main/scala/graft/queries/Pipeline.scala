@@ -188,6 +188,35 @@ object Pipeline {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    QuerySpec(
+      "ann_int8_topk",
+      // Brute-force top-k over int8-QUANTIZED vectors (the 4x-memory scale
+      // path): DuckDB replays quantization (trunc matches Spark's
+      // cast-to-tinyint truncation) and cosine over the re-widened codes.
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x ->
+        |      CASE WHEN mx > 0 THEN CAST(trunc(x * 127.0 / mx) AS DOUBLE) ELSE 0.0 END) AS qd
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |        FROM embeddings)),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_cosine_similarity(q.qd, c.qd) AS rawcos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.qd, c.qd) DESC, c.vec_id) AS rn
+        |  FROM (SELECT * FROM qz WHERE vec_id < 5) q
+        |  CROSS JOIN qz c WHERE q.vec_id <> c.vec_id)
+        |SELECT q_id, c_id, round(rawcos, 6) AS cos, rn FROM scored WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val qz = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("qd"))
+      Similarity.bruteForceTopK(qz, qz.filter(col("vec_id") < 5),
+          k = 10, vecCol = "qd")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // ---- text analysis ---------------------------------------------------
     QuerySpec(
       "text_tokens",

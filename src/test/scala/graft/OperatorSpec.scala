@@ -94,6 +94,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("int8-quantized top-k keeps high recall vs exact float search") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Similarity.quantizeInt8(embs).select(col("vec_id"), col("qd"))
+    val quant = Similarity.bruteForceTopK(qz,
+        qz.filter(col("vec_id") < 5), k = 10, vecCol = "qd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.7, s"int8 recall vs exact too low: $recall")
+    // codes must actually be int8-ranged
+    val mx = Similarity.quantizeInt8(embs)
+      .select(array_max(col("q")).as("m"), array_min(col("q")).as("n"))
+      .agg(max(col("m")), min(col("n"))).head()
+    assert(mx.getByte(0) <= 127 && mx.getByte(1) >= -127)
+  }
+
   test("ivfTopK achieves reasonable recall vs brute force") {
     val embs = Tables.load(spark, sfDir, "embeddings")
     val queries = embs.filter($"vec_id" < 10)
