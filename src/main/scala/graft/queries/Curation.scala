@@ -121,11 +121,15 @@ object Curation {
         .select(col("doc_id"), col("t").as("term"), col("tf"),
           (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
       import org.apache.spark.sql.expressions.Window
-      scored
+      // heap-prune to 5/doc with the custom TopKPerGroup operator FIRST
+      // (partial->shuffle->final bounded heaps — the exchange carries
+      // 5·docs rows), then rank the survivors; the row_number window now
+      // sorts 5 rows per doc instead of the full scored table
+      graft.plans.TopKPerGroup(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("term")), k = 5)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("score").desc, col("term"))))
-        .filter(col("rn") <= 5)
         .select(col("doc_id"), col("term"), col("tf"),
           round(col("score"), 6).as("score"), col("rn"))
         .orderBy(col("doc_id"), col("rn"))
@@ -171,11 +175,15 @@ object Curation {
       val term = idf * col("tf") * 2.2 /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
       import org.apache.spark.sql.expressions.Window
+      // global top-20 BEFORE the rank window: orderBy+limit fuses to
+      // TakeOrderedAndProject (per-partition heaps), so the partition-less
+      // row_number only ever sees 20 rows — ranking the full scored corpus
+      // in one window partition is the classic global-top-k scale trap
       tf.join(dfreq, Seq("t")).join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
         .groupBy(col("doc_id")).agg(sum(term).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rn") <= 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("rn"))
         .orderBy(col("rn"))
     },
