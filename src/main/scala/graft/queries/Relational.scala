@@ -441,6 +441,66 @@ object Relational {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
 
+    QuerySpec(
+      "q21_waiting",
+      // Q21 variant (no l_commitdate/l_receiptdate in fixtures): a lineitem
+      // is "late" when it ships >60 days after the order date. Suppliers
+      // who were the SOLE late supplier on a multi-supplier finished order.
+      // Implemented as the group-rewrite (per-order supplier counts joined
+      // back) instead of TPC-H's EXISTS + NOT EXISTS double self-join: one
+      // aggregate over (orderkey) replaces two extra shuffles of lineitem,
+      // which is the difference between 2 and 4 fact-table exchanges at
+      // 100 TB. Oracle SQL uses the identical rewrite so DuckDB agrees
+      // bit-for-bit. Ref: /root/reference engine q21 coverage via
+      // algebra/src/.../LogicalFilter + BatchJoinProcessing.cpp semi/anti.
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |              THEN 1 ELSE 0 END AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS nsupp,
+        |         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nlate
+        |  FROM late GROUP BY l_orderkey
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE is_late = 1 AND nsupp > 1 AND nlate = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val late = t(s, dir, "lineitem")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int").as("is_late"))
+      val perOrder = late.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("is_late") === 1, col("l_suppkey"))).as("nlate"))
+      late.filter(col("is_late") === 1)
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("nsupp") > 1 && col("nlate") === 1)
+        .join(
+          broadcast(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // ---- join types ---------------------------------------------------
     QuerySpec(
       "join_inner",

@@ -61,6 +61,19 @@ class ScaleSpec extends SparkSuite {
         viaArgmax.count { case (k, v) => viaWindow.get(k) != Some(v) }} ids")
   }
 
+  test("q21_waiting shuffles lineitem as a pruned projection, dims broadcast") {
+    // The group-rewrite must not reintroduce TPC-H q21's double self-join:
+    // supplier/nation stay broadcast, and every lineitem exchange carries
+    // only the 3-column (orderkey, suppkey, is_late) projection — never
+    // the full row.
+    val plan = SparkEntry.queries("q21_waiting")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"supplier not broadcast:\n$plan")
+    val wide = "Exchange hashpartitioning[^\n]*l_extendedprice".r.findFirstIn(plan)
+    assert(wide.isEmpty,
+      s"lineitem shuffled with full payload:\n${wide.getOrElse("")}")
+  }
+
   test("semDedup's only exchanges are the centroid-keyed pair join") {
     // assignment must stay map-side (broadcast centroids, no shuffle of
     // the corpus by vector id) — the exchanges in the plan may only key on
