@@ -117,6 +117,96 @@ object Similarity {
       .withColumn("qd", col("q").cast("array<double>"))
   }
 
+  /** Product-quantization codebooks from a deterministic corpus sample:
+    * the same every-(n/ksub)-th-vector rule as [[centroids]], with
+    * codeword j of subspace mi = the j-th sampled vector's mi-th
+    * subvector. Deterministic so an independent engine can replay the
+    * whole PQ pipeline (sample → encode → ADC) as a correctness oracle;
+    * [[KMeans.fit]]-refined books are the quality upgrade when
+    * replayability is not required. Shape: [m][j][d/m], model-state
+    * sized (m·ksub·d/m = d·ksub doubles) — always driver/broadcast safe.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2, s"pqCodebooks: need m>=1, ksub>=2 (got $m, $ksub)")
+    val n = corpus.count()
+    val step = math.max(n / ksub, 1L)
+    val sample = corpus.filter(col(idCol) % step === 0)
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty sample")
+    val d = sample.head.length
+    require(d % m == 0, s"pqCodebooks: dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m)(mi => sample.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** Encode vectors as `m` one-byte codes: per subspace, the argmin-L2
+    * codeword index. Pure map-side — the books are inlined as literals and
+    * `array_min(struct(dist, j))` picks the code inside the projection
+    * (ties to the smallest j), so a billion-vector corpus encodes with
+    * ZERO shuffle and stores m bytes/vector instead of 4·d — 32× smaller
+    * at rest and in every downstream shuffle payload.
+    */
+  def pqEncode(vectors: DataFrame, books: Array[Array[Array[Double]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dsub = books(0)(0).length
+    val dvec = col(vecCol).cast("array<double>")
+    val codeCols = books.indices.map { mi =>
+      val sub = slice(dvec, mi * dsub + 1, dsub)
+      val scored = books(mi).zipWithIndex.map { case (cw, j) =>
+        val dist = aggregate(
+          zip_with(sub, typedlit(cw), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(dist.as("dist"), lit(j).as("j"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("j").cast("tinyint")
+    }
+    vectors.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance (ADC), ranking on approximate
+    * inner product. Queries precompute a flat lookup table
+    * lut[mi·B + j] = ⟨q_sub(mi), book(mi)(j)⟩ and broadcast it; the scan
+    * side scores each encoded vector with `transform(codes, (code, mi) ->
+    * lut[mi·B + code])` summed — a per-row table lookup over the m byte
+    * codes, never touching the original floats. Same two-stage
+    * (partition-local then global) top-k as [[bruteForceTopK]], so only
+    * partitions × |queries| × k candidate rows ever shuffle.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, ksub: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
+    val b = books(0).length
+    val dsub = books(0)(0).length
+    val enc = pqEncode(corpus, books, vecCol, idCol)
+      .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
+    val qd = col(vecCol).cast("array<double>")
+    val lutElems = for (mi <- books.indices; j <- 0 until b) yield
+      aggregate(
+        zip_with(slice(qd, mi * dsub + 1, dsub), typedlit(books(mi)(j)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      array(lutElems.toIndexedSeq: _*).as("lut")))
+    val scored = enc.join(q)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("pid"),
+        aggregate(
+          transform(col("codes"), (code, mi) =>
+            element_at(col("lut"), mi * b + code.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val localW = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("score").desc, col("c_id"))
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rn"))
+  }
+
   /** IVF-style ANN top-k: probe `nprobe` of `nlist` coarse cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,

@@ -217,6 +217,53 @@ object Pipeline {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    QuerySpec(
+      "ann_pq_topk",
+      // Product quantization with ADC scoring (the 32x-memory scale path:
+      // 16 one-byte codes per 64-dim float vector, 16x). Codebooks are the deterministic
+      // every-(n/64)-th-vector sample, so DuckDB replays the full pipeline
+      // relationally: unnest vectors into (id, subspace, pos, x) triples,
+      // argmin-L2 code per (vector, subspace), query LUT dots per
+      // (query, subspace, codeword), ADC score = sum over subspaces.
+      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 64, 1) AS step),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] AS sv
+        |  FROM embeddings, params WHERE vec_id % step = 0 ORDER BY vec_id LIMIT 64),
+        |book AS (
+        |  SELECT (i-1) // 4 AS mi, j, (i-1) % 4 AS pos, y
+        |  FROM (SELECT j, unnest(sv) AS y, generate_subscripts(sv, 1) AS i FROM samp) t),
+        |csub AS (
+        |  SELECT vec_id AS c_id, (i-1) // 4 AS mi, (i-1) % 4 AS pos, x
+        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
+        |codes AS (
+        |  SELECT c_id, mi, j AS code FROM (
+        |    SELECT c_id, mi, j,
+        |      row_number() OVER (PARTITION BY c_id, mi ORDER BY dist, j) AS crn
+        |    FROM (SELECT c_id, mi, j, sum((x - y) * (x - y)) AS dist
+        |          FROM csub JOIN book USING (mi, pos)
+        |          GROUP BY c_id, mi, j) d) r WHERE crn = 1),
+        |lut AS (
+        |  SELECT q.c_id AS q_id, b.mi, b.j, sum(q.x * b.y) AS dot
+        |  FROM (SELECT * FROM csub WHERE c_id < 5) q
+        |  JOIN book b USING (mi, pos) GROUP BY q.c_id, b.mi, b.j),
+        |scored AS (
+        |  SELECT l.q_id, c.c_id, sum(l.dot) AS rawscore
+        |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
+        |  WHERE l.q_id <> c.c_id GROUP BY l.q_id, c.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, rawscore,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rawscore DESC, c_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, c_id, round(rawscore, 6) AS score, rn FROM ranked WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.pqTopK(embs, embs.filter(col("vec_id") < 5),
+          k = 10, m = 16, ksub = 64)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // ---- text analysis ---------------------------------------------------
     QuerySpec(
       "text_tokens",

@@ -125,6 +125,79 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("pqTopK: ADC recall vs exact inner-product search, codes bounded") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val approx = Similarity.pqTopK(embs, queries, k = 10, m = 16, ksub = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact MIPS reference on the driver (PQ's ADC approximates the dot
+    // product, so the honest baseline is inner product, not cosine)
+    val all = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = all.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, qv.zip(cv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(10).map(p => (qid, p._1))
+    }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random fixture vectors are PQ's worst case (no cluster structure);
+    // m=16 x 64 codewords still has to recover a solid fraction
+    assert(recall >= 0.4, s"PQ recall vs exact MIPS too low: $recall")
+  }
+
+  test("pqEncode is map-side (no exchange) and ADC is exact on codewords") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val books = Similarity.pqCodebooks(embs, m = 16, ksub = 64)
+    val enc = Similarity.pqEncode(embs, books)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqEncode shuffles:\n$plan")
+    val b = books(0).length
+    val bounds = enc.select(
+      max(array_max(col("codes"))).as("mx"),
+      min(array_min(col("codes"))).as("mn")).head()
+    assert(bounds.getByte(0) < b && bounds.getByte(1) >= 0,
+      s"codes out of [0, $b): $bounds")
+    // a codeword-source vector reconstructs exactly, so its ADC score must
+    // equal the true subspace-grouped inner product to fp round-off
+    val n = embs.count(); val step = math.max(n / 64, 1L)
+    val sampleIds = embs.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val byId = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dsub = books(0)(0).length
+    // corpus restricted to the codeword-source vectors: every ADC score in
+    // the result MUST be exact (each such vector's codes reconstruct it),
+    // and the top-10 is guaranteed non-empty — the check can't go vacuous.
+    // NOTE: codebooks must come from the FULL corpus (books passed via the
+    // same deterministic rule pqTopK re-derives on the filtered corpus:
+    // filtering to sampleIds preserves the every-(n/64)-th rule's picks
+    // only if we re-derive, so compare against re-derived books' sources.
+    val sampleCorpus = embs.filter(col("vec_id").isin(sampleIds.toSeq: _*))
+    val got = Similarity.pqTopK(sampleCorpus,
+        embs.filter(col("vec_id") === 0L), k = 10, m = 16, ksub = 64)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+    assert(got.nonEmpty, "codeword-corpus top-k came back empty")
+    val reBooks = Similarity.pqCodebooks(sampleCorpus, m = 16, ksub = 64)
+    val reDsub = reBooks(0)(0).length
+    val q = byId(0L)
+    // which ids survived the re-derived sample rule on the filtered corpus
+    val reN = sampleCorpus.count(); val reStep = math.max(reN / 64, 1L)
+    val reSample = sampleCorpus.filter(col("vec_id") % reStep === 0)
+      .orderBy(col("vec_id")).limit(64)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val checked = got.filter { case (cid, _) => reSample(cid) }
+    assert(checked.nonEmpty, "no codeword-source vector in top-k to check")
+    checked.foreach { case (cid, score) =>
+      val cv = byId(cid)
+      val want = reBooks.indices.map { mi =>
+        (0 until reDsub).map(i => q(mi * reDsub + i) * cv(mi * reDsub + i)).sum
+      }.sum
+      assert(math.abs(score - want) < 1e-9,
+        s"ADC on codeword $cid: got $score want $want")
+    }
+  }
+
   test("derivePlanes scales with corpus size and clamps to [4, 30]") {
     assert(Dedup.derivePlanes(500, 16) == 5)      // ceil(log2(31.25))
     assert(Dedup.derivePlanes(5000, 16) == 9)     // 10× data → +~3.3 bits
