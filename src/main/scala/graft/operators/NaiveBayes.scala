@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Multinomial Naive Bayes over whitespace tokens — the trainable
+  * curation-classifier shape (fastText-style language/quality filters)
+  * that large-scale pipelines run over every document.
+  *
+  * Training is pure relational counting: token-class counts, class token
+  * totals, vocabulary size, document priors. All integers are exact, the
+  * log-weights are one deterministic double op per count, and prediction
+  * is a sum of per-token weights — so, unlike gradient-trained models,
+  * the ENTIRE train→predict pipeline replays in an independent SQL engine
+  * as a correctness oracle (see the `nb_langid` query).
+  *
+  * Scale design (100 TB corpus):
+  *  - fit: one explode over the corpus, one (label, token) hash-agg, two
+  *    tiny rollups. Nothing is collected to the driver; the model stays
+  *    a DataFrame pair: weights (label, token, logp) ~ vocab×classes
+  *    rows, priors (label, logprior, logunseen) ~ classes rows.
+  *  - predict: tokens × the (tiny) priors table, then a key-shuffle join
+  *    against weights on (token, label) — broadcast when the vocabulary
+  *    fits (AQE decides from stats), shuffle-hash otherwise. The argmax
+  *    window runs per (doc, 5 classes), not over the corpus.
+  *
+  * Ref: the reference's curation surface stops at heuristic language ID
+  * (no trainable classifier); this is a beyond-parity operator.
+  */
+object NaiveBayes {
+
+  /** Trained model: `weights` (label, token, logp), `priors`
+    * (label, logprior, logunseen). Laplace smoothing `alpha`.
+    */
+  final case class Model(weights: DataFrame, priors: DataFrame)
+
+  def fit(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "lang", alpha: Double = 1.0): Model = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("token"))
+    val cnt = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("label")).agg(sum(col("c")).as("total"))
+    val vocab = cnt.select(col("token")).distinct().count()
+    val nDocs = docs.count()
+    val weights = cnt.join(totals, Seq("label"))
+      .select(col("label"), col("token"),
+        log((col("c") + lit(alpha)) / (col("total") + lit(alpha * vocab)))
+          .as("logp"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("ndocs"))
+      .join(totals, Seq("label"))
+      .select(col("label"),
+        log(col("ndocs") / lit(nDocs.toDouble)).as("logprior"),
+        log(lit(alpha) / (col("total") + lit(alpha * vocab))).as("logunseen"))
+    Model(weights, priors)
+  }
+
+  /** Predicted label per document: argmax over classes of
+    * logprior + Σ_tokens log p(token|class), unseen tokens scored with
+    * the class's smoothed floor. Documents with no tokens fall back to
+    * the highest-prior class. Ties break to the lexicographically
+    * smallest label (both engines compute identical doubles, so the
+    * tie-break is stable across the oracle replay).
+    */
+  def predict(model: Model, docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val scored = toks
+      .join(broadcast(model.priors))
+      .join(model.weights, Seq("token", "label"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg((first(col("logprior")) +
+        sum(coalesce(col("logp"), col("logunseen")))).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("label_pred"))
+    val fallback = model.priors
+      .orderBy(col("logprior").desc, col("label"))
+      .select(col("label")).limit(1)
+      .collect()(0).getString(0)
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label_pred"), lit(fallback)).as("label_pred"))
+  }
+
+  /** fit + predict on the same corpus (the in-corpus classification most
+    * curation filters run: train on the labeled slice, score everything).
+    */
+  def fitPredict(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "lang", idCol: String = "doc_id",
+      alpha: Double = 1.0): DataFrame =
+    predict(fit(docs, textCol, labelCol, alpha), docs, textCol, idCol)
+}

@@ -388,6 +388,48 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    QuerySpec(
+      "nb_langid",
+      // Trainable curation classifier: multinomial Naive Bayes trained on
+      // the corpus's (text, lang) pairs, then applied back to every doc.
+      // Training is exact integer counting + one log per count, so DuckDB
+      // replays the ENTIRE train->predict pipeline. Output is only the
+      // argmax label (no floats), immune to hash-agg summation reorder.
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang AS label, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM cnt),
+        |pri AS (
+        |  SELECT d.lang AS label, ln(count(*) / (SELECT count(*) FROM documents)) AS logprior,
+        |         ln(1.0 / (any_value(tot.total) + any_value(v.vs))) AS logunseen
+        |  FROM documents d JOIN tot ON tot.label = d.lang CROSS JOIN v
+        |  GROUP BY d.lang),
+        |w AS (
+        |  SELECT cnt.label, cnt.token, ln((cnt.c + 1.0) / (tot.total + v.vs)) AS logp
+        |  FROM cnt JOIN tot USING (label) CROSS JOIN v),
+        |sc AS (
+        |  SELECT t.doc_id, p.label,
+        |         any_value(p.logprior) + sum(coalesce(w.logp, p.logunseen)) AS score
+        |  FROM toks t CROSS JOIN pri p
+        |  LEFT JOIN w ON w.label = p.label AND w.token = t.token
+        |  GROUP BY t.doc_id, p.label),
+        |best AS (
+        |  SELECT doc_id, label AS lang_nb,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang, b.lang_nb
+        |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(graft.operators.NaiveBayes.fitPredict(docs)
+          .withColumnRenamed("label_pred", "lang_nb"), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- end-to-end curation pipeline ------------------------------------
     QuerySpec(
       "curate_pipeline",
