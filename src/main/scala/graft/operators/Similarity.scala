@@ -207,6 +207,54 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("score"), col("rn"))
   }
 
+  /** IVF-PQ: the production billion-vector layout (coarse cells prune the
+    * scan to nprobe/nlist of the corpus; PQ byte codes shrink what's left
+    * 16-32×). Corpus side carries only (cell, id, m byte codes) — the
+    * floats never leave the scan projection. Queries probe their nprobe
+    * cells with a broadcast LUT; scoring is the same per-row table lookup
+    * as [[pqTopK]]; candidates then take the per-partition → global top-k
+    * path. Both the cell rule and the codebook rule are the deterministic
+    * sample, so the whole pipeline stays independently replayable.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(corpus, nlist, vecCol, idCol)
+    val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
+    val b = books(0).length
+    val dsub = books(0)(0).length
+    val corpusCells = assign(corpus, cents, vecCol, idCol, "c", top = 1)
+      .select(col("c_id"), col("centroid_id"))
+    val enc = pqEncode(corpus, books, vecCol, idCol)
+      .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
+      .join(corpusCells, Seq("c_id"))
+    val qd = col("q_vec").cast("array<double>")
+    val lutElems = for (mi <- books.indices; j <- 0 until b) yield
+      aggregate(
+        zip_with(slice(qd, mi * dsub + 1, dsub), typedlit(books(mi)(j)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val queryProbes = assign(queries, cents, vecCol, idCol, "q", top = nprobe)
+      .select(col("q_id"), col("q_vec"), col("centroid_id"))
+    val q = broadcast(queryProbes
+      .select(col("q_id"), col("centroid_id"),
+        array(lutElems.toIndexedSeq: _*).as("lut")))
+    val scored = enc.join(q, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("pid"),
+        aggregate(
+          transform(col("codes"), (code, mi) =>
+            element_at(col("lut"), mi * b + code.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val localW = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("score").desc, col("c_id"))
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rn"))
+  }
+
   /** IVF-style ANN top-k: probe `nprobe` of `nlist` coarse cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,

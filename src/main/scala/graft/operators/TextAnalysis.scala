@@ -147,6 +147,37 @@ object TextAnalysis {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Unigram-LM perplexity per document — the KenLM-shaped quality gate
+    * (docs whose perplexity under a corpus-fit LM is extreme are
+    * boilerplate or noise), with the n-gram order dropped to 1 so the
+    * model is pure counting and an independent engine can replay
+    * fit+score exactly.
+    *
+    * Scale shape: one explode + one token hash-agg builds the LM (model
+    * state = vocab-sized count table, joined back by token key — AQE
+    * broadcasts it when small); scoring is a per-doc avg of Laplace
+    * log-probs. Nothing is collected to the driver.
+    *
+    * Returns (idCol, n_tokens, avg_nll, ppl). Token-free documents keep
+    * NULL scores (no tokens to score).
+    */
+  def unigramPerplexity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", alpha: Double = 1.0): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = cnt.count()
+    val total = toks.count()
+    val scored = toks.join(cnt, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log((col("c") + lit(alpha)) / lit(total + alpha * vocab))))
+          .as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_nll"), col("ppl"))
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

@@ -264,6 +264,71 @@ object Pipeline {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    QuerySpec(
+      "ann_ivfpq_topk",
+      // IVF-PQ: coarse cells prune the scan, byte codes shrink the rest —
+      // the production billion-vector layout. Both stages use the
+      // deterministic sample rule, so the oracle composes the ann_ivf_topk
+      // replay (cell argmax + probes) with the ann_pq_topk replay
+      // (codes + LUT) and restricts ADC scoring to probed cells.
+      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 16, 1) AS cstep,
+        |                       greatest((SELECT count(*) FROM embeddings) // 64, 1) AS pstep),
+        |cents AS (
+        |  SELECT vec_id // cstep AS centroid_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings, params WHERE vec_id % cstep = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |corpus_assign AS (
+        |  SELECT vec_id AS c_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) x WHERE crn = 1),
+        |query_probe AS (
+        |  SELECT vec_id AS q_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) x WHERE crn <= 4),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] AS sv
+        |  FROM embeddings, params WHERE vec_id % pstep = 0 ORDER BY vec_id LIMIT 64),
+        |book AS (
+        |  SELECT (i-1) // 4 AS mi, j, (i-1) % 4 AS pos, y
+        |  FROM (SELECT j, unnest(sv) AS y, generate_subscripts(sv, 1) AS i FROM samp) t),
+        |csub AS (
+        |  SELECT vec_id AS c_id, (i-1) // 4 AS mi, (i-1) % 4 AS pos, x
+        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
+        |codes AS (
+        |  SELECT c_id, mi, j AS code FROM (
+        |    SELECT c_id, mi, j,
+        |      row_number() OVER (PARTITION BY c_id, mi ORDER BY dist, j) AS crn
+        |    FROM (SELECT c_id, mi, j, sum((x - y) * (x - y)) AS dist
+        |          FROM csub JOIN book USING (mi, pos)
+        |          GROUP BY c_id, mi, j) d) r WHERE crn = 1),
+        |lut AS (
+        |  SELECT q.c_id AS q_id, b.mi, b.j, sum(q.x * b.y) AS dot
+        |  FROM (SELECT * FROM csub WHERE c_id < 5) q
+        |  JOIN book b USING (mi, pos) GROUP BY q.c_id, b.mi, b.j),
+        |scored AS (
+        |  SELECT l.q_id, c.c_id, sum(l.dot) AS rawscore
+        |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
+        |  JOIN corpus_assign ca ON ca.c_id = c.c_id
+        |  JOIN query_probe qp ON qp.q_id = l.q_id AND qp.centroid_id = ca.centroid_id
+        |  WHERE l.q_id <> c.c_id GROUP BY l.q_id, c.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, rawscore,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rawscore DESC, c_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, c_id, round(rawscore, 6) AS score, rn FROM ranked WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 5),
+          k = 10, nlist = 16, nprobe = 4, m = 16, ksub = 64)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // ---- text analysis ---------------------------------------------------
     QuerySpec(
       "text_tokens",
@@ -277,6 +342,34 @@ object Pipeline {
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
           col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_perplexity",
+      // Unigram-LM perplexity quality gate: DuckDB refits the same Laplace
+      // unigram model (exact counts + one log per token) and rescores.
+      // avg of logs is hash-agg order-sensitive at ~1e-14, so both sides
+      // round to 6; the integer n_tokens anchors the row identity.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM toks) AS total,
+        |                  (SELECT count(*) FROM cnt) AS vs),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    -avg(ln((cnt.c + 1.0) / (consts.total + consts.vs))) AS nll
+        |  FROM toks t JOIN cnt USING (token) CROSS JOIN consts
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  round(sc.nll, 6) AS avg_nll, round(exp(sc.nll), 6) AS ppl
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramPerplexity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
         .orderBy(col("doc_id"))
     },
 

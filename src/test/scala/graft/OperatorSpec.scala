@@ -198,6 +198,37 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK candidates respect probed cells and share PQ's exact ADC") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = Similarity.ivfPqTopK(embs, queries,
+        k = 10, nlist = 16, nprobe = 4, m = 16, ksub = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.length <= 50)
+    // every candidate's cell must be one the query probed
+    val cents = Similarity.centroids(embs, nlist = 16)
+    val cellOf = Similarity.assign(embs, cents, "embedding", "vec_id", "c", top = 1)
+      .select(col("c_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.assign(queries, cents, "embedding", "vec_id", "q", top = 4)
+      .select(col("q_id"), col("centroid_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    got.foreach { case (qid, cid, _) =>
+      assert(probes(qid).contains(cellOf(cid)),
+        s"candidate $cid in unprobed cell ${cellOf(cid)} for query $qid")
+    }
+    // the ADC arithmetic is shared with pqTopK (same corpus -> same books):
+    // any pair present in both must score bit-identically
+    val pqScores = Similarity.pqTopK(embs, queries, k = 10, m = 16, ksub = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = got.filter { case (q, c, _) => pqScores.contains((q, c)) }
+    assert(shared.nonEmpty, "no overlap between IVF-PQ and PQ top-k to compare")
+    shared.foreach { case (q, c, s) =>
+      assert(s == pqScores((q, c)), s"ADC drift on ($q,$c): $s vs ${pqScores((q, c))}")
+    }
+  }
+
   test("NaiveBayes separates a vocabulary-disjoint corpus perfectly") {
     import spark.implicits._
     val docs = Seq(
