@@ -106,6 +106,61 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash+LSH near-dup pairs with an ENGINE-REPLAYABLE hash family.
+    *
+    * Same algorithm as [[minHashPairs]] — k permutation minima, banded
+    * candidate generation, signature-estimated Jaccard filter — but the
+    * j-th permutation hash of a shingle is `md5(j || ':' || shingle)` and
+    * the minimum is LEXICOGRAPHIC over the 32-char hex strings. md5 is a
+    * bit-identical builtin in any engine (DuckDB, Trino, Postgres…), so
+    * the WHOLE pipeline (signatures → bands → candidates → estimate) is
+    * an oracle-checkable query, not just its exact-Jaccard twin: the
+    * driver's DuckDB replay verifies LSH dedup end to end, hash family
+    * included.
+    *
+    * Scale notes: md5-per-(perm, shingle) costs ~an order of magnitude
+    * more than the fused 64-bit kernel and the band keys are r·33-byte
+    * strings instead of 8-byte longs, so [[minHashPairs]] stays the
+    * 100-TB default; this variant is the verification twin (and the
+    * k=16 default keeps the signature pass affordable). The shuffle
+    * structure is identical: band self-join with exchange reuse, id-only
+    * candidate payloads, signatures joined back only for survivors.
+    */
+  def minHashPairsReplayable(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
+      shingle: Int = 3, threshold: Double = 0.3): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val ss = word_shingles(tokens(col(textCol)), shingle)
+    val sigs0 = docs.select(col(idCol).as("id"), ss.as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          array_min(transform(col("ss"), s =>
+            md5(concat(j.cast("string"), lit(":"), s))))).as("sig"))
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.register(sigs)
+    val banded = sigs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).as("bkey")))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cands = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** LSH band-collision candidate pairs over a signature table
     * (id, sig). Band keys shuffle id-only payloads (~20 bytes/row), never
     * the signature array; the self-join reuses ONE exchange for both sides

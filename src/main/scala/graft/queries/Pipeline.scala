@@ -65,6 +65,45 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    QuerySpec(
+      "dedup_minhash_oracle",
+      // The FULL MinHash-LSH pipeline — signatures, banding, candidate
+      // join, estimated-Jaccard filter — replayed hash-exact by DuckDB:
+      // permutation j of a shingle is md5(j || ':' || shingle) and the
+      // minimum is lexicographic over hex strings, identical builtins in
+      // both engines. est_jaccard is a count/16 ⇒ exactly representable,
+      // so the driver's hash compare is bit-exact. (minHashPairs' fused
+      // 64-bit kernel stays the 100-TB path; this is its oracle twin.)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END AS ss
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 15), j ->
+        |      list_aggregate(list_transform(ss, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
+        |  FROM sh WHERE len(ss) > 0),
+        |banded AS (
+        |  SELECT doc_id, b, sig[2*b+1] || ',' || sig[2*b+2] AS bkey
+        |  FROM sigs, generate_series(0, 7) AS t(b)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(generate_series(1,16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/16 AS est_jaccard
+        |  FROM cands c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minHashPairsReplayable(t(s, dir, "documents"),
+          k = 16, bands = 8, shingle = 3, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     QuerySpec.noOracle("dedup_ngram_jaccard") { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
