@@ -288,6 +288,95 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs with an ENGINE-REPLAYABLE hash family (the
+    * [[minHashPairsReplayable]] companion): dimension d of a token's
+    * 64-bit projection is the top bit of hex char d of
+    * `md5(token) || md5('x' || token)` — i.e. bit_d = (hexchar_d >= '8'),
+    * a pure string comparison identical in any engine. Signature bit d is
+    * the majority vote over tokens (2·ones > n). Candidates share one of
+    * 4 16-bit bands; verified by Hamming distance over the bit strings.
+    *
+    * The 64 per-dimension majority votes are STATICALLY UNROLLED columns
+    * (no lambda-position indexing), so the whole signature stays inside
+    * whole-stage codegen. [[simHashPairs]]' fused 64-bit kernel remains
+    * the at-scale default; this is its oracle twin.
+    */
+  def simHashPairsReplayable(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val dims = 64
+    val bands = 4
+    val r = dims / bands // 16-bit bands
+    val hh = transform(tokens(col(textCol)), t => concat(md5(t), md5(concat(lit("x"), t))))
+    val sigSrc = docs.select(col(idCol).as("id"), hh.as("hh"))
+      .filter(size(col("hh")) > 0)
+      .withColumn("n", size(col("hh")))
+    val bitCols = (1 to dims).map { d =>
+      when(lit(2) * size(filter(col("hh"), h => substring(h, d, 1) >= lit("8"))) > col("n"),
+        lit("1")).otherwise(lit("0"))
+    }
+    val sigs = sigSrc.select(col("id"), concat(bitCols: _*).as("bits"))
+    val banded = sigs.select(col("id"), col("bits"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), substring(col("bits"), b * r + 1, r).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("bits"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val left = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("bits").as("ba"))
+    val right = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("bits").as("bb"))
+    val hamming = (1 to dims).map { i =>
+      when(substring(col("ba"), i, 1) =!= substring(col("bb"), i, 1), 1).otherwise(0)
+    }.reduce(_ + _)
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ba"), col("bb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** md5-Rademacher hyperplane for [[embeddingPairsReplayable]]: component
+    * d of plane p is +1 when the first hex char of `md5(p + "," + d)` is
+    * >= '8', else -1 — the same rule the DuckDB oracle evaluates with its
+    * own md5, so the plane family (not just the verify step) is checked.
+    */
+  private[graft] def rademacherPlane(p: Int, dim: Int): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val hex = digest.digest(s"$p,$d".getBytes("UTF-8"))
+      digest.reset()
+      // top bit of the first hex char == top bit of the first byte
+      if ((hex(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** Near-duplicate embedding pairs with ENGINE-REPLAYABLE hyperplanes:
+    * 8 deterministic md5-derived ±1 planes ([[rademacherPlane]]) bucket
+    * the corpus by an 8-bit sign key (pure map-side projection — the
+    * planes are literals); candidates within a bucket verify by exact
+    * cosine. The random-plane [[embeddingPairs]] (two probe sets, derived
+    * plane count) stays the scale/recall path; this variant exists so the
+    * bucketing itself — not only the cosine verify — is oracle-checked.
+    * Sign stability: |dot| ⋙ double-summation drift (asserted on the
+    * fixture at ~4e-6 vs ~1e-15), so both engines compute identical keys.
+    */
+  def embeddingPairsReplayable(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, planes: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bitCols = (0 until planes).map { p =>
+      val w = typedlit(rademacherPlane(p, dim))
+      val dot = aggregate(zip_with(v, w, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      concat(bitCols: _*).as("bkey"))
+    val leftK = keyed.select(col("bkey"), col("id").as("id_a"), col("v").as("v_a"))
+    val rightK = keyed.select(col("bkey"), col("id").as("id_b"), col("v").as("v_b"))
+    leftK.join(rightK, Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Hyperplane count for [[embeddingPairs]] sized so the EXPECTED bucket
     * population is ≤ `targetBucketSize`: planes = ⌈log₂(n/target)⌉,
     * clamped to [4, 30]. The within-bucket join is O(Σ bucketᵢ²), so a

@@ -114,6 +114,35 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    QuerySpec(
+      "dedup_simhash_oracle",
+      // Full SimHash pipeline replayed by DuckDB: 64 projection dims are
+      // hex-char top bits of md5(t)||md5('x'||t), signature bits are
+      // majority votes, candidates share one of 4 16-bit bands, and the
+      // emitted value is the integer Hamming distance — every step exact
+      // string/int ops, so the driver hash is bit-exact.
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(tk, t -> md5(t) || md5('x' || t)) AS hh
+        |       FROM toks WHERE len(tk) > 0),
+        |sig AS (SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(1, 64), d ->
+        |    CASE WHEN 2 * len(list_filter(hh, h -> h[d] >= '8')) > len(hh) THEN '1' ELSE '0' END), '') AS bits
+        |  FROM hs),
+        |banded AS (SELECT doc_id, bits, b, substr(bits, b*16+1, 16) AS bkey
+        |           FROM sig, generate_series(0, 3) t(b)),
+        |cands AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.bits AS ba, c.bits AS bb
+        |          FROM banded a JOIN banded c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(generate_series(1,64), i -> ba[i] != bb[i])) AS INT) AS hamming
+        |  FROM cands) WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simHashPairsReplayable(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     QuerySpec.noOracle("dedup_embedding") { (s, dir) =>
       // fixture embeddings are near-orthogonal (max cos ~0.48), so the
       // "near-dup" bar is the top ~0.5% of pairs. planes DERIVE from the
@@ -121,6 +150,36 @@ object Pipeline {
       // the within-bucket verify quadratic as the corpus grows.
       Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.3,
           targetBucketSize = 128L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    QuerySpec(
+      "dedup_embedding_oracle",
+      // Hyperplane-LSH bucketing itself oracle-checked (not only the
+      // cosine verify): both engines derive the SAME 8 ±1 planes from
+      // md5(p || ',' || d), compute 8-bit sign keys map-side, and verify
+      // within-bucket pairs by exact double cosine. Sign bits are stable
+      // across engines: fixture min |dot| ~4e-6 vs ~1e-15 summation drift.
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0, 63), d ->
+        |    CASE WHEN md5(p::VARCHAR || ',' || d::VARCHAR)[1] >= '8' THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM generate_series(0, 7) t(p)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, p.p,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * p.w[i])) >= 0
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM e CROSS JOIN planes p),
+        |keys AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bkey FROM bits GROUP BY vec_id),
+        |cands AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM cands c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.embeddingPairsReplayable(t(s, dir, "embeddings"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -48,6 +48,56 @@ class OperatorSpec extends SparkSuite {
       s"planted dup not found; got ${pairs.mkString(";")}")
   }
 
+  test("replayable md5 minhash tracks exact jaccard like the fused kernel") {
+    // Two INDEPENDENT hash families estimating the same quantity, judged
+    // against the exact-Jaccard ground truth: every true near-dup
+    // (jaccard >= 0.9) must be recalled by BOTH families, and neither may
+    // report a pair whose exact jaccard is below 0.1 (wild false
+    // positive). est-value equality between families is NOT expected —
+    // k=16 quantization makes est=1.0 reachable from jaccard ~0.85.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.exactJaccardPairs(docs, shingle = 3, threshold = 0.0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = exact.filter(_._2 >= 0.9).keySet
+    assert(truth.nonEmpty, "fixture has no jaccard>=0.9 dups — test is vacuous")
+    val fused = Dedup.minHashPairs(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replay = Dedup.minHashPairsReplayable(docs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(fused), s"fused kernel missed true dups: ${truth -- fused}")
+    assert(truth.subsetOf(replay), s"md5 family missed true dups: ${truth -- replay}")
+    val wildFused = fused.filter(p => exact.getOrElse(p, 0.0) < 0.1)
+    val wildReplay = replay.filter(p => exact.getOrElse(p, 0.0) < 0.1)
+    assert(wildFused.isEmpty, s"fused kernel false positives: $wildFused")
+    assert(wildReplay.isEmpty, s"md5 family false positives: $wildReplay")
+  }
+
+  test("replayable simhash pairs are genuinely similar (exact jaccard check)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.simHashPairsReplayable(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no simhash pairs on the fixture")
+    val exact = Dedup.exactJaccardPairs(docs, shingle = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pairs.count(exact.contains)
+    assert(hits * 2 >= pairs.length,
+      s"under half the simhash pairs ($hits/${pairs.length}) pass exact jaccard 0.2")
+  }
+
+  test("replayable hyperplane buckets never lose a pair the verify accepts") {
+    // subset-of-exact is structural (verify IS exact cosine); the real
+    // assertion is recall: same-bucket candidates must catch the strong
+    // pairs the exact quadratic path finds.
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val lsh = Dedup.embeddingPairsReplayable(embs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactCosinePairs(embs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh.nonEmpty,
+      "exact path finds pairs but 8-plane LSH finds none")
+  }
+
   test("simhash hamming small for near texts, large for far texts") {
     val df = Seq(
       (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
