@@ -10,9 +10,15 @@ import graft.queries._
   * equivalent the driver uses as the correctness oracle.
   */
 object SparkEntry {
-  private def registry: Seq[QuerySpec] =
-    Relational.specs ++ FunctionMatrix.specs ++ Windows.specs ++
+  private def registry: Seq[QuerySpec] = {
+    val all = Relational.specs ++ FunctionMatrix.specs ++ Windows.specs ++
       Superset.specs ++ Pipeline.specs ++ Curation.specs
+    // duplicate names would silently drop a query in the Map below (and
+    // its oracle), shrinking the correctness surface without any failure
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

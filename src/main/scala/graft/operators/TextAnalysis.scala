@@ -74,6 +74,106 @@ object TextAnalysis {
       alpha.as("alpha_ratio"), swEn.as("stopword_ratio"), composite.as("quality"))
   }
 
+  /** Gopher quality-filter signals (Rae et al. 2021, arXiv:2112.11446,
+    * §A1.1.2) for one document, as named columns. Every ratio is a single
+    * int/int double division, so an independent engine computes the exact
+    * same bits — the whole rule battery is oracle-checkable.
+    *
+    * Scale: pure per-row projection over the scan — no shuffle, no UDFs.
+    * The repetition signals ([[gopherRepetitionColumns]]) are separate
+    * because their cost model differs (quadratic in distinct grams).
+    */
+  def gopherQualityColumns(text: Column): Seq[Column] = {
+    val tk = tokens(text)
+    val n = size(tk)
+    val nD = n.cast("double")
+    val meanWordLen = when(n > 0,
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") / nD)
+      .otherwise(lit(0.0))
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    // '...' occurrences: replace is leftmost non-overlapping in both engines
+    val ellipsisCount = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val hashRatio = when(n > 0, hashCount.cast("double") / nD).otherwise(lit(0.0))
+    val ellipsisRatio = when(n > 0, ellipsisCount.cast("double") / nD).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      size(filter(tk, t => t.rlike("[a-z]"))).cast("double") / nD).otherwise(lit(0.0))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(
+      array(gopherStops.map(lit): _*), w => array_contains(tk, w)))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") / nLines
+    val ellipsisLineFrac = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")))).cast("double") / nLines
+    val keep = n.between(50, 100000) && meanWordLen.between(3.0, 10.0) &&
+      hashRatio < 0.1 && ellipsisRatio < 0.1 &&
+      bulletFrac < 0.9 && ellipsisLineFrac < 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    Seq(n.cast("long").as("n_words"), meanWordLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      alphaFrac.as("alpha_word_frac"), stopHits.cast("int").as("stop_hits"),
+      bulletFrac.as("bullet_line_frac"), ellipsisLineFrac.as("ellipsis_line_frac"),
+      keep.as("gopher_keep"))
+  }
+
+  /** Gopher repetition signals: duplicate-line fraction, most-common-2gram
+    * position fraction, duplicated-5gram position fraction (the paper's
+    * char-weighted fractions simplified to position fractions — same
+    * discriminative shape, and exactly replayable as int/int divisions).
+    *
+    * Cost model: the gram counting is O(distinct-grams × grams) PER ROW but
+    * entirely map-side — for typical documents (≤ a few thousand tokens)
+    * that beats shipping every gram through an explode + groupBy shuffle,
+    * which at 100 TB would move ~tokens×8 bytes per doc across the
+    * cluster. Pathological single-doc-books should pre-truncate.
+    */
+  def gopherRepetitionColumns(text: Column): Seq[Column] = {
+    val tk = tokens(text)
+    val lines = split(text, "\n")
+    val dupLineFrac = when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines).cast("double"))
+      .otherwise(lit(0.0))
+    def topGramFrac(ngrams: Column): Column = {
+      val d = array_distinct(ngrams)
+      val counts = transform(d, g => size(filter(ngrams, x => x === g)))
+      when(size(ngrams) > 0,
+        array_max(counts).cast("double") / size(ngrams).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    def dupGramFrac(ngrams: Column): Column =
+      when(size(ngrams) > 0,
+        size(filter(ngrams, x => size(filter(ngrams, y => y === x)) > 1)).cast("double")
+          / size(ngrams).cast("double"))
+        .otherwise(lit(0.0))
+    Seq(dupLineFrac.as("dup_line_frac"),
+      topGramFrac(word_shingles(tk, 2)).as("top_2gram_frac"),
+      dupGramFrac(word_shingles(tk, 5)).as("dup_5gram_frac"))
+  }
+
+  /** C4 heuristic-filter signals (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): terminal-punctuation line fraction, short-line fraction, code
+    * brace / "lorem ipsum" flags, sentence count, and the combined keep.
+    * Pure per-row projection, oracle-replayable (booleans + single
+    * divisions only).
+    */
+  def c4Columns(text: Column): Seq[Column] = {
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val terminalFrac = size(filter(lines, l =>
+      Seq(".", "!", "?", "\"").map(s => endswith(rtrim(l), lit(s)))
+        .reduce(_ || _))).cast("double") / nLines
+    val shortLineFrac = size(filter(lines, l =>
+      size(filter(split(l, "\\s+"), t => length(t) > 0)) < 5)).cast("double") / nLines
+    val hasBrace = instr(text, "{") > 0
+    val hasLorem = instr(lower(text), "lorem ipsum") > 0
+    val sentences = size(filter(split(text, "[.!?]+"), p => length(trim(p)) > 0))
+    val keep = !hasBrace && !hasLorem && sentences >= 3 && terminalFrac >= 0.5
+    Seq(terminalFrac.as("terminal_line_frac"), shortLineFrac.as("short_line_frac"),
+      hasBrace.as("has_brace"), hasLorem.as("has_lorem"),
+      sentences.cast("int").as("n_sentences"), keep.as("c4_keep"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -601,6 +601,94 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_gopher",
+      // Gopher rule battery (arXiv:2112.11446 §A1.1.2): every signal is a
+      // single int/int double division or a boolean, so the driver hash is
+      // bit-exact. Line-structure signals are deterministic constants on
+      // the single-line fixture; multi-line behavior is asserted in
+      // OperatorSpec with planted documents.
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(tk) AS nw,
+        |    CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/len(tk) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)/len(tk) ELSE 0.0 END AS hash_ratio,
+        |    CASE WHEN len(tk) > 0 THEN ((len(text) - len(replace(text, '...', '')))/3)/len(tk) ELSE 0.0 END AS ellipsis_ratio,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)/len(tk) ELSE 0.0 END AS alpha_word_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(tk, w))) AS INT) AS stop_hits,
+        |    CAST(len(list_filter(lines, l -> substr(ltrim(l),1,1) IN ('-','*','•'))) AS DOUBLE)/len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)/len(lines) AS ellipsis_line_frac
+        |  FROM base)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_word_len, hash_ratio,
+        |  ellipsis_ratio, alpha_word_frac, stop_hits, bullet_line_frac, ellipsis_line_frac,
+        |  (nw BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND hash_ratio < 0.1 AND ellipsis_ratio < 0.1 AND bullet_line_frac < 0.9
+        |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS gopher_keep
+        |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.gopherQualityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_gopher_rep",
+      // Gopher repetition signals: dup-line fraction, most-common-2gram
+      // position fraction, duplicated-5gram position fraction. The gram
+      // counting is the map-side O(distinct×grams) form — no shuffle.
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lines,
+        |    CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS g2,
+        |    CASE WHEN len(tk) >= 5 THEN list_transform(generate_series(1, len(tk)-4), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]) ELSE [] END AS g5
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)/len(lines) AS dup_line_frac,
+        |  CASE WHEN len(g2) > 0 THEN
+        |    CAST(list_aggregate(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))), 'max') AS DOUBLE)/len(g2)
+        |    ELSE 0.0 END AS top_2gram_frac,
+        |  CASE WHEN len(g5) > 0 THEN
+        |    CAST(len(list_filter(g5, x -> len(list_filter(g5, y -> y = x)) > 1)) AS DOUBLE)/len(g5)
+        |    ELSE 0.0 END AS dup_5gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.gopherRepetitionColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_c4",
+      // C4 heuristics (arXiv:1910.10683 §2.2): line-terminal punctuation,
+      // short lines, brace / lorem-ipsum flags, sentence count, keep flag.
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l),'.') OR ends_with(rtrim(l),'!')
+        |    OR ends_with(rtrim(l),'?') OR ends_with(rtrim(l),'"'))) AS DOUBLE)/len(lines) AS terminal_line_frac,
+        |  CAST(len(list_filter(lines, l ->
+        |    len(list_filter(string_split_regex(l, '\s+'), t -> len(t) > 0)) < 5)) AS DOUBLE)/len(lines) AS short_line_frac,
+        |  contains(text, '{') AS has_brace,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'), p -> len(trim(p)) > 0)) AS INT) AS n_sentences,
+        |  NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND len(list_filter(string_split_regex(text, '[.!?]+'), p -> len(trim(p)) > 0)) >= 3
+        |    AND CAST(len(list_filter(lines, l -> ends_with(rtrim(l),'.') OR ends_with(rtrim(l),'!')
+        |      OR ends_with(rtrim(l),'?') OR ends_with(rtrim(l),'"'))) AS DOUBLE)/len(lines) >= 0.5 AS c4_keep
+        |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.c4Columns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "text_langid",
       // The stopword-ratio argmax is deterministic arithmetic, so DuckDB
       // can replay it: struct-list max mirrors Spark's array_max over

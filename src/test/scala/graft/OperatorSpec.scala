@@ -453,6 +453,55 @@ class OperatorSpec extends SparkSuite {
     assert(out(3L) == (0L, false))
   }
 
+  test("gopher rules evaluate line structure and keep/drop correctly") {
+    // fixture docs are single-line so the line signals are exercised here:
+    // a clean prose doc (keep), a bullet-list doc (drop: bullet_line_frac),
+    // and a hashtag-spam doc (drop: hash_ratio)
+    val prose = ("the data is large and we have to scan it with care . " * 12).trim
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n") + "\nthe of and that"
+    val spam = "the of and that have with " + ("#spam " * 60).trim
+    val docs = Seq((1L, prose), (2L, bullets), (3L, spam)).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        operators.TextAnalysis.gopherQualityColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_keep"), s"prose doc dropped: ${out(1L)}")
+    assert(out(2L).getAs[Double]("bullet_line_frac") > 0.9 &&
+      !out(2L).getAs[Boolean]("gopher_keep"), s"bullet doc kept: ${out(2L)}")
+    assert(out(3L).getAs[Double]("hash_ratio") >= 0.1 &&
+      !out(3L).getAs[Boolean]("gopher_keep"), s"hashtag doc kept: ${out(3L)}")
+  }
+
+  test("gopher repetition flags duplicated lines and grams") {
+    val repeatedLines = (Seq.fill(5)("alpha beta gamma") ++ Seq("delta")).mkString("\n")
+    val repeatedGrams = ("one two three four five six seven " * 8).trim
+    val clean = "all words in this sentence appear exactly once today"
+    val docs = Seq((1L, repeatedLines), (2L, repeatedGrams), (3L, clean))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        operators.TextAnalysis.gopherRepetitionColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_line_frac") > 0.6, s"${out(1L)}")
+    assert(out(2L).getAs[Double]("dup_5gram_frac") > 0.8, s"${out(2L)}")
+    assert(out(3L).getAs[Double]("dup_5gram_frac") == 0.0 &&
+      out(3L).getAs[Double]("dup_line_frac") == 0.0, s"${out(3L)}")
+  }
+
+  test("c4 rules count sentences and flag code/boilerplate") {
+    val good = "This is a sentence. Here is another one! And a third?\nAll lines end well."
+    val code = "function f() { return 1; }"
+    val lorem = "Lorem Ipsum dolor sit amet. Filler text here. More filler text."
+    val docs = Seq((1L, good), (2L, code), (3L, lorem)).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        operators.TextAnalysis.c4Columns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_sentences") >= 3 &&
+      out(1L).getAs[Boolean]("c4_keep"), s"good doc dropped: ${out(1L)}")
+    assert(out(2L).getAs[Boolean]("has_brace") &&
+      !out(2L).getAs[Boolean]("c4_keep"), s"code doc kept: ${out(2L)}")
+    assert(out(3L).getAs[Boolean]("has_lorem") &&
+      !out(3L).getAs[Boolean]("c4_keep"), s"lorem doc kept: ${out(3L)}")
+  }
+
   test("langId picks en for english-looking text and zh for CJK") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),
