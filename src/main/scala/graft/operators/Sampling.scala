@@ -66,4 +66,56 @@ object Sampling {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("threshold"),
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * each document by how target-like its hashed-bigram distribution is,
+    * log w(doc) = Σ_grams [ln p̂(bucket) − ln q̂(bucket)], where p̂/q̂ are
+    * add-1-smoothed bucket frequencies of the target subset vs the whole
+    * corpus. Returns the `topK` docs by weight with their rank.
+    *
+    * Scale shape (100 TB): the count pass shuffles only `buckets`-keyed
+    * partial aggregates (map-side combine ⇒ ~buckets rows per partition);
+    * the collected model is `buckets` longs — constant-size driver state
+    * like a centroid set. Scoring is then a ZERO-SHUFFLE scan projection:
+    * the log-ratio table rides along as a broadcast literal and each doc
+    * folds its own grams (`element_at` lookups) map-side. The only
+    * corpus-order operation is the final top-k, which fuses to
+    * TakeOrderedAndProject.
+    *
+    * Replayability: buckets come from md5 hex pairs (`conv(_,16,10)` ≡
+    * strpos arithmetic in any engine), counts are exact ints, and ln is
+    * correctly rounded to ulps in both engines — round-6 output absorbs
+    * the drift, raw doubles keep the ranking.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+      topK: Int = 200, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets == 256, "bucket count is fixed at 256 (two md5 hex chars)")
+    def bkt(gr: Column): Column =
+      conv(substring(md5(gr), 1, 2), 16, 10).cast("int")
+    val grams = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        word_shingles(tokens(col(textCol)), 2).as("g2"))
+      .filter(size(col("g2")) > 0)
+    val counts = grams.select(col("tgt"), explode(col("g2")).as("gr"))
+      .select(col("tgt"), bkt(col("gr")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nq = counts.values.map(_._1).sum.toDouble
+    val np = counts.values.map(_._2).sum.toDouble
+    val lut = Array.tabulate(buckets) { b =>
+      val (cq, cp) = counts.getOrElse(b, (0L, 0L))
+      math.log((cp + 1.0) / (np + buckets)) - math.log((cq + 1.0) / (nq + buckets))
+    }
+    val logw = aggregate(
+      transform(col("g2"), gr => element_at(typedlit(lut), bkt(gr) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logw").desc, col(idCol))
+    grams.select(col("id").as(idCol), logw.as("logw"))
+      .orderBy(col("logw").desc, col(idCol)).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol), round(col("logw"), 6).as("dsir_logw"), col("rn"))
+  }
 }

@@ -389,6 +389,37 @@ object Curation {
     },
 
     QuerySpec(
+      "dsir_weights",
+      // DSIR importance resampling (arXiv:2302.03169) toward an English
+      // target: hashed-bigram bucket counts (exact ints) → add-1-smoothed
+      // log-ratio table → per-doc Σ log-ratio, folded IN DOC ORDER on both
+      // engines (list_transform + list_sum here, aggregate() in Spark), so
+      // the only cross-engine drift is ln ulps, absorbed by round-6.
+      """WITH toks AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk FROM documents),
+        |g AS (SELECT doc_id, lang, CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS g2 FROM toks),
+        |gnz AS (SELECT * FROM g WHERE len(g2) > 0),
+        |eb AS (SELECT doc_id, lang, ('0x' || substr(md5(gr), 1, 2))::INT AS bkt
+        |       FROM (SELECT doc_id, lang, unnest(g2) AS gr FROM gnz)),
+        |cnt AS (SELECT bkt, count(*) AS cq,
+        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp
+        |        FROM eb GROUP BY 1),
+        |tot AS (SELECT sum(cq) AS nq, sum(cp) AS np FROM cnt),
+        |dense AS (SELECT d.b AS bkt, coalesce(cnt.cq, 0) AS cq, coalesce(cnt.cp, 0) AS cp
+        |          FROM generate_series(0, 255) d(b) LEFT JOIN cnt ON cnt.bkt = d.b),
+        |lutl AS (SELECT list(ln((cp+1.0)/(np+256.0)) - ln((cq+1.0)/(nq+256.0)) ORDER BY bkt) AS L
+        |         FROM dense CROSS JOIN tot),
+        |scored AS (SELECT doc_id,
+        |    list_sum(list_transform(g2, gr -> L[('0x' || substr(md5(gr), 1, 2))::INT + 1])) AS logw
+        |  FROM gnz CROSS JOIN lutl)
+        |SELECT doc_id, round(logw, 6) AS dsir_logw,
+        |  row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+        |FROM scored QUALIFY rn <= 200 ORDER BY rn""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.dsirWeights(
+          t(s, dir, "documents"), isTarget = col("lang") === "en", topK = 200)
+        .orderBy(col("rn"))
+    },
+
+    QuerySpec(
       "nb_langid",
       // Trainable curation classifier: multinomial Naive Bayes trained on
       // the corpus's (text, lang) pairs, then applied back to every doc.

@@ -502,6 +502,17 @@ class OperatorSpec extends SparkSuite {
       !out(3L).getAs[Boolean]("c4_keep"), s"lorem doc kept: ${out(3L)}")
   }
 
+  test("dsirWeights upweights the target domain") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
+        topK = 20)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val enFrac = selected.filter(col("lang") === "en").count().toDouble / 20
+    val baseFrac = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(enFrac > baseFrac,
+      f"DSIR top-20 en fraction $enFrac%.2f not above base rate $baseFrac%.2f")
+  }
+
   test("langId picks en for english-looking text and zh for CJK") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),

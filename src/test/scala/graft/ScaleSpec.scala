@@ -109,6 +109,18 @@ class ScaleSpec extends SparkSuite {
       s"packing funnels the corpus into one partition:\n$plan")
   }
 
+  test("dsirWeights scores map-side: top-k fusion, no corpus hash shuffle") {
+    // the scoring pass folds each doc's grams against the broadcast
+    // log-ratio literal — the only plan nodes after the scan may be the
+    // top-k fusion and the 200-row window, never a corpus-keyed exchange
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.Sampling.dsirWeights(docs, col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring pass shuffles the corpus:\n$plan")
+  }
+
   test("saltedEquiJoin equals plain join on a skewed key") {
     // events.user_id has only 15 distinct values over 1000 rows — skewed.
     val events = Tables.load(spark, sfDir, "events")
