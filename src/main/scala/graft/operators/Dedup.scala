@@ -288,6 +288,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-document duplicated-span statistics (the signal behind exact
+    * substring dedup, Lee et al. 2021, arXiv:2107.06499): for each doc,
+    * how many of its `n`-token spans also occur in ANOTHER document.
+    * Docs with high `dup_frac` are boilerplate/mirror copies that
+    * resemblance-based LSH can miss (a short shared span barely moves
+    * Jaccard).
+    *
+    * Scale shape: spans travel as md5 strings, never text. One gram-keyed
+    * shuffle finds cross-doc grams (min(doc) != max(doc) — cheaper than
+    * countDistinct and enough for "appears elsewhere"); the left-semi join
+    * back shares that partitioning (AQE broadcasts the dup-gram set
+    * instead when it is small), and the per-doc count partially
+    * aggregates map-side. This is the distributed formulation of the
+    * paper's suffix-array pass. Output ratios are single int/int
+    * divisions — engine-replayable.
+    */
+  def crossDocSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 10): DataFrame = {
+    val gh = transform(word_shingles(tokens(col(textCol)), n), g => md5(g))
+    val base0 = docs.select(col(idCol).as("id"), gh.as("gh"))
+      .filter(size(col("gh")) > 0)
+    val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.register(base)
+    val ex = base.select(col("id"), explode(col("gh")).as("h"))
+    val crossDup = ex.groupBy(col("h"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val perDoc = ex.join(crossDup, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("gh")).cast("long").as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          size(col("gh")).cast("double")).as("dup_frac"))
+  }
+
   /** SimHash near-dup pairs with an ENGINE-REPLAYABLE hash family (the
     * [[minHashPairsReplayable]] companion): dimension d of a token's
     * 64-bit projection is the top bit of hex char d of

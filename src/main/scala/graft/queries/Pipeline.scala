@@ -104,6 +104,31 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    QuerySpec(
+      "dedup_spans",
+      // Exact-substring dedup signal (arXiv:2107.06499): per doc, the
+      // fraction of its 10-token spans that occur in another document.
+      // Spans are md5 strings on both sides; ratios single divisions.
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 10 THEN
+        |        list_transform(generate_series(1, len(tk)-9), i ->
+        |          md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]||' '||tk[i+8]||' '||tk[i+9]))
+        |      ELSE [] END AS gh FROM toks),
+        |gnz AS (SELECT * FROM g WHERE len(gh) > 0),
+        |ex AS (SELECT doc_id, unnest(gh) AS h FROM gnz),
+        |cross_dup AS (SELECT h FROM ex GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |per_doc AS (
+        |  SELECT e.doc_id, count(*) AS n_dup
+        |  FROM ex e JOIN cross_dup USING (h) GROUP BY 1)
+        |SELECT gnz.doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(per_doc.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(per_doc.n_dup, 0) AS DOUBLE)/len(gh) AS dup_frac
+        |FROM gnz LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.crossDocSpans(t(s, dir, "documents"), n = 10)
+        .orderBy(col("doc_id"))
+    },
+
     QuerySpec.noOracle("dedup_ngram_jaccard") { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
