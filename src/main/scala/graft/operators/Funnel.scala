@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics over an event stream (the windowFunnel /
+  * MATCH_RECOGNIZE-lite of OLAP engines): per user, how far through an
+  * ordered stage sequence (e.g. view → click → purchase) they progressed,
+  * with the timestamp each stage was first reached. A stage counts only
+  * when it happens STRICTLY AFTER the previous stage's recorded time, and
+  * — when `window` is set — within `window` of the FIRST stage
+  * (ClickHouse windowFunnel semantics: the whole conversion must fit the
+  * attribution window).
+  *
+  * Scale design: ONE shuffle (the per-user groupBy). Each user's events
+  * are collected, sorted, and folded by a higher-order `aggregate` whose
+  * accumulator is just the array of reached-stage timestamps — state is
+  * `size(times)`, so the fold is a compact codegen'd expression, not a
+  * UDF or a per-stage join cascade (k stages would otherwise cost k
+  * user-keyed shuffles). Per-user event counts bound memory (the usual
+  * funnel assumption); pathological hot users should be pre-capped.
+  *
+  * Reference parity: the progressive-min SQL formulation (t_k = min ts of
+  * stage k with ts > t_{k-1}) is exactly what the fold computes, which is
+  * how the DuckDB oracle replays it.
+  */
+object Funnel {
+
+  def funnel(events: DataFrame, stages: Seq[String],
+      window: Option[Column] = None,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val n = stages.length
+    // non-stage events are dropped INSIDE the aggregate (collect_list
+    // ignores nulls) rather than by a pre-filter, so users with zero
+    // stage events still surface with reached = 0 — same row set as the
+    // progressive-min SQL formulation over all users.
+    val stageEvent = when(col(typeCol).isin(stages: _*),
+      struct(col(tsCol).as("ts"), col(typeCol).as("et")))
+    val seq0 = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(stageEvent)).as("seq"))
+    val stageLit = typedlit(stages)
+    val times = aggregate(
+      col("seq"),
+      array().cast("array<timestamp>"),
+      (tms, e) => {
+        val reached = size(tms)
+        val inWindow = window match {
+          case Some(w) => reached === 0 || e.getField("ts") <= element_at(tms, 1) + w
+          case None => lit(true)
+        }
+        val adv = reached < n &&
+          e.getField("et") === element_at(stageLit, reached + 1) &&
+          (reached === 0 || e.getField("ts") > element_at(tms, -1)) &&
+          inWindow
+        when(adv, concat(tms, array(e.getField("ts")))).otherwise(tms)
+      })
+    val stageCols = stages.zipWithIndex.map { case (s, i) =>
+      // try_: stages beyond `reached` have no time (ANSI element_at throws)
+      try_element_at(col("times"), lit(i + 1)).as(s"t_$s")
+    }
+    seq0.select(col(userCol), times.as("times"))
+      .select(col(userCol) +: size(col("times")).as("reached") +: stageCols: _*)
+  }
+}

@@ -227,6 +227,33 @@ object Windows {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    QuerySpec(
+      "events_funnel",
+      // Ordered windowFunnel (view → click → purchase within 24h of the
+      // first view, each stage strictly after the previous): the Spark
+      // side is a single-shuffle sorted fold per user; the oracle is the
+      // equivalent progressive-min formulation. Timestamps are exact µs,
+      // so the driver hash is bit-exact.
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |         AND e.ts <= s1.t_view + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |         AND e.ts <= s1.t_view + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t_purchase IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2
+        |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS reached,
+        |  t_view, t_click, t_purchase
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+          stages = Seq("view", "click", "purchase"),
+          window = Some(expr("INTERVAL 24 HOURS")))
+        .orderBy(col("user_id"))
     }
   )
 }

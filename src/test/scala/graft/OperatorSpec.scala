@@ -502,6 +502,26 @@ class OperatorSpec extends SparkSuite {
       !out(3L).getAs[Boolean]("c4_keep"), s"lorem doc kept: ${out(3L)}")
   }
 
+  test("funnel honors stage order, strict-after, and the attribution window") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      // u1: clean view->click->purchase
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // u2: click BEFORE view — must not count; no click after view
+      (2L, ts(0), "click"), (2L, ts(10), "view"), (2L, ts(20), "purchase"),
+      // u3: purchase outside the 30-min window
+      (3L, ts(0), "view"), (3L, ts(10), "click"), (3L, ts(45), "purchase"),
+      // u4: only unrelated events — still a row, reached 0
+      (4L, ts(0), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.funnel(events,
+        Seq("view", "click", "purchase"),
+        window = Some(expr("INTERVAL 30 MINUTES")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0), s"got $out")
+  }
+
   test("dsirWeights upweights the target domain") {
     val docs = Tables.load(spark, sfDir, "documents")
     val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
