@@ -46,14 +46,24 @@ package object functions {
     * than n tokens yield an empty array (sequence() would otherwise produce
     * a DESCENDING range when size<n and slice(_,0,_) throws — guard the
     * range explicitly).
+    *
+    * The token array is LET-BOUND via a one-element transform before the
+    * per-shingle lambda touches it. Higher-order functions run interpreted
+    * (CodegenFallback), and interpreted lambda bodies re-evaluate their
+    * whole subtree per element — with `toks` inlined (e.g.
+    * `tokens(text)` = filter+split+lower), every shingle would rebuild
+    * the token array from the raw text: O(grams × split-cost) per row,
+    * measured as a ~50× slowdown on the fixture. As a lambda variable the
+    * array is evaluated once per row and each access is O(1).
     */
   def word_shingles(toks: Column, n: Int): Column =
-    when(toks.isNull, lit(null).cast("array<string>"))
-      .when(size(toks) >= n,
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), t =>
+      when(t.isNull, lit(null).cast("array<string>"))
+        .when(size(t) >= n,
+          transform(
+            sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Fused stopword-ratio language ID (result-identical to the composed
     * argmax form; one pass, no regexes — see VectorOps.langId). */

@@ -22,3 +22,19 @@ private[graft] object Caches {
     buf.clear()
   }
 }
+
+/** Input parallelism guard for compute-heavy per-row operators (md5
+  * signature passes, per-doc folds). A small fixture parquet is a SINGLE
+  * row group ⇒ one scan split ⇒ one task doing all the work while 31
+  * cores idle. At corpus scale the scan itself yields thousands of
+  * splits, so the guard is a no-op there — it repartitions ONLY when the
+  * source has materially fewer partitions than the session's shuffle
+  * width. The decision is plan-time (partition count, not data).
+  */
+private[graft] object Par {
+  def ensure(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    val have = df.rdd.getNumPartitions
+    if (have * 2 < want) df.repartition(want, key) else df
+  }
+}

@@ -132,7 +132,7 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val ss = word_shingles(tokens(col(textCol)), shingle)
-    val sigs0 = docs.select(col(idCol).as("id"), ss.as("ss"))
+    val sigs0 = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), ss.as("ss"))
       .filter(size(col("ss")) > 0)
       .select(col("id"),
         transform(sequence(lit(0), lit(k - 1)), j =>
@@ -307,7 +307,7 @@ object Dedup {
   def crossDocSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 10): DataFrame = {
     val gh = transform(word_shingles(tokens(col(textCol)), n), g => md5(g))
-    val base0 = docs.select(col(idCol).as("id"), gh.as("gh"))
+    val base0 = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), gh.as("gh"))
       .filter(size(col("gh")) > 0)
     val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Caches.register(base)
@@ -345,7 +345,7 @@ object Dedup {
     val bands = 4
     val r = dims / bands // 16-bit bands
     val hh = transform(tokens(col(textCol)), t => concat(md5(t), md5(concat(lit("x"), t))))
-    val sigSrc = docs.select(col(idCol).as("id"), hh.as("hh"))
+    val sigSrc = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), hh.as("hh"))
       .filter(size(col("hh")) > 0)
       .withColumn("n", size(col("hh")))
     val bitCols = (1 to dims).map { d =>

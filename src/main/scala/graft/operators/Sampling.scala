@@ -93,7 +93,7 @@ object Sampling {
     require(buckets == 256, "bucket count is fixed at 256 (two md5 hex chars)")
     def bkt(gr: Column): Column =
       conv(substring(md5(gr), 1, 2), 16, 10).cast("int")
-    val grams = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+    val grams = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), isTarget.as("tgt"),
         word_shingles(tokens(col(textCol)), 2).as("g2"))
       .filter(size(col("g2")) > 0)
     val counts = grams.select(col("tgt"), explode(col("g2")).as("gr"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -152,18 +152,28 @@ object Similarity {
   def pqEncode(vectors: DataFrame, books: Array[Array[Array[Double]]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val dsub = books(0)(0).length
-    val dvec = col(vecCol).cast("array<double>")
-    val codeCols = books.indices.map { mi =>
-      val sub = slice(dvec, mi * dsub + 1, dsub)
-      val scored = books(mi).zipWithIndex.map { case (cw, j) =>
-        val dist = aggregate(
-          zip_with(sub, typedlit(cw), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(dist.as("dist"), lit(j).as("j"))
-      }
-      array_min(array(scored.toIndexedSeq: _*)).getField("j").cast("tinyint")
-    }
-    vectors.select(col(idCol), array(codeCols: _*).as("codes"))
+    // Double let-binding (see word_shingles for the pattern): HOFs run
+    // interpreted and re-evaluate lambda-body subtrees per element, so
+    // both the float→double cast AND the m subvector slices are bound
+    // once per row; each of the m·ksub codeword distances then only does
+    // O(1) lambda-variable lookups plus its own dsub-length fold.
+    def codesFromSubs(subs: Column): Column =
+      array(books.indices.map { mi =>
+        val sub = element_at(subs, mi + 1)
+        val scored = books(mi).zipWithIndex.map { case (cw, j) =>
+          val dist = aggregate(
+            zip_with(sub, typedlit(cw), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+          struct(dist.as("dist"), lit(j).as("j"))
+        }
+        array_min(array(scored.toIndexedSeq: _*)).getField("j").cast("tinyint")
+      }: _*)
+    def subsOf(v: Column): Column =
+      array(books.indices.map(mi => slice(v, mi * dsub + 1, dsub)): _*)
+    vectors.select(col(idCol),
+      element_at(transform(array(col(vecCol).cast("array<double>")), v =>
+        element_at(transform(array(subsOf(v)), subs => codesFromSubs(subs)), 1)),
+        1).as("codes"))
   }
 
   /** PQ ANN top-k by asymmetric distance (ADC), ranking on approximate

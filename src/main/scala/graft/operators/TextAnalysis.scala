@@ -80,7 +80,7 @@ object TextAnalysis {
     * same bits — the whole rule battery is oracle-checkable.
     *
     * Scale: pure per-row projection over the scan — no shuffle, no UDFs.
-    * The repetition signals ([[gopherRepetitionColumns]]) are separate
+    * The repetition signals ([[gopherRepetition]]) are separate
     * because their cost model differs (quadratic in distinct grams).
     */
   def gopherQualityColumns(text: Column): Seq[Column] = {
@@ -117,38 +117,59 @@ object TextAnalysis {
       keep.as("gopher_keep"))
   }
 
-  /** Gopher repetition signals: duplicate-line fraction, most-common-2gram
-    * position fraction, duplicated-5gram position fraction (the paper's
-    * char-weighted fractions simplified to position fractions — same
-    * discriminative shape, and exactly replayable as int/int divisions).
+  /** Gopher repetition signals per document: duplicate-line fraction,
+    * most-common-2gram position fraction, duplicated-5gram position
+    * fraction (the paper's char-weighted fractions simplified to position
+    * fractions — same discriminative shape, and exactly replayable as
+    * int/int divisions).
     *
-    * Cost model: the gram counting is O(distinct-grams × grams) PER ROW but
-    * entirely map-side — for typical documents (≤ a few thousand tokens)
-    * that beats shipping every gram through an explode + groupBy shuffle,
-    * which at 100 TB would move ~tokens×8 bytes per doc across the
-    * cluster. Pathological single-doc-books should pre-truncate.
+    * Cost model: map-side only (no shuffle), O(grams·log grams) per row —
+    * grams are SORTED once, then the max run length (most common gram)
+    * comes from a linear fold and the has-a-duplicate count from
+    * adjacent-neighbor comparisons. The gram arrays are staged as real
+    * projection columns so each is computed once per row: a naive
+    * nested-filter count (O(g²)) re-evaluates the gram-building expression
+    * per inner element whenever the plan falls back to interpreted eval —
+    * measured MINUTES per partition on the fixture vs milliseconds here.
     */
-  def gopherRepetitionColumns(text: Column): Seq[Column] = {
-    val tk = tokens(text)
-    val lines = split(text, "\n")
-    val dupLineFrac = when(size(lines) > 0,
-      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines).cast("double"))
+  def gopherRepetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val staged = Par.ensure(docs, col(idCol)).select(col(idCol), lines.as("lines"),
+        word_shingles(tk, 2).as("g2"), word_shingles(tk, 5).as("g5"))
+      .select(col(idCol), col("lines"),
+        array_sort(col("g2")).as("s2"), array_sort(col("g5")).as("s5"))
+    val dupLineFrac = when(size(col("lines")) > 0,
+      (size(col("lines")) - size(array_distinct(col("lines")))).cast("double")
+        / size(col("lines")).cast("double"))
       .otherwise(lit(0.0))
-    def topGramFrac(ngrams: Column): Column = {
-      val d = array_distinct(ngrams)
-      val counts = transform(d, g => size(filter(ngrams, x => x === g)))
-      when(size(ngrams) > 0,
-        array_max(counts).cast("double") / size(ngrams).cast("double"))
+    // longest run in the sorted array = count of the most common gram
+    def topRunFrac(s: Column): Column = {
+      val folded = aggregate(s,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        })
+      when(size(s) > 0,
+        folded.getField("best").cast("double") / size(s).cast("double"))
         .otherwise(lit(0.0))
     }
-    def dupGramFrac(ngrams: Column): Column =
-      when(size(ngrams) > 0,
-        size(filter(ngrams, x => size(filter(ngrams, y => y === x)) > 1)).cast("double")
-          / size(ngrams).cast("double"))
+    // an element has a duplicate iff it equals a sorted neighbor
+    def dupFrac(s: Column): Column =
+      when(size(s) > 0,
+        size(filter(sequence(lit(1), size(s)), i =>
+          (i > 1 && element_at(s, i) === element_at(s, i - 1)) ||
+            (i < size(s) && element_at(s, i) === element_at(s, i + 1))))
+          .cast("double") / size(s).cast("double"))
         .otherwise(lit(0.0))
-    Seq(dupLineFrac.as("dup_line_frac"),
-      topGramFrac(word_shingles(tk, 2)).as("top_2gram_frac"),
-      dupGramFrac(word_shingles(tk, 5)).as("dup_5gram_frac"))
+    staged.select(col(idCol),
+      dupLineFrac.as("dup_line_frac"),
+      topRunFrac(col("s2")).as("top_2gram_frac"),
+      dupFrac(col("s5")).as("dup_5gram_frac"))
   }
 
   /** C4 heuristic-filter signals (Raffel et al. 2020, arXiv:1910.10683

@@ -683,8 +683,7 @@ object Pipeline {
         |    CAST(len(list_filter(g5, x -> len(list_filter(g5, y -> y = x)) > 1)) AS DOUBLE)/len(g5)
         |    ELSE 0.0 END AS dup_5gram_frac
         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id") +: TextAnalysis.gopherRepetitionColumns(col("text")): _*)
+      TextAnalysis.gopherRepetition(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     },
 

@@ -477,8 +477,7 @@ class OperatorSpec extends SparkSuite {
     val clean = "all words in this sentence appear exactly once today"
     val docs = Seq((1L, repeatedLines), (2L, repeatedGrams), (3L, clean))
       .toDF("doc_id", "text")
-    val out = docs.select(col("doc_id") +:
-        operators.TextAnalysis.gopherRepetitionColumns(col("text")): _*)
+    val out = operators.TextAnalysis.gopherRepetition(docs)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Double]("dup_line_frac") > 0.6, s"${out(1L)}")
     assert(out(2L).getAs[Double]("dup_5gram_frac") > 0.8, s"${out(2L)}")

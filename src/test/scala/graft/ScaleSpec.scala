@@ -117,8 +117,12 @@ class ScaleSpec extends SparkSuite {
     val plan = operators.Sampling.dsirWeights(docs, col("lang") === "en")
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"scoring pass shuffles the corpus:\n$plan")
+    // the only exchange allowed is Par.ensure's explicit REPARTITION_BY_NUM
+    // parallelism guard (single-split fixture file); nothing in the scoring
+    // plan may REQUIRE a corpus shuffle
+    val required = "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+    assert(required.findFirstIn(plan).isEmpty,
+      s"scoring pass requires a corpus shuffle:\n$plan")
   }
 
   test("saltedEquiJoin equals plain join on a skewed key") {
