@@ -85,6 +85,50 @@ object EventStreams {
         })
   }
 
+  case class FunnelState(times: Seq[Long]) // epoch micros per reached stage
+  case class FunnelOut(user_id: Long, reached: Int, times: Seq[Long])
+
+  /** Stateful streaming funnel — the streaming twin of
+    * [[graft.operators.Funnel.funnel]] (same strict-after + attribution-
+    * window rules, applied incrementally). State per user is just the
+    * reached-stage timestamp array, so it is bounded by the stage count —
+    * no event buffering. Emits the user's current funnel position each
+    * time a micro-batch touches them (Update mode semantics).
+    *
+    * Ordering contract (same as [[sessionize]]): events are folded in
+    * (ts, event_id) order WITHIN a micro-batch, and batches are assumed
+    * to arrive in time order — the file-stream fixture ingests
+    * chronologically. Late events that would retroactively change an
+    * earlier stage are not replayed (funnel state only advances).
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowMicros: Option[Long] = None): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val n = stages.length
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          sorted.foreach { e =>
+            val reached = times.length
+            val t = micros(e.ts)
+            val adv = reached < n && e.event_type == stages(reached) &&
+              (reached == 0 || t > times.last) &&
+              (windowMicros.isEmpty || reached == 0 || t <= times.head + windowMicros.get)
+            if (adv) times = times :+ t
+          }
+          state.update(FunnelState(times))
+          FunnelOut(userId, times.length, times)
+        })
+  }
+
   /** Streaming exact dedup by key within the watermark horizon — the
     * streaming twin of Dedup.exactGroups, for pipelines ingesting
     * continuously. State is bounded by the watermark (old keys evicted).

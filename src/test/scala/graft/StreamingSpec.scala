@@ -209,6 +209,27 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel equals the batch funnel on the same events") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val windowMicros = 24L * 3600 * 1000000
+    val funneled = EventStreams.funnelStream(spark, stream,
+      Seq("view", "click", "purchase"), Some(windowMicros))
+    val got = EventStreams.runToMemory(spark, funneled.toDF(), "funnel_stream",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      // Update-mode memory sink keeps every emission; latest per user wins
+      .groupBy(col("user_id"))
+      .agg(max(col("reached")).as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.Funnel.funnel(
+        Tables.load(spark, sfDir, "events"),
+        Seq("view", "click", "purchase"),
+        window = Some(expr("INTERVAL 24 HOURS")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty, "stream emitted nothing")
+    assert(got == batch,
+      s"stream/batch funnel diverge: ${(got.toSet diff batch.toSet) ++ (batch.toSet diff got.toSet)}")
+  }
+
   test("stateful sessionization closes sessions on the 30-min gap") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val sessions = EventStreams.sessionize(spark, stream)
