@@ -64,4 +64,25 @@ object Funnel {
     seq0.select(col(userCol), times.as("times"))
       .select(col(userCol) +: size(col("times")).as("reached") +: stageCols: _*)
   }
+
+  /** Retention cohort matrix in long form: users are cohorted by their
+    * first-seen day; each (cohort, day-offset) cell counts the distinct
+    * users from that cohort active on that day.
+    *
+    * Scale shape: one user-keyed aggregation for first-seen, a distinct
+    * over (user, day) — both map-side combinable — and a user-keyed join
+    * whose output immediately re-aggregates to the tiny
+    * cohort × offset grid. Nothing wider than (user_id, date) ever
+    * shuffles.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(day).as("cohort"))
+    val active = events.select(col(userCol), day.as("d")).distinct()
+    active.join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -195,6 +195,27 @@ object TextAnalysis {
       sentences.cast("int").as("n_sentences"), keep.as("c4_keep"))
   }
 
+  /** Character-unigram entropy per document (nats): H = ln(n) − Σ cᵢ·ln(cᵢ)
+    * / n over character counts cᵢ — the classic gibberish/compressibility
+    * signal (degenerate repeated-char spam scores near 0, natural text
+    * ~2.5-4). Map-side only; the char array is let-bound (see
+    * [[graft.functions.word_shingles]]) so the O(distinct × n) counting
+    * reads a lambda variable, not a re-split of the text. round-6 output
+    * absorbs ln/summation ulps across engines.
+    */
+  def charEntropy(text: Column): Column = {
+    val h = element_at(transform(array(split(text, "")), chars => {
+      val n = size(chars)
+      val s = aggregate(
+        transform(array_distinct(chars), ch =>
+          size(filter(chars, x => x === ch)).cast("double") *
+            log(size(filter(chars, x => x === ch)).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      log(n.cast("double")) - s / n.cast("double")
+    }), 1)
+    when(length(text) > 0, h).otherwise(lit(0.0))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -713,6 +713,24 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_entropy",
+      // Character-unigram entropy (gibberish signal): exact char counts,
+      // one ln per distinct char, round-6 absorbs cross-engine ulps.
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS chars
+        |           FROM documents WHERE len(text) > 0),
+        |e AS (SELECT doc_id, len(chars) AS n,
+        |  list_sum(list_transform(list_distinct(chars), ch ->
+        |    CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) * ln(len(list_filter(chars, x -> x = ch))))) AS s
+        |  FROM c)
+        |SELECT doc_id, round(ln(n) - s / n, 6) AS char_entropy
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "text_langid",
       // The stopword-ratio argmax is deterministic arithmetic, so DuckDB
       // can replay it: struct-list max mirrors Spark's array_max over

@@ -254,6 +254,21 @@ object Windows {
           stages = Seq("view", "click", "purchase"),
           window = Some(expr("INTERVAL 24 HOURS")))
         .orderBy(col("user_id"))
+    },
+
+    QuerySpec(
+      "events_retention",
+      // Cohort retention in long form: first-seen day cohorts × day
+      // offset × distinct active users. All exact ints and dates.
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) AS INT) AS offset,
+        |  count(*) AS n_users
+        |FROM active JOIN first_seen USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.retentionCohorts(t(s, dir, "events"))
+        .orderBy(col("cohort"), col("offset"))
     }
   )
 }
