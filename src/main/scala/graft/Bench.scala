@@ -36,6 +36,22 @@ object Bench {
       li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
       li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_totalprice") > 0).count()
+      // higher-order functions evaluate interpreted (CodegenFallback);
+      // their eval paths + md5/conv JIT-warm separately from the codegen
+      // paths above, and would otherwise land on the alphabetically-first
+      // HOF-heavy queries (the ann_* family) as several seconds of
+      // one-time cost
+      val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      docs.select(
+          aggregate(
+            transform(graft.functions.word_shingles(
+              graft.functions.tokens(col("text")), 3), s =>
+              conv(substring(md5(s), 1, 2), 16, 10).cast("double")),
+            lit(0.0), (a, x) => a + x).as("warm"),
+          aggregate(zip_with(slice(split(col("text"), ""), 1, 8),
+              slice(split(col("text"), ""), 1, 8), (a, b) => lit(1.0)),
+            lit(0.0), (a, x) => a + x).as("warm2"))
+        .agg(sum(col("warm")), sum(col("warm2"))).count()
       Tables.registerAll(spark, sfDir)
     }
 

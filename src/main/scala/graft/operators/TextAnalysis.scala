@@ -204,13 +204,28 @@ object TextAnalysis {
     * absorbs ln/summation ulps across engines.
     */
   def charEntropy(text: Column): Column = {
-    val h = element_at(transform(array(split(text, "")), chars => {
+    // sort-then-fold (O(n log n), one pass): runs of equal chars in the
+    // sorted array ARE the character counts; the fold closes each run by
+    // adding run·ln(run), and the aggregate's finish lambda closes the
+    // last run — no per-distinct-char rescans of the array
+    val h = element_at(transform(array(array_sort(split(text, ""))), chars => {
       val n = size(chars)
       val s = aggregate(
-        transform(array_distinct(chars), ch =>
-          size(filter(chars, x => x === ch)).cast("double") *
-            log(size(filter(chars, x => x === ch)).cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+        chars,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0.0).as("acc")),
+        (st, x) => {
+          val same = x === st.getField("prev")
+          val closed = when(same || st.getField("run") === 0, st.getField("acc"))
+            .otherwise(st.getField("acc") +
+              st.getField("run").cast("double") * log(st.getField("run").cast("double")))
+          struct(x.as("prev"),
+            when(same, st.getField("run") + 1).otherwise(lit(1)).as("run"),
+            closed.as("acc"))
+        },
+        st => when(st.getField("run") > 0,
+          st.getField("acc") +
+            st.getField("run").cast("double") * log(st.getField("run").cast("double")))
+          .otherwise(st.getField("acc")))
       log(n.cast("double")) - s / n.cast("double")
     }), 1)
     when(length(text) > 0, h).otherwise(lit(0.0))

@@ -719,7 +719,7 @@ object Pipeline {
       """WITH c AS (SELECT doc_id, string_split(text, '') AS chars
         |           FROM documents WHERE len(text) > 0),
         |e AS (SELECT doc_id, len(chars) AS n,
-        |  list_sum(list_transform(list_distinct(chars), ch ->
+        |  list_sum(list_transform(list_sort(list_distinct(chars)), ch ->
         |    CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) * ln(len(list_filter(chars, x -> x = ch))))) AS s
         |  FROM c)
         |SELECT doc_id, round(ln(n) - s / n, 6) AS char_entropy
