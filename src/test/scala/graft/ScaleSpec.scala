@@ -125,6 +125,18 @@ class ScaleSpec extends SparkSuite {
       s"scoring pass requires a corpus shuffle:\n$plan")
   }
 
+  test("Par.ensure repartitions starved inputs and no-ops healthy ones") {
+    val docs = Tables.load(spark, sfDir, "documents") // single-split fixture
+    val want = spark.sessionState.conf.numShufflePartitions
+    val fixed = operators.Par.ensure(docs, col("doc_id"))
+    assert(fixed.rdd.getNumPartitions == want,
+      s"starved input not widened: ${fixed.rdd.getNumPartitions} != $want")
+    // already-parallel input: same instance back, no extra exchange
+    val healthy = docs.repartition(want, col("doc_id"))
+    assert(operators.Par.ensure(healthy, col("doc_id")) eq healthy,
+      "healthy input was needlessly repartitioned")
+  }
+
   test("saltedEquiJoin equals plain join on a skewed key") {
     // events.user_id has only 15 distinct values over 1000 rows — skewed.
     val events = Tables.load(spark, sfDir, "events")
