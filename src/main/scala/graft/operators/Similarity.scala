@@ -185,21 +185,42 @@ object Similarity {
     * (partition-local then global) top-k as [[bruteForceTopK]], so only
     * partitions × |queries| × k candidate rows ever shuffle.
     */
+  /** Flat ADC lookup table for one query vector: lut[mi·B + j] =
+    * ⟨q_sub(mi), book(mi)(j)⟩, products summed in ascending index order —
+    * the exact fold sequence the previous in-plan
+    * `aggregate(zip_with(...))` used, so the doubles are bit-identical
+    * and an independent engine replaying the same arithmetic matches.
+    * Computed DRIVER-SIDE: queries are small by construction (they
+    * broadcast), and the m·ksub-aggregate expression tree this replaces
+    * cost seconds of one-time per-tree plan/JIT setup per run.
+    */
+  private def adcLut(qvec: Seq[Double],
+      books: Array[Array[Array[Double]]]): Array[Double] = {
+    val dsub = books(0)(0).length
+    val out = Array.ofDim[Double](books.length * books(0).length)
+    for (mi <- books.indices; j <- books(mi).indices) {
+      val cw = books(mi)(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) { acc += qvec(mi * dsub + i) * cw(i); i += 1 }
+      out(mi * books(0).length + j) = acc
+    }
+    out
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       m: Int = 8, ksub: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
     val b = books(0).length
-    val dsub = books(0)(0).length
     val enc = pqEncode(corpus, books, vecCol, idCol)
       .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
-    val qd = col(vecCol).cast("array<double>")
-    val lutElems = for (mi <- books.indices; j <- 0 until b) yield
-      aggregate(
-        zip_with(slice(qd, mi * dsub + 1, dsub), typedlit(books(mi)(j)), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-      array(lutElems.toIndexedSeq: _*).as("lut")))
+    val qLuts = queries
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), adcLut(r.getSeq[Double](1), books)))
+    val q = broadcast(qLuts.toSeq.toDF("q_id", "lut"))
     val scored = enc.join(q)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("pid"),
@@ -235,19 +256,19 @@ object Similarity {
     val dsub = books(0)(0).length
     val corpusCells = assign(corpus, cents, vecCol, idCol, "c", top = 1)
       .select(col("c_id"), col("centroid_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val enc = pqEncode(corpus, books, vecCol, idCol)
       .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
       .join(corpusCells, Seq("c_id"))
-    val qd = col("q_vec").cast("array<double>")
-    val lutElems = for (mi <- books.indices; j <- 0 until b) yield
-      aggregate(
-        zip_with(slice(qd, mi * dsub + 1, dsub), typedlit(books(mi)(j)), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+    val qLuts = queries
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), adcLut(r.getSeq[Double](1), books)))
+    val lutDf = qLuts.toSeq.toDF("q_id", "lut")
     val queryProbes = assign(queries, cents, vecCol, idCol, "q", top = nprobe)
-      .select(col("q_id"), col("q_vec"), col("centroid_id"))
-    val q = broadcast(queryProbes
-      .select(col("q_id"), col("centroid_id"),
-        array(lutElems.toIndexedSeq: _*).as("lut")))
+      .select(col("q_id"), col("centroid_id"))
+    val q = broadcast(queryProbes.join(lutDf, Seq("q_id"))
+      .select(col("q_id"), col("centroid_id"), col("lut")))
     val scored = enc.join(q, Seq("centroid_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("pid"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.normalize_text
 
 /** Capabilities the reference explicitly lacks (SURVEY §2.4/§2.6/§7.4 mark
   * them absent) that Spark provides natively — shipped as supersets:
@@ -131,6 +132,58 @@ object Superset {
             col("apx").getItem(1) <= col("ex").getItem(3)).as("p95_rank_ok"),
           col("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
+      "agg_hll_merge",
+      // Mergeable-sketch workflow (the 100-TB distinct-count story: one
+      // HLL sketch per shard, union the sketches, never reshuffle raw
+      // ids): per-source sketches of doc ids union per lang; the oracle
+      // checks the estimate against the exact distinct via an rsd-bound
+      // boolean (default lgConfigK=12 ⇒ rsd ~1.6%; 5% bound) plus the
+      // exact count itself.
+      """SELECT lang, true AS est_ok, count(DISTINCT doc_id) AS exact_n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val perShard = docs.groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      val unioned = perShard.groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("exact_n"))
+      unioned.join(exact, Seq("lang"))
+        .select(col("lang"),
+          (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05).as("est_ok"),
+          col("exact_n"))
+        .orderBy(col("lang"))
+    },
+
+    QuerySpec(
+      "dedup_incremental",
+      // Production crawl-dedup flow: an INCOMING batch (doc_id >= 250) is
+      // checked against an existing INDEX (doc_id < 250) by normalized
+      // 60-char-prefix fingerprint — only matches surface, each with the
+      // index doc it collides with. The index side aggregates to one row
+      // per fingerprint before the join, so the probe is index-distinct
+      // sized, and at scale the incoming batch (small side) broadcasts.
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fingerprint
+        |  FROM documents),
+        |idx AS (SELECT fingerprint, min(doc_id) AS index_id FROM fp WHERE doc_id < 250 GROUP BY 1),
+        |inc AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id >= 250)
+        |SELECT inc.doc_id, idx.index_id
+        |FROM inc JOIN idx USING (fingerprint)
+        |ORDER BY inc.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        md5(substring(normalize_text(col("text")), 1, 60)).as("fingerprint"))
+      val idx = fp.filter(col("doc_id") < 250)
+        .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("index_id"))
+      fp.filter(col("doc_id") >= 250)
+        .join(idx, Seq("fingerprint"))
+        .select(col("doc_id"), col("index_id"))
+        .orderBy(col("doc_id"))
     },
 
     QuerySpec(
