@@ -354,6 +354,39 @@ object VectorOps {
     out
   }
 
+  /** Character-unigram entropy in nats: code points sorted ascending,
+    * each run of equal chars closed with run·ln(run), entropy =
+    * ln(n) − Σ/n. Bit-identical to the declarative sorted run-length fold
+    * (same add sequence, same Math.log) — asserted in RegressionSpec.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0) return 0.0
+    val n0 = s.codePointCount(0, len)
+    val cps = new Array[Int](n0)
+    var i = 0
+    var j = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      cps(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    // StrictMath.log, not Math.log: Catalyst's log() evaluates via
+    // StrictMath and the two differ by 1 ulp on many inputs (e.g. ln 3) —
+    // bit-identity with the declarative fold requires the same libm
+    var acc = 0.0
+    var run = 1
+    var k = 1
+    while (k < n0) {
+      if (cps(k) == cps(k - 1)) run += 1
+      else { acc += run.toDouble * java.lang.StrictMath.log(run.toDouble); run = 1 }
+      k += 1
+    }
+    acc += run.toDouble * java.lang.StrictMath.log(run.toDouble)
+    java.lang.StrictMath.log(n0.toDouble) - acc / n0
+  }
+
   def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => false

@@ -107,6 +107,23 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Character-unigram entropy of a raw text column (nats) — the fused
+  * kernel twin of the declarative sorted run-length fold (see
+  * TextAnalysis.charEntropyDeclarative; bit-identity in RegressionSpec). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.charEntropy(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.charEntropy($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused stopword-ratio language ID over a raw text column;
   * result-identical to the declarative argmax form (RegressionSpec) with
   * no regexes or intermediate arrays — see VectorOps.langId. */

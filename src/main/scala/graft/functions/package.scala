@@ -70,6 +70,11 @@ package object functions {
   def lang_id(text: Column): Column =
     col0(LangIdExpr(expr0(text)))
 
+  /** Character-unigram entropy in nats (fused kernel — bit-identical to
+    * the declarative sorted run-length fold; see VectorOps.charEntropy). */
+  def char_entropy(text: Column): Column =
+    col0(CharEntropyExpr(expr0(text)))
+
   /** Distinct sorted FNV-1a shingle hashes — hash-space twin of
     * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
     * verification over longs instead of strings. */

@@ -118,26 +118,38 @@ object Dedup {
     * driver's DuckDB replay verifies LSH dedup end to end, hash family
     * included.
     *
-    * Scale notes: md5-per-(perm, shingle) costs ~an order of magnitude
-    * more than the fused 64-bit kernel and the band keys are r·33-byte
-    * strings instead of 8-byte longs, so [[minHashPairs]] stays the
-    * 100-TB default; this variant is the verification twin (and the
-    * k=16 default keeps the signature pass affordable). The shuffle
-    * structure is identical: band self-join with exchange reuse, id-only
-    * candidate payloads, signatures joined back only for survivors.
+    * Scale notes: each shingle is hashed with FOUR salted md5 calls, and
+    * each 32-hex digest is split into four independent 8-hex chunks —
+    * 16 permutations from 4 md5s instead of 16 (the md5 pass dominates
+    * the signature cost; measured ~3× at the 10× fixture). Still ~an
+    * order of magnitude costlier than the fused 64-bit kernel, so
+    * [[minHashPairs]] stays the 100-TB default; this variant is the
+    * verification twin. The shuffle structure is identical: band
+    * self-join with exchange reuse, id-only candidate payloads,
+    * signatures joined back only for survivors.
     */
   def minHashPairsReplayable(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
       shingle: Int = 3, threshold: Double = 0.3): DataFrame = {
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(k == 16 && bands == 8,
+      "the replayable family is fixed at k=16 (4 md5 salts × 4 chunks), bands=8 " +
+        "— the published oracle SQL hard-codes this shape")
     val r = k / bands
     val ss = word_shingles(tokens(col(textCol)), shingle)
-    val sigs0 = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), ss.as("ss"))
+    // stage the 4 salted digest arrays once; the 16 chunk-minima then only
+    // substring bound columns (no md5 re-evaluation per permutation)
+    val hsCols = (0 until 4).map(g =>
+      transform(col("ss"), s =>
+        md5(concat(lit(s"$g:"), s))).as(s"h$g"))
+    val sigs0 = Par.ensure(docs, col(idCol))
+      .select(col(idCol).as("id"), ss.as("ss"))
       .filter(size(col("ss")) > 0)
+      .select(col("id") +: hsCols: _*)
       .select(col("id"),
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          array_min(transform(col("ss"), s =>
-            md5(concat(j.cast("string"), lit(":"), s))))).as("sig"))
+        array((0 until k).map { p =>
+          array_min(transform(col(s"h${p / 4}"), h =>
+            substring(h, (p % 4) * 8 + 1, 8)))
+        }: _*).as("sig"))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Caches.register(sigs)
     val banded = sigs.select(col("id"),

@@ -203,7 +203,11 @@ object TextAnalysis {
     * reads a lambda variable, not a re-split of the text. round-6 output
     * absorbs ln/summation ulps across engines.
     */
-  def charEntropy(text: Column): Column = {
+  def charEntropy(text: Column): Column = char_entropy(text)
+
+  /** The composed-builtins form of [[charEntropy]] — the kernel's semantic
+    * specification, asserted bit-identical in RegressionSpec. */
+  private[graft] def charEntropyDeclarative(text: Column): Column = {
     // sort-then-fold (O(n log n), one pass): runs of equal chars in the
     // sorted array ARE the character counts; the fold closes each run by
     // adding run·ln(run), and the aggregate's finish lambda closes the

@@ -69,9 +69,10 @@ object Pipeline {
       "dedup_minhash_oracle",
       // The FULL MinHash-LSH pipeline — signatures, banding, candidate
       // join, estimated-Jaccard filter — replayed hash-exact by DuckDB:
-      // permutation j of a shingle is md5(j || ':' || shingle) and the
-      // minimum is lexicographic over hex strings, identical builtins in
-      // both engines. est_jaccard is a count/16 ⇒ exactly representable,
+      // permutation p of a shingle is the (p%4)-th 8-hex chunk of
+      // md5((p/4) || ':' || shingle) and the minimum is lexicographic,
+      // identical builtins in both engines (4 md5s per shingle yield 16
+      // permutations). est_jaccard is a count/16 ⇒ exactly representable,
       // so the driver's hash compare is bit-exact. (minHashPairs' fused
       // 64-bit kernel stays the 100-TB path; this is its oracle twin.)
       """WITH toks AS (
@@ -82,11 +83,20 @@ object Pipeline {
         |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
         |    ELSE [] END AS ss
         |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(ss, s -> md5('0:' || s)) AS h0,
+        |    list_transform(ss, s -> md5('1:' || s)) AS h1,
+        |    list_transform(ss, s -> md5('2:' || s)) AS h2,
+        |    list_transform(ss, s -> md5('3:' || s)) AS h3
+        |  FROM sh WHERE len(ss) > 0),
         |sigs AS (
         |  SELECT doc_id,
-        |    list_transform(generate_series(0, 15), j ->
-        |      list_aggregate(list_transform(ss, s -> md5(j::VARCHAR || ':' || s)), 'min')) AS sig
-        |  FROM sh WHERE len(ss) > 0),
+        |    list_transform(generate_series(0, 15), p ->
+        |      list_aggregate(list_transform(
+        |        CASE p // 4 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END,
+        |        h -> substr(h, (p % 4) * 8 + 1, 8)), 'min')) AS sig
+        |  FROM hs),
         |banded AS (
         |  SELECT doc_id, b, sig[2*b+1] || ',' || sig[2*b+2] AS bkey
         |  FROM sigs, generate_series(0, 7) AS t(b)),
@@ -724,7 +734,8 @@ object Pipeline {
         |  FROM c)
         |SELECT doc_id, round(ln(n) - s / n, 6) AS char_entropy
         |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents").filter(length(col("text")) > 0)
+      graft.operators.Par.ensure(t(s, dir, "documents"), col("doc_id"))
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
         .orderBy(col("doc_id"))

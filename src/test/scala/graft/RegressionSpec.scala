@@ -154,6 +154,23 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs where fused lang_id differs from declarative form")
   }
 
+  test("fused char_entropy is bit-identical to the declarative fold") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (930001L, "aaaa"),                             // single run → 0.0
+        (930002L, "ab"),                               // two singleton runs
+        (930003L, "的 人 在 有 我 他"),                  // CJK code points
+        (930004L, "mixed ascii 的 and cjk"))
+        .toDF("doc_id", "text"))
+      .filter(length($"text") > 0)
+    val both = docs.select($"doc_id",
+      graft.functions.char_entropy($"text").as("fused"),
+      graft.operators.TextAnalysis.charEntropyDeclarative($"text").as("composed"))
+    val bad = both.filter(not($"fused" <=> $"composed")).count()
+    assert(bad == 0, s"$bad docs where fused char_entropy differs bit-for-bit")
+  }
+
   test("shingle_hashes jaccard equals string-set jaccard") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
       .select($"doc_id", $"text")
