@@ -113,8 +113,10 @@ object VectorOps {
     val sig = Array.fill(k)(Long.MaxValue)
     val bytes = text.toLowerCase.getBytes
 
-    // token offsets (maximal runs of non-ASCII-\s bytes; \s = [ \t\n\v\f\r])
-    // note: multi-byte UTF-8 units are all >= 0x80, never whitespace
+    // token offsets (maximal runs of non-whitespace bytes; whitespace =
+    // [ \t\n\f\r], RE2's \s — NO \v, so DuckDB string_split_regex '\s+'
+    // segments identically). multi-byte UTF-8 units are all >= 0x80,
+    // never whitespace
     var nTok = 0
     var starts = new Array[Int](64)
     var ends = new Array[Int](64)
@@ -122,11 +124,11 @@ object VectorOps {
     val len = bytes.length
     while (i < len) {
       val b = bytes(i)
-      val ws = b == ' ' || (b >= 9 && b <= 13)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
       if (!ws) {
         val s = i
         while (i < len && {
-          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
         }) i += 1
         if (nTok == starts.length) {
           starts = java.util.Arrays.copyOf(starts, nTok * 2)
@@ -175,11 +177,11 @@ object VectorOps {
     val len = bytes.length
     while (i < len) {
       val b = bytes(i)
-      val ws = b == ' ' || (b >= 9 && b <= 13)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
       if (!ws) {
         val s = i
         while (i < len && {
-          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
         }) i += 1
         if (nTok == starts.length) {
           starts = java.util.Arrays.copyOf(starts, nTok * 2)
@@ -217,9 +219,12 @@ object VectorOps {
   }
 
   /** Fused lower→collapse-whitespace→trim, byte-identical to
-    * `trim(regexp_replace(lower(text), "\\s+", " "))`: Java regex `\s`
-    * is exactly [ \t\n\x0B\f\r] (bytes 9–13 + 0x20, never multi-byte
-    * UTF-8 units), interior runs collapse to one 0x20, and leading/
+    * `trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " "))`. The
+    * whitespace set is RE2's `\s` = [ \t\n\f\r] (NO \x0B — DuckDB/RE2
+    * exclude vertical tab, unlike Java's `\s`), so fingerprints built on
+    * this normalization replay exactly under DuckDB `regexp_replace(_,
+    * '\s+', ' ')`. Whitespace bytes are all < 0x80, never multi-byte
+    * UTF-8 units; interior runs collapse to one 0x20, and leading/
     * trailing runs vanish (the composed form collapses them to a space
     * that trim then strips). One pass, no regex machinery.
     */
@@ -232,7 +237,7 @@ object VectorOps {
     var i = 0
     while (i < n) {
       val b = bytes(i)
-      val ws = b == ' ' || (b >= 9 && b <= 13)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
       if (ws) { if (o > 0) pendingSpace = true }
       else {
         if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
@@ -296,11 +301,11 @@ object VectorOps {
     val len = bytes.length
     while (i < len) {
       val b = bytes(i)
-      val ws = b == ' ' || (b >= 9 && b <= 13)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
       if (!ws) {
         val st = i
         while (i < len && {
-          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13))
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
         }) i += 1
         nTok += 1
         // stopwords are short ASCII: longer tokens can't match, skip decode

@@ -71,7 +71,7 @@ case class MinHashText(child: Expression, n: Int, k: Int, seed: Long)
 }
 
 /** Fused text normalization (lower + collapse whitespace + trim);
-  * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`
+  * byte-identical to `trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " "))`
   * without the regex machinery — see VectorOps.normalizeText.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {

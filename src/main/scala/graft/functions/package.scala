@@ -36,9 +36,13 @@ package object functions {
 
   // ---- composed built-ins (kept here so operators share one definition) --
 
-  /** Whitespace tokens of lower-cased text; empty strings removed. */
+  /** Whitespace tokens of lower-cased text; empty strings removed.
+    * The whitespace class is RE2's `\s` = [ \t\n\f\r] (NOT Java's, which
+    * adds \x0B): DuckDB `string_split_regex(_, '\s+')` and the fused
+    * kernels ([[graft.functions.VectorOps]]) then segment identically
+    * even for documents containing vertical tabs. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)
 
   /** Word n-gram shingles: joins each n consecutive tokens with one space.
     * NULL token arrays stay NULL (size(NULL) = -1 would otherwise fall into
@@ -82,8 +86,10 @@ package object functions {
     col0(ShingleHashes(expr0(text), n))
 
   /** Canonical text normalization shared by dedup + fingerprinting:
-    * lower-case, collapse whitespace, trim. Fused single-pass kernel,
-    * byte-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`
+    * lower-case, collapse whitespace ([ \t\n\f\r] — RE2's `\s`, so the
+    * DuckDB oracle's '\s+' replays it exactly), trim. Fused single-pass
+    * kernel, byte-identical to
+    * `trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " "))`
     * (asserted in RegressionSpec) — the regex form dominated dedup_exact
     * wall-clock.
     */

@@ -7,17 +7,32 @@ import org.apache.spark.sql.DataFrame
   * callers release them once the downstream plan has materialized —
   * repeated invocations would otherwise accumulate cached blocks for the
   * session lifetime. Kept operator-internal: query code never needs it.
+  *
+  * Ownership is PER THREAD: each thread that builds an operator plan owns
+  * (and releases) exactly the intermediates it registered. This is what
+  * makes concurrent queries safe — `GraftContext.sqlToken` runs each
+  * query's build+materialize+release cycle on its own worker thread, so
+  * one job's `release()` can never unpersist another in-flight job's
+  * signatures (with a process-global registry it silently would, forcing
+  * recomputes mid-query). Sequential harness use (Verify/Bench/tests)
+  * is single-threaded and sees the old register-then-release contract
+  * unchanged.
   */
 private[graft] object Caches {
-  private val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val local =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]] {
+      override def initialValue() =
+        scala.collection.mutable.ListBuffer.empty[DataFrame]
+    }
 
-  def register(df: DataFrame): DataFrame = synchronized { buf += df; df }
+  def register(df: DataFrame): DataFrame = { local.get += df; df }
 
-  /** Unpersist every registered DataFrame. Contract: call AFTER
-    * materializing (count/collect/write) the consuming plan — earlier just
-    * makes the job recompute the intermediate.
+  /** Unpersist every DataFrame registered BY THIS THREAD. Contract: call
+    * AFTER materializing (count/collect/write) the consuming plan —
+    * earlier just makes the job recompute the intermediate.
     */
-  def release(): Unit = synchronized {
+  def release(): Unit = {
+    val buf = local.get
     buf.foreach(_.unpersist(blocking = false))
     buf.clear()
   }

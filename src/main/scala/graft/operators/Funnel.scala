@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * `size(times)`, so the fold is a compact codegen'd expression, not a
   * UDF or a per-stage join cascade (k stages would otherwise cost k
   * user-keyed shuffles). Per-user event counts bound memory (the usual
-  * funnel assumption); pathological hot users should be pre-capped.
+  * funnel assumption); `maxEventsPerUser` caps pathological hot users —
+  * a bot hammering one stage would otherwise make its user's collected
+  * array arbitrarily large.
   *
   * Reference parity: the progressive-min SQL formulation (t_k = min ts of
   * stage k with ts > t_{k-1}) is exactly what the fold computes, which is
@@ -26,11 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** @param maxEventsPerUser upper bound on the stage events a single
+    *   user contributes: the fold sees only the user's EARLIEST
+    *   `maxEventsPerUser` stage events (ts order — deterministic, and a
+    *   funnel is about first conversions, so truncating the tail is the
+    *   semantically-right cap). Users under the cap — i.e. everyone but
+    *   the pathological hot key — get bit-identical results to uncapped.
+    */
   def funnel(events: DataFrame, stages: Seq[String],
       window: Option[Column] = None,
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      maxEventsPerUser: Int = Int.MaxValue): DataFrame = {
     require(stages.nonEmpty, "funnel: need at least one stage")
+    require(maxEventsPerUser > 0, "funnel: maxEventsPerUser must be positive")
     val n = stages.length
     // non-stage events are dropped INSIDE the aggregate (collect_list
     // ignores nulls) rather than by a pre-filter, so users with zero
@@ -38,9 +49,13 @@ object Funnel {
     // progressive-min SQL formulation over all users.
     val stageEvent = when(col(typeCol).isin(stages: _*),
       struct(col(tsCol).as("ts"), col(typeCol).as("et")))
+    val sortedSeq = sort_array(collect_list(stageEvent))
+    val capped =
+      if (maxEventsPerUser == Int.MaxValue) sortedSeq
+      else slice(sortedSeq, 1, maxEventsPerUser)
     val seq0 = events
       .groupBy(col(userCol))
-      .agg(sort_array(collect_list(stageEvent)).as("seq"))
+      .agg(capped.as("seq"))
     val stageLit = typedlit(stages)
     val times = aggregate(
       col("seq"),

@@ -208,19 +208,35 @@ object Similarity {
     out
   }
 
+  /** (q_id, lut) table of driver-computed ADC LUTs, one row per query.
+    * The id is read GENERICALLY and the output column keeps the input
+    * id column's exact type — `idCol` is caller-supplied, so assuming
+    * LongType here would throw ClassCastException for string/int ids.
+    */
+  private def lutTable(queries: DataFrame,
+      books: Array[Array[Array[Double]]],
+      vecCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val rows = queries.select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().map { r =>
+        org.apache.spark.sql.Row(r.get(0),
+          adcLut(r.getSeq[Double](1), books).toSeq)
+      }
+    val schema = StructType(Seq(
+      StructField("q_id", queries.schema(idCol).dataType),
+      StructField("lut", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       m: Int = 8, ksub: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val books = pqCodebooks(corpus, m, ksub, vecCol, idCol)
     val b = books(0).length
     val enc = pqEncode(corpus, books, vecCol, idCol)
       .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
-    val qLuts = queries
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), adcLut(r.getSeq[Double](1), books)))
-    val q = broadcast(qLuts.toSeq.toDF("q_id", "lut"))
+    val q = broadcast(lutTable(queries, books, vecCol, idCol))
     val scored = enc.join(q)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("pid"),
@@ -256,15 +272,10 @@ object Similarity {
     val dsub = books(0)(0).length
     val corpusCells = assign(corpus, cents, vecCol, idCol, "c", top = 1)
       .select(col("c_id"), col("centroid_id"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val enc = pqEncode(corpus, books, vecCol, idCol)
       .select(col(idCol).as("c_id"), col("codes"), spark_partition_id().as("pid"))
       .join(corpusCells, Seq("c_id"))
-    val qLuts = queries
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), adcLut(r.getSeq[Double](1), books)))
-    val lutDf = qLuts.toSeq.toDF("q_id", "lut")
+    val lutDf = lutTable(queries, books, vecCol, idCol)
     val queryProbes = assign(queries, cents, vecCol, idCol, "q", top = nprobe)
       .select(col("q_id"), col("centroid_id"))
     val q = broadcast(queryProbes.join(lutDf, Seq("q_id"))

@@ -185,7 +185,7 @@ object TextAnalysis {
       Seq(".", "!", "?", "\"").map(s => endswith(rtrim(l), lit(s)))
         .reduce(_ || _))).cast("double") / nLines
     val shortLineFrac = size(filter(lines, l =>
-      size(filter(split(l, "\\s+"), t => length(t) > 0)) < 5)).cast("double") / nLines
+      size(filter(split(l, "[ \t\n\f\r]+"), t => length(t) > 0)) < 5)).cast("double") / nLines
     val hasBrace = instr(text, "{") > 0
     val hasLorem = instr(lower(text), "lorem ipsum") > 0
     val sentences = size(filter(split(text, "[.!?]+"), p => length(trim(p)) > 0))

@@ -412,7 +412,7 @@ object Curation {
         |    list_sum(list_transform(g2, gr -> L[('0x' || substr(md5(gr), 1, 2))::INT + 1])) AS logw
         |  FROM gnz CROSS JOIN lutl)
         |SELECT doc_id, round(logw, 6) AS dsir_logw,
-        |  row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+        |  row_number() OVER (ORDER BY round(logw, 6) DESC, doc_id) AS rn
         |FROM scored QUALIFY rn <= 200 ORDER BY rn""".stripMargin) { (s, dir) =>
       graft.operators.Sampling.dsirWeights(
           t(s, dir, "documents"), isTarget = col("lang") === "en", topK = 200)

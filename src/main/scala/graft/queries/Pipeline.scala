@@ -726,6 +726,14 @@ object Pipeline {
       "text_entropy",
       // Character-unigram entropy (gibberish signal): exact char counts,
       // one ln per distinct char, round-6 absorbs cross-engine ulps.
+      // SEGMENTATION CONTRACT: a "character" is a Unicode CODE POINT —
+      // the fused kernel iterates code points, Spark's split('') advances
+      // per code point, and DuckDB string_split(text,'') yields per-
+      // grapheme pieces that coincide with code points as long as the
+      // fixtures stay free of combining marks and astral-plane text (the
+      // generator emits BMP precomposed chars only). Text with combining
+      // characters would segment differently across engines — that is a
+      // fixture constraint, not an engine bug.
       """WITH c AS (SELECT doc_id, string_split(text, '') AS chars
         |           FROM documents WHERE len(text) > 0),
         |e AS (SELECT doc_id, len(chars) AS n,

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The reference runs its e2e suites with queries in flight concurrently
+  * (tests/BlazingSQLTest config: TPCHSuite.yaml:5-7 `concurrent: true`);
+  * these tests pin the two properties that make that safe here:
+  * per-thread cache ownership (a job releasing its persisted
+  * intermediates must not unpersist another in-flight job's) and
+  * interference-free results through the `sqlToken` async surface.
+  */
+class ConcurrencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def persistedCount = spark.sparkContext.getPersistentRDDs.size
+
+  private def awaitDrainTo(target: Int, ms: Long = 10000): Int = {
+    val deadline = System.currentTimeMillis() + ms
+    while (persistedCount > target && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    persistedCount
+  }
+
+  test("thread-scoped caches: a concurrent job's release leaves ours persisted") {
+    import java.util.concurrent.CountDownLatch
+    val docsA = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val docsB = Seq((11L, "one two three four five six"),
+      (12L, "one two three four five seven")).toDF("doc_id", "text")
+
+    val baseline = persistedCount
+    val aMaterialized = new CountDownLatch(1)
+    val bReleased = new CountDownLatch(1)
+    @volatile var afterBRelease = -1
+    @volatile var failure: Option[Throwable] = None
+
+    val a = new Thread(() => {
+      try {
+        Dedup.minHashPairs(docsA, threshold = 0.9).count()
+        aMaterialized.countDown()
+        // hold our caches while B runs its full build+release cycle
+        assert(bReleased.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        afterBRelease = persistedCount
+        Dedup.releaseCaches() // releases ONLY thread A's registrations
+      } catch { case t: Throwable => failure = Some(t); aMaterialized.countDown() }
+    }, "caches-job-a")
+    val b = new Thread(() => {
+      try {
+        assert(aMaterialized.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        Dedup.minHashPairs(docsB, threshold = 0.9).count()
+        Dedup.releaseCaches() // must not touch A's persisted signatures
+        // allow the async unpersist of B's own blocks to settle before
+        // A samples the registry
+        Thread.sleep(1500)
+        bReleased.countDown()
+      } catch { case t: Throwable => failure = Some(t); bReleased.countDown() }
+    }, "caches-job-b")
+    a.start(); b.start(); a.join(120000); b.join(120000)
+
+    failure.foreach(throw _)
+    // A's intermediates must have survived B's release — with the old
+    // process-global registry afterBRelease would equal the baseline
+    assert(afterBRelease > baseline,
+      s"A's caches were released by B (count $afterBRelease, baseline $baseline)")
+    val drained = awaitDrainTo(baseline)
+    assert(drained == baseline,
+      s"persisted RDDs leaked after both releases: $drained vs $baseline")
+  }
+
+  test("sqlToken battery: 18 queries, 6 in flight, results match sequential") {
+    val ctx = GraftContext(spark)
+    for (t <- Seq("lineitem", "orders", "customer", "nation", "region",
+        "supplier", "documents", "events"))
+      ctx.createTable(s"conc_$t", s"$sfDir/$t.parquet")
+    try {
+      // a cross-section of the battery: aggs, joins, windows, sorts,
+      // set ops, and the dedup operator surface via SQL temp functions
+      val queries = Seq(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) q FROM conc_lineitem GROUP BY 1, 2",
+        "SELECT o_orderpriority, count(*) c FROM conc_orders GROUP BY 1",
+        "SELECT c_mktsegment, avg(c_acctbal) a FROM conc_customer GROUP BY 1",
+        "SELECT n_name, count(*) c FROM conc_customer JOIN conc_nation ON c_nationkey = n_nationkey GROUP BY 1",
+        "SELECT r_name, count(*) c FROM conc_nation JOIN conc_region ON n_regionkey = r_regionkey GROUP BY 1",
+        "SELECT lang, count(*) c, avg(length(text)) al FROM conc_documents GROUP BY 1",
+        "SELECT event_type, count(*) c FROM conc_events GROUP BY 1",
+        "SELECT o_custkey, count(*) c FROM conc_orders GROUP BY 1 ORDER BY c DESC, o_custkey LIMIT 10",
+        "SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) rev FROM conc_lineitem GROUP BY 1 ORDER BY rev DESC, l_orderkey LIMIT 10",
+        "SELECT s_name, s_acctbal, rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) rk FROM conc_supplier",
+        "SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM conc_documents",
+        "SELECT count(DISTINCT o_custkey) c FROM conc_orders",
+        "SELECT l_linestatus, max(l_extendedprice) m, min(l_discount) d FROM conc_lineitem GROUP BY 1",
+        "SELECT c_custkey FROM conc_customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey FROM conc_orders",
+        "SELECT n_nationkey FROM conc_nation INTERSECT SELECT c_nationkey FROM conc_customer",
+        "SELECT doc_id, normalize_text(text) nt FROM conc_documents WHERE length(text) > 0",
+        "SELECT o_orderstatus, percentile(o_totalprice, 0.5) med FROM conc_orders GROUP BY 1",
+        "SELECT cast(ts AS date) d, count(*) c FROM conc_events GROUP BY 1")
+      val expected = queries.map(q =>
+        spark.sql(q).collect().map(_.toString).sorted.toSeq)
+      // waves of 6 in flight — the reference's concurrency degree
+      queries.grouped(6).zipWithIndex.foreach { case (wave, wi) =>
+        val tokens = wave.map(ctx.sqlToken)
+        tokens.foreach { tok =>
+          val deadline = System.currentTimeMillis() + 120000
+          while (ctx.tokenStatus(tok) == "RUNNING" &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          assert(ctx.tokenStatus(tok) == "DONE",
+            s"token $tok in wave $wi ended ${ctx.tokenStatus(tok)}")
+        }
+        tokens.zipWithIndex.foreach { case (tok, i) =>
+          val got = ctx.fetch(tok).collect().map(_.toString).sorted.toSeq
+          assert(got == expected(wi * 6 + i),
+            s"concurrent result diverged for: ${wave(i)}")
+        }
+      }
+    } finally
+      for (t <- Seq("lineitem", "orders", "customer", "nation", "region",
+          "supplier", "documents", "events")) ctx.dropTable(s"conc_$t")
+  }
+}

@@ -527,6 +527,35 @@ class OperatorSpec extends SparkSuite {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0), s"got $out")
   }
 
+  test("funnel maxEventsPerUser bounds a planted hot user, no-ops for the rest") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    // u9 is a bot: 100k 'view' events, then (past the cap) the click and
+    // purchase that an uncapped funnel would credit. u1/u2 are normal.
+    val hot = (0 until 100000).map(i => (9L, ts(i), "view")) ++
+      Seq((9L, ts(100001), "click"), (9L, ts(100002), "purchase"))
+    val normal = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(5), "other"))
+    val events = (hot ++ normal).toDF("user_id", "ts", "event_type")
+      .repartition(8)
+    val stages = Seq("view", "click", "purchase")
+    val capped = graft.operators.Funnel.funnel(events, stages,
+        maxEventsPerUser = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // normal users: bit-identical to uncapped semantics
+    assert(capped(1L) == 3 && capped(2L) == 1, s"got $capped")
+    // hot user: fold ran over only its earliest 1000 events (all 'view'),
+    // so the post-cap click/purchase are not credited — bounded state,
+    // deterministic truncation
+    assert(capped(9L) == 1, s"hot user saw events past the cap: $capped")
+    // and uncapped still credits the full path (contract difference real)
+    val uncapped = graft.operators.Funnel.funnel(events, stages)
+      .filter($"user_id" === 9L)
+      .collect().head.getInt(1)
+    assert(uncapped == 3)
+  }
+
   test("dsirWeights upweights the target domain") {
     val docs = Tables.load(spark, sfDir, "documents")
     val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
@@ -557,7 +586,7 @@ class OperatorSpec extends SparkSuite {
     assert(bad == 0)
     val mism = docs.select(
       TextAnalysis.wsTokenCount($"text").as("a"),
-      size(split(trim($"text"), "\\s+")).cast("long").as("b"))
+      size(split(trim($"text"), "[ \t\n\f\r]+")).cast("long").as("b"))
       .filter($"a" =!= $"b").count()
     assert(mism == 0)
   }

@@ -126,11 +126,14 @@ class RegressionSpec extends SparkSuite {
       .select($"doc_id", $"text")
       .union(Seq(
         (910001L, ""), (910002L, "   "), (910003L, "\t\n mixed \r\n WS here  "),
-        (910004L, "Ünïcödé ÇASE\t\ttabs"), (910005L, "already clean"))
+        (910004L, "Ünïcödé ÇASE\t\ttabs"), (910005L, "already clean"),
+        // \v (0x0B) is NOT whitespace under the RE2/DuckDB contract —
+        // the fused kernel must keep it glued to its neighbors
+        (910006L, "verticaltab stays  put"))
         .toDF("doc_id", "text"))
     val both = docs.select($"doc_id",
       normalize_text($"text").as("fused"),
-      trim(regexp_replace(lower($"text"), "\\s+", " ")).as("composed"))
+      trim(regexp_replace(lower($"text"), "[ \t\n\f\r]+", " ")).as("composed"))
     val bad = both.filter(not($"fused" <=> $"composed")).count()
     assert(bad == 0, s"$bad docs where fused differs from regex form")
   }
