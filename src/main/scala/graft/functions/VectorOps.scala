@@ -397,4 +397,50 @@ object VectorOps {
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => false
     case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
   }
+
+  /** Fused PQ encode: per subspace mi, the argmin-L2 codeword index over
+    * the flat-packed codebooks (`books[(mi·ksub + j)·dsub + i]`).
+    * Bit-identical to the declarative
+    * `array_min(struct(aggregate(zip_with(sub, cw, (a,b) -> (a-b)²)), j))`
+    * form: the distance is the same ascending-i double fold (float widened
+    * to double first, exactly the array<double> cast), and the argmin uses
+    * Spark's total double ordering (`Double.compare`: ties keep the
+    * smallest j because j ascends and the comparison is strict; NaN sorts
+    * above every finite distance, so an all-NaN row encodes to j=0 like
+    * the struct min). The declarative form costs seconds of one-time
+    * plan/JIT setup (an m·ksub-branch expression tree); this is one flat
+    * loop per row inside whole-stage codegen.
+    */
+  def pqEncode(vec: ArrayData, books: Array[Double], m: Int, ksub: Int,
+      isFloat: Boolean): ArrayData = {
+    val dsub = books.length / (m * ksub)
+    if (vec.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pqEncode: vector dim ${vec.numElements()} < m*dsub = ${m * dsub}")
+    val codes = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * dsub
+      var bestDist = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < ksub) {
+        val bOff = (mi * ksub + j) * dsub
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val a = if (isFloat) vec.getFloat(vOff + i).toDouble
+                  else vec.getDouble(vOff + i)
+          val diff = a - books(bOff + i)
+          acc += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(acc, bestDist) < 0) { bestDist = acc; bestJ = j }
+        j += 1
+      }
+      codes(mi) = bestJ.toByte
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
 }

@@ -79,6 +79,12 @@ package object functions {
   def char_entropy(text: Column): Column =
     col0(CharEntropyExpr(expr0(text)))
 
+  /** Fused PQ encode: per-subspace argmin-L2 codeword bytes over
+    * flat-packed codebooks (bit-identical to the declarative
+    * slice/zip_with/array_min form; see [[PqEncodeExpr]]). */
+  def pq_encode(vec: Column, booksFlat: Array[Double], m: Int, ksub: Int): Column =
+    col0(PqEncodeExpr(expr0(vec), booksFlat, m, ksub))
+
   /** Distinct sorted FNV-1a shingle hashes — hash-space twin of
     * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
     * verification over longs instead of strings. */

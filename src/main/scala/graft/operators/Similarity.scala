@@ -143,13 +143,35 @@ object Similarity {
   }
 
   /** Encode vectors as `m` one-byte codes: per subspace, the argmin-L2
-    * codeword index. Pure map-side — the books are inlined as literals and
-    * `array_min(struct(dist, j))` picks the code inside the projection
-    * (ties to the smallest j), so a billion-vector corpus encodes with
-    * ZERO shuffle and stores m bytes/vector instead of 4·d — 32× smaller
-    * at rest and in every downstream shuffle payload.
+    * codeword index. Pure map-side — the books ride along as one flat
+    * double[] reference inside the fused [[graft.functions.pq_encode]]
+    * codegen kernel, so a billion-vector corpus encodes with ZERO shuffle
+    * and stores m bytes/vector instead of 4·d — 32× smaller at rest and
+    * in every downstream shuffle payload. (The previous declarative
+    * slice/zip_with/array_min formulation — kept as
+    * [[pqEncodeDeclarative]] for the bit-identity regression — spent
+    * seconds of one-time plan/JIT setup on its m·ksub expression tree.)
     */
   def pqEncode(vectors: DataFrame, books: Array[Array[Array[Double]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val flat = new Array[Double](m * ksub * books(0)(0).length)
+    var o = 0
+    for (mi <- 0 until m; j <- 0 until ksub; x <- books(mi)(j)) {
+      flat(o) = x; o += 1
+    }
+    vectors.select(col(idCol),
+      graft.functions.pq_encode(col(vecCol), flat, m, ksub).as("codes"))
+  }
+
+  /** The declarative twin of [[pqEncode]] (slice → zip_with squared-diff
+    * fold → array_min struct argmin). Retained ONLY as the bit-identity
+    * oracle for the fused kernel (RegressionSpec) — its m·ksub expression
+    * tree costs seconds of plan/JIT setup per query tree.
+    */
+  private[graft] def pqEncodeDeclarative(vectors: DataFrame,
+      books: Array[Array[Array[Double]]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val dsub = books(0)(0).length
     // Double let-binding (see word_shingles for the pattern): HOFs run

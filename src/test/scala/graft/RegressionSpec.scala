@@ -195,6 +195,35 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad pairs where hash-space sets diverge from string sets")
   }
 
+  test("fused pq_encode is bit-identical to the declarative argmin form") {
+    import graft.operators.Similarity
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val books = Similarity.pqCodebooks(embs, m = 8, ksub = 16)
+    val fused = Similarity.pqEncode(embs, books)
+    val decl = Similarity.pqEncodeDeclarative(embs, books)
+    // compare as int sequences (byte vs cast-tinyint element types)
+    val joined = fused.as("f").join(decl.as("d"), "vec_id")
+      .select($"vec_id",
+        $"f.codes".cast("array<int>").as("fc"),
+        $"d.codes".cast("array<int>").as("dc"))
+    val bad = joined.filter(not($"fc" <=> $"dc")).count()
+    assert(bad == 0, s"$bad vectors where fused codes differ from declarative")
+    // synthetic edge rows: zero vector, ties (equidistant codewords ->
+    // smallest j), negative components
+    val d = books.length * books(0)(0).length
+    val edge = Seq(
+      (900001L, Array.fill(d)(0.0f)),
+      (900002L, Array.fill(d)(1.0f)),
+      (900003L, Array.tabulate(d)(i => if (i % 2 == 0) -1.5f else 2.5f)))
+      .toDF("vec_id", "embedding")
+    val fe = Similarity.pqEncode(edge, books)
+      .select($"vec_id", $"codes".cast("array<int>").as("fc"))
+    val de = Similarity.pqEncodeDeclarative(edge, books)
+      .select($"vec_id", $"codes".cast("array<int>").as("dc"))
+    val badEdge = fe.join(de, "vec_id").filter(not($"fc" <=> $"dc")).count()
+    assert(badEdge == 0, "edge vectors diverge between fused and declarative")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
