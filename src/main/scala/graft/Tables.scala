@@ -45,11 +45,68 @@ object Tables {
   /** Drop cached plans for a session (e.g. after rewriting fixture files). */
   def invalidateCache(spark: SparkSession): Unit = planCache.remove(spark)
 
+  // ---- format-matrix variants ------------------------------------------
+  // The reference runs every e2e suite over CSV/PSV/parquet/ORC/JSON
+  // inputs and a tpch-with-nulls data variant (tests/BlazingSQLTest/
+  // DataBase/createSchema.py:154-220; format loops in Runner/runTest.py).
+  // tools.FixtureVariants materializes those variants as
+  // <dir>/<table>.{csv,orc,json} single files plus a <dir>/_schemas/
+  // <table>.ddl sidecar; `load` below auto-detects them, so EVERY battery
+  // query runs unmodified against any variant directory.
+
+  /** CSV writer/reader options for variant fixtures. nullValue must be a
+    * token that never appears in data (CSV can't otherwise distinguish
+    * NULL from empty string); explicit µs timestamp format because the
+    * default write format truncates to milliseconds.
+    */
+  val variantCsvOptions: Map[String, String] = Map(
+    "header" -> "true", "nullValue" -> "\\N", "emptyValue" -> "",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "dateFormat" -> "yyyy-MM-dd")
+
+  /** JSON variant options: same µs-precision timestamp contract. */
+  val variantJsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * scan automatically because callers compose on the returned DataFrame.
+    * Looks for `<dir>/<name>.parquet` first, then the CSV/ORC/JSON variant
+    * files written by tools.FixtureVariants (schema from the DDL sidecar —
+    * inference would widen every int to bigint and lose timestamp types).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    readParquet(spark, path(dir, name))
+    sessionCache(spark).getOrElseUpdate(s"$dir#$name", {
+      val conf = spark.sessionState.newHadoopConf()
+      val pq = new org.apache.hadoop.fs.Path(path(dir, name))
+      val fs = pq.getFileSystem(conf)
+      if (fs.exists(pq)) readParquet(spark, path(dir, name))
+      else {
+        val fmt = Seq("csv", "orc", "json")
+          .find(e => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.$e")))
+          .getOrElse(throw new java.io.FileNotFoundException(
+            s"no $name.{parquet,csv,orc,json} under $dir"))
+        val p = s"$dir/$name.$fmt"
+        fmt match {
+          case "orc" => spark.read.orc(p)
+          case "csv" =>
+            spark.read.options(variantCsvOptions)
+              .schema(variantSchema(spark, dir, name)).csv(p)
+          case "json" =>
+            spark.read.options(variantJsonOptions)
+              .schema(variantSchema(spark, dir, name)).json(p)
+        }
+      }
+    })
+
+  private def variantSchema(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_schemas/$name.ddl")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+  }
 
   /** Parquet reader that tolerates TIMESTAMP(NANOS) columns (events.ts),
     * which Spark's reader rejects natively: those columns are read as long

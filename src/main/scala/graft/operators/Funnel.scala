@@ -46,8 +46,14 @@ object Funnel {
     // non-stage events are dropped INSIDE the aggregate (collect_list
     // ignores nulls) rather than by a pre-filter, so users with zero
     // stage events still surface with reached = 0 — same row set as the
-    // progressive-min SQL formulation over all users.
-    val stageEvent = when(col(typeCol).isin(stages: _*),
+    // progressive-min SQL formulation over all users. NULL-ts events are
+    // dropped too: an event without a time cannot be ordered, and the
+    // progressive-min oracle's `min(ts)` skips them — without the guard a
+    // null-ts first-stage event would be credited (reached = 1 with a
+    // NULL stage time) and then block every later stage, diverging from
+    // the SQL formulation on with-nulls data.
+    val stageEvent = when(
+      col(typeCol).isin(stages: _*) && col(tsCol).isNotNull,
       struct(col(tsCol).as("ts"), col(typeCol).as("et")))
     val sortedSeq = sort_array(collect_list(stageEvent))
     val capped =

@@ -500,18 +500,25 @@ object FunctionMatrix {
       // Deterministic first/last-by-key aggregation — the orderable analog
       // of the reference's NTH_ELEMENT group aggs (GroupBy.h:15-28), which
       // take the first/last row of the (sorted) group. event_id is unique,
-      // so both engines resolve identically.
+      // so both engines resolve identically. NULL-arg contract pinned
+      // explicitly: DuckDB's arg_max/arg_min skip rows whose ARG is NULL
+      // while Spark's max_by/min_by would return it — masking the key to
+      // NULL when the arg is NULL makes Spark skip those rows too (agg
+      // null-key skipping), so both engines return the latest/earliest
+      // NON-NULL arg. No-op on null-free data (the with-nulls axis).
       """SELECT user_id,
         |  arg_max(event_type, event_id) AS last_type,
         |  arg_min(event_type, event_id) AS first_type,
         |  arg_max(value, event_id) AS last_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def keyIf(arg: org.apache.spark.sql.Column) =
+        when(arg.isNotNull, col("event_id"))
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          max_by(col("event_type"), col("event_id")).as("last_type"),
-          min_by(col("event_type"), col("event_id")).as("first_type"),
-          max_by(col("value"), col("event_id")).as("last_value"))
+          max_by(col("event_type"), keyIf(col("event_type"))).as("last_type"),
+          min_by(col("event_type"), keyIf(col("event_type"))).as("first_type"),
+          max_by(col("value"), keyIf(col("value"))).as("last_value"))
         .orderBy(col("user_id"))
     },
 

@@ -38,9 +38,9 @@ object Windows {
         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
         |  FROM events)
         |SELECT event_id, user_id,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_fwd,
-        |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+        |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS next_v
         |FROM e ORDER BY event_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
@@ -56,7 +56,7 @@ object Windows {
     QuerySpec(
       "win_rownum",
       """SELECT event_id, user_id,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
@@ -67,15 +67,15 @@ object Windows {
     QuerySpec(
       "win_agg_frames",
       """SELECT event_id, user_id,
-        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg4,
-        |  min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  min(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS min5,
-        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS max5,
-        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cnt3
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
@@ -91,9 +91,9 @@ object Windows {
     QuerySpec(
       "win_laglead",
       """SELECT event_id, user_id,
-        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
-        |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_or_zero,
-        |  lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_v
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_v,
+        |  lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_or_zero,
+        |  lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS next2_v
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
@@ -106,9 +106,9 @@ object Windows {
     QuerySpec(
       "win_firstlast",
       """SELECT event_id, user_id,
-        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
-        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val full = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -125,7 +125,7 @@ object Windows {
       // RANK et al., BatchWindowFunctionProcessing.cpp:60). Exact integer
       // ratio p/n, so the double is bit-identical across engines.
       """SELECT o_orderkey, o_orderstatus,
-        |  cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS cd
+        |  cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS cd
         |FROM orders WHERE o_orderkey < 5000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val byStatus = Window.partitionBy(col("o_orderstatus"))
@@ -139,10 +139,10 @@ object Windows {
     QuerySpec(
       "win_rank",
       """SELECT event_id, event_type,
-        |  rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
-        |  dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS drk,
-        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS quartile,
-        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS prk
+        |  rank() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id) AS rk,
+        |  dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id) AS drk,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id) AS quartile,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id) AS prk
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val byType = Window.partitionBy(col("event_type"))
         .orderBy(col("value").desc, col("event_id"))
@@ -160,8 +160,8 @@ object Windows {
       // Window without PARTITION BY (reference: windowNoPartition suite via
       // the overlap kernels). Bounded input: global order = 1 partition.
       """SELECT event_id,
-        |  row_number() OVER (ORDER BY ts, event_id) AS rn,
-        |  sum(value) OVER (ORDER BY ts, event_id
+        |  row_number() OVER (ORDER BY ts NULLS FIRST, event_id) AS rn,
+        |  sum(value) OVER (ORDER BY ts NULLS FIRST, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
         |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin) { (s, dir) =>
       val global = Window.orderBy(col("ts"), col("event_id"))
@@ -203,13 +203,13 @@ object Windows {
       // single shuffle on user_id.
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) IS NULL
+        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id), ts) > 1800
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** The reference's primary correctness net: every e2e suite runs over a
+  * FORMAT loop (CSV/ORC/JSON/parquet readers feeding identical queries)
+  * and over a `tpch-with-nulls/` DATA variant
+  * (tests/BlazingSQLTest/DataBase/createSchema.py:154-220, 173-176).
+  * This suite replays both axes for the relational battery: the fixture
+  * set is materialized as {csv,orc,json} × {plain,nulls} variant dirs
+  * (tools.FixtureVariants) and every query must return IDENTICAL rows on
+  * each cell as on that variant's parquet cell. The parquet cells anchor
+  * to DuckDB: plain is the driver's CORRECTNESS gate, and nulls_parquet
+  * is replayed through tools/selfcheck.py (FIXTURES.md records the run) —
+  * so cross-format equality here chains every cell to the oracle.
+  */
+class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
+
+  private val outRoot = "/tmp/graft-format-matrix-sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val done = new java.io.File(s"$outRoot/.complete")
+    if (!done.exists()) {
+      tools.FixtureVariants.generate(spark, sfDir, outRoot)
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+    }
+    Tables.invalidateCache(spark) // beforeAll may rerun after a regenerate
+  }
+
+  /** The relational/window/agg battery (the format axis targets the
+    * relational fixture tables; text/ANN operators get their format
+    * coverage from SourcesSpec roundtrips + the parquet battery).
+    */
+  private val battery: Seq[String] = Seq(
+    "agg_argminmax", "agg_collect", "agg_count_multi", "agg_cube",
+    "agg_distinct", "agg_distinct_rows", "agg_filter_clause",
+    "agg_grouping_sets", "agg_having", "agg_nogroup", "agg_percentile",
+    "agg_rollup", "agg_stats",
+    "join_anti", "join_cross", "join_full", "join_inner", "join_left",
+    "join_nonequi", "join_nullsafe", "join_right", "join_semi",
+    "win_agg_frames", "win_cume_dist", "win_firstlast", "win_ignore_nulls",
+    "win_laglead", "win_nopartition", "win_range_frame", "win_rank",
+    "win_rownum",
+    "set_except", "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union_all", "set_union_byname", "set_union_distinct",
+    "set_union_widen",
+    "sort_limit_topk", "sort_multikey_nulls", "sort_offset",
+    "sub_correlated", "sub_scalar", "cte_query",
+    "q1_agg", "q3_topk", "q4_late", "q5_local_supplier", "q6_filter",
+    "q7_volume", "q8_share", "q9_profit", "q10_returns", "q12_delay",
+    "q13_orders", "q14_promo", "q15_top_supplier", "q17_small_qty",
+    "q18_big_orders", "q19_disjunctive", "q21_waiting", "q22_idle_rich",
+    "events_sessions", "events_funnel", "events_retention", "asof_join",
+    "topk_per_group", "pivot_wide", "unpivot_long",
+    "expr_case", "expr_cond", "expr_math", "expr_date", "expr_cast")
+
+  /** Canonical row rendering: doubles through 12-significant-digit
+    * formatting (CSV/JSON round-trips are value-exact, but scan split
+    * boundaries differ per format and double summation order with them —
+    * the same reason the DuckDB oracles round float aggregates). */
+  private def norm(v: Any): String = v match {
+    case null => "~NULL~"
+    case d: Double => String.format("%.12g", Double.box(d))
+    case f: Float => String.format("%.12g", Float.box(f))
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: scala.collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${norm(k)}->${norm(x)}" }
+        .sorted.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(norm).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  private def rows(df: DataFrame): (Seq[String], Seq[String]) =
+    (df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").toSeq,
+      df.collect().map(r => r.toSeq.map(norm).mkString("|")).sorted.toSeq)
+
+  private def runBattery(dir: String): Map[String, (Seq[String], Seq[String])] =
+    battery.map { name =>
+      val out = try rows(SparkEntry.queries(name)(spark, dir))
+      finally operators.Dedup.releaseCaches()
+      name -> out
+    }.toMap
+
+  // per-variant parquet baselines, computed once
+  private lazy val plainBase = runBattery(sfDir)
+  private lazy val nullsBase = runBattery(s"$outRoot/nulls_parquet")
+
+  private def checkCell(variant: String, fmt: String): Unit = {
+    val base = if (variant == "plain") plainBase else nullsBase
+    val got = runBattery(s"$outRoot/${variant}_$fmt")
+    val bad = battery.filter { q =>
+      base(q)._1 != got(q)._1 || base(q)._2 != got(q)._2
+    }
+    if (bad.nonEmpty) {
+      val q = bad.head
+      val (bs, br) = base(q); val (gs, gr) = got(q)
+      fail(s"${bad.size} queries diverge on ${variant}_$fmt (first: $q — " +
+        (if (bs != gs) s"schema $bs vs $gs"
+         else s"rows ${br.size} vs ${gr.size}; first diff: " +
+           br.zip(gr).collectFirst { case (a, b) if a != b => s"$a ≠ $b" }
+             .getOrElse("row-set difference")) + ")")
+    }
+  }
+
+  test("with-nulls variant actually injects nulls in non-key columns") {
+    val li = Tables.load(spark, s"$outRoot/nulls_parquet", "lineitem")
+    val n = li.count()
+    for (c <- Seq("l_quantity", "l_returnflag", "l_shipdate")) {
+      val nulls = li.filter(col(c).isNull).count()
+      assert(nulls > 0 && nulls < n / 2,
+        s"$c: $nulls nulls of $n rows — injection broken")
+    }
+    // keys stay intact
+    assert(li.filter(col("l_orderkey").isNull).count() == 0)
+    val ev = Tables.load(spark, s"$outRoot/nulls_parquet", "events")
+    assert(ev.filter(col("ts").isNull).count() > 0, "events.ts got no nulls")
+  }
+
+  test("csv variant preserves NULL-vs-empty-string and timestamp precision") {
+    val plainPq = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("props"))
+    val plainCsv = Tables.load(spark, s"$outRoot/plain_csv", "events")
+      .select(col("event_id"), col("ts"), col("props"))
+    assert(rows(plainPq) == rows(plainCsv),
+      "events CSV roundtrip drifts from parquet (timestamps or strings)")
+  }
+
+  test("battery matches parquet on plain_csv") { checkCell("plain", "csv") }
+  test("battery matches parquet on plain_orc") { checkCell("plain", "orc") }
+  test("battery matches parquet on plain_json") { checkCell("plain", "json") }
+  test("battery matches nulls_parquet on nulls_csv") { checkCell("nulls", "csv") }
+  test("battery matches nulls_parquet on nulls_orc") { checkCell("nulls", "orc") }
+  test("battery matches nulls_parquet on nulls_json") { checkCell("nulls", "json") }
+
+  test("nulls_parquet battery runs clean (no query throws on null data)") {
+    // materializing nullsBase IS the assertion — every battery query must
+    // execute on the with-nulls data; DuckDB agreement is checked by the
+    // selfcheck replay recorded in FIXTURES.md
+    assert(nullsBase.size == battery.size)
+    val empty = battery.filter(q => nullsBase(q)._2.isEmpty)
+    // a with-nulls battery that returns nothing tested nothing
+    assert(empty.size < battery.size / 2,
+      s"suspiciously many empty results on nulls data: $empty")
+  }
+}

@@ -22,13 +22,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes: timestamps → iso strings, decimals/float32 → float64
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
+            # NaT -> common null token (object columns stringify None differently)
+            df[c] = df[c].astype("datetime64[us]").astype(str).replace("NaT", "~NULL~")
         elif df[c].dtype == object and df[c].dropna().size:
             first = df[c].dropna().iloc[0]
             if isinstance(first, bytes):
                 df[c] = df[c].apply(lambda b: b.hex() if isinstance(b, bytes) else b)
             elif isinstance(first, (pd.Timestamp,)) or type(first).__name__ in ("date", "datetime"):
-                df[c] = df[c].astype(str)
+                df[c] = df[c].apply(lambda v: "~NULL~" if pd.isna(v) else str(v))
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
