@@ -78,7 +78,42 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Concurrency axis (the reference runs suites with queries in flight
+    // concurrently — TPCHSuite.yaml:5-7): the same SQL battery sequential
+    // vs 6 in flight through the sqlToken job-group surface. Interference
+    // would show up as inflight time >> sequential (lock contention /
+    // cache thrash) or as wrong row counts (cross-release of caches).
+    val conc = {
+      val ctx = GraftContext(spark)
+      val sqls = Seq(
+        "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) q FROM lineitem GROUP BY 1, 2",
+        "SELECT o_orderpriority, count(*) c FROM orders GROUP BY 1",
+        "SELECT c_mktsegment, avg(c_acctbal) a FROM customer GROUP BY 1",
+        "SELECT n_name, count(*) c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1",
+        "SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) rev FROM lineitem GROUP BY 1 ORDER BY rev DESC, l_orderkey LIMIT 10",
+        "SELECT o_custkey, count(*) c FROM orders GROUP BY 1 ORDER BY c DESC, o_custkey LIMIT 10",
+        "SELECT event_type, count(*) c FROM events GROUP BY 1",
+        "SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM documents",
+        "SELECT count(DISTINCT o_custkey) c FROM orders",
+        "SELECT s_name, rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) rk FROM supplier",
+        "SELECT l_linestatus, max(l_extendedprice) m FROM lineitem GROUP BY 1",
+        "SELECT lang, count(*) c FROM documents GROUP BY 1")
+      val t1 = System.nanoTime()
+      val seqRows = sqls.map(q => spark.sql(q).count()).sum
+      val seqSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val concRows = sqls.grouped(6).map { wave =>
+        val tokens = wave.map(ctx.sqlToken) // 6 in flight per wave
+        tokens.map(tok => ctx.fetch(tok, 300000L).count()).sum
+      }.sum
+      val concSec = (System.nanoTime() - t2) / 1e9
+      s""""concurrency":{"queries":${sqls.size},"inflight":6,""" +
+        s""""sequential_sec":$seqSec,"concurrent_sec":$concSec,""" +
+        s""""rows_match":${seqRows == concRows}}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$conc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,13 +17,34 @@ import org.apache.spark.sql.functions._
   * scalar per round, no expensive set comparison.
   *
   * Scale notes (100 TB target): every round shuffles only (id, label)
-  * longs — never document payloads; lineage is truncated each round with
-  * localCheckpoint so the plan doesn't grow unboundedly (on a cluster with
-  * an HDFS checkpoint dir, swap in reliable checkpoint); dedup graphs are
-  * overwhelmingly tiny star-shaped clusters, so label traffic collapses
-  * after round 1 and AQE coalesces the near-empty shuffles.
+  * longs — never document payloads; lineage is truncated each round so
+  * the plan doesn't grow unboundedly. Truncation mode is configurable:
+  * `spark.graft.components.checkpoint=local` (default) uses
+  * localCheckpoint — executor-block storage, fastest, but a lost executor
+  * kills the job since truncated lineage can't recompute — and
+  * `=reliable` uses reliable `checkpoint()` into the context's
+  * checkpoint dir (`sc.setCheckpointDir`, an HDFS/S3 path on a cluster),
+  * which survives executor loss: the right setting for long multi-round
+  * runs on preemptible/spot executors. Dedup graphs are overwhelmingly
+  * tiny star-shaped clusters, so label traffic collapses after round 1
+  * and AQE coalesces the near-empty shuffles.
   */
 object Components {
+
+  /** Truncate `df`'s lineage per the configured checkpoint mode. */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.components.checkpoint", "local") match {
+      case "local" => df.localCheckpoint(eager = true)
+      case "reliable" =>
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          "spark.graft.components.checkpoint=reliable needs " +
+            "sc.setCheckpointDir(<fault-tolerant path>) first")
+        df.checkpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.components.checkpoint: 'local' or 'reliable', got '$other'")
+    }
+  }
 
   /** (id, component) for every node appearing in `pairs`, where component
     * is the minimum node id reachable from the node. Input columns are
@@ -57,8 +78,8 @@ object Components {
     val edges = sym.unionAll(nodes.select(col("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = nodes.select(col("src").as("id"), col("src").as("comp"))
-      .localCheckpoint(eager = true)
+    var labels = snapshot(
+      nodes.select(col("src").as("id"), col("src").as("comp")))
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
 
     var iter = 0
@@ -66,11 +87,10 @@ object Components {
     while (iter < maxIter && !converged) {
       // (1) propagate: each node takes the min label over itself (via the
       // self-loop) and its neighbors — one shuffle join + one hash-agg
-      val relabeled = edges
+      val relabeled = snapshot(edges
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("comp")).as("comp"))
-        .select(col("src").as("id"), col("comp"))
-        .localCheckpoint(eager = true)
+        .select(col("src").as("id"), col("comp")))
 
       // (2) pointer jump: comp <- comp(comp). Labels are node ids, so the
       // lookup is a self-join; least() guards already-minimal rows.
@@ -80,7 +100,7 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
 
-      labels = jumped.localCheckpoint(eager = true)
+      labels = snapshot(jumped)
       val s = labels.agg(sum(col("comp"))).head().getLong(0)
       converged = s == prevSum // labels only ever decrease; equal sum = fixed point
       prevSum = s

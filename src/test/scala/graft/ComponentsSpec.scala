@@ -65,4 +65,32 @@ class ComponentsSpec extends SparkSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       s"expected one cluster of {1,2,3}, got $labels")
   }
+
+  test("reliable checkpoint mode writes rounds to the checkpoint dir") {
+    // cluster path: truncated lineage must survive executor loss, so the
+    // per-round snapshots go to a fault-tolerant dir instead of executor
+    // blocks (localCheckpoint). Same results, files actually written.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-checkpoint").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.components.checkpoint", "reliable")
+    try {
+      val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0, "reliable mode produced no checkpoint files")
+    } finally {
+      spark.conf.set("spark.graft.components.checkpoint", "local")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("unknown checkpoint mode fails fast with the valid options") {
+    spark.conf.set("spark.graft.components.checkpoint", "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] { cc(Seq((1L, 2L))) }
+      assert(e.getMessage.contains("local") && e.getMessage.contains("reliable"))
+    } finally spark.conf.set("spark.graft.components.checkpoint", "local")
+  }
 }
