@@ -1,0 +1,140 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+
+/** Remote-filesystem coverage via a mocked WebHDFS endpoint.
+  *
+  * The reference ships full remote-FS providers (io/src/FileSystem/
+  * private/HadoopFileSystem_p.cpp, S3FileSystem_p.cpp,
+  * GoogleCloudStorage_p.cpp); on Spark those are Hadoop FileSystem
+  * implementations selected by URI scheme, so the graft-side surface is
+  * configuration (GraftContext.registerHdfs/S3/Gcs) plus the scheme in
+  * the table path. No live cluster or cloud exists in the sandbox — and
+  * the s3a/gcs connector jars aren't shipped — but the HDFS path IS
+  * exercisable end-to-end: hadoop-client bundles the WebHDFS client
+  * (hdfs.web.WebHdfsFileSystem), which speaks plain HTTP/REST to a
+  * namenode. This suite runs a minimal in-JVM WebHDFS namenode
+  * (GETFILESTATUS/LISTSTATUS/OPEN with offset+length, the 307
+  * redirect-to-datanode dance included) and reads a REAL fixture parquet
+  * through `webhdfs://127.0.0.1:port/...` — proving the scan path
+  * (footer seek, positioned column-chunk reads, schema inference)
+  * composes with a genuinely remote filesystem through URI config alone.
+  */
+class RemoteFsSpec extends SparkSuite {
+
+  /** Tiny WebHDFS "namenode+datanode": serves one directory read-only. */
+  private final class WebHdfsMock(root: Path) {
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def port: Int = server.getAddress.getPort
+
+    private def statusJson(p: Path, suffix: Boolean): String = {
+      val isDir = Files.isDirectory(p)
+      val name = if (suffix) p.getFileName.toString else ""
+      s"""{"accessTime":0,"blockSize":134217728,"childrenNum":0,"fileId":0,
+         |"group":"graft","length":${if (isDir) 0 else Files.size(p)},
+         |"modificationTime":${Files.getLastModifiedTime(p).toMillis},
+         |"owner":"graft","pathSuffix":"$name",
+         |"permission":"${if (isDir) "755" else "644"}","replication":1,
+         |"storagePolicy":0,"type":"${if (isDir) "DIRECTORY" else "FILE"}"}"""
+        .stripMargin.replace("\n", "")
+    }
+
+    private def send(ex: HttpExchange, code: Int, body: Array[Byte],
+        contentType: String = "application/json"): Unit = {
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+
+    private def param(q: String, k: String): Option[String] =
+      Option(q).toSeq.flatMap(_.split('&')).collectFirst {
+        case kv if kv.startsWith(k + "=") => kv.substring(k.length + 1)
+      }
+
+    server.createContext("/webhdfs/v1", (ex: HttpExchange) => {
+      try {
+        val uri = ex.getRequestURI
+        val rel = uri.getPath.stripPrefix("/webhdfs/v1").stripPrefix("/")
+        val q = uri.getRawQuery
+        val op = param(q, "op").map(_.toUpperCase).getOrElse("")
+        val p = root.resolve(rel)
+        op match {
+          case "GETFILESTATUS" =>
+            if (!Files.exists(p))
+              send(ex, 404, s"""{"RemoteException":{"exception":"FileNotFoundException","javaClassName":"java.io.FileNotFoundException","message":"$rel"}}""".getBytes)
+            else send(ex, 200, s"""{"FileStatus":${statusJson(p, suffix = false)}}""".getBytes)
+          case "LISTSTATUS" =>
+            // HDFS semantics: listing a FILE returns the file itself
+            // (empty pathSuffix), not an error
+            val arr =
+              if (Files.isRegularFile(p)) statusJson(p, suffix = false)
+              else Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+                .map(k => statusJson(k, suffix = true)).mkString(",")
+            send(ex, 200, s"""{"FileStatuses":{"FileStatus":[$arr]}}""".getBytes)
+          case "OPEN" if param(q, "redirected").isEmpty =>
+            // namenode leg: 307 to the "datanode" (same server, marker param)
+            ex.getResponseHeaders.set("Location",
+              s"http://127.0.0.1:$port/webhdfs/v1/$rel?$q&redirected=true")
+            send(ex, 307, Array.emptyByteArray)
+          case "OPEN" =>
+            // datanode leg: honor offset/length positioned reads — parquet
+            // footer + column-chunk access pattern depends on these
+            val bytes = Files.readAllBytes(p)
+            val off = param(q, "offset").map(_.toLong).getOrElse(0L).toInt
+            val len = param(q, "length").map(_.toLong)
+              .getOrElse(bytes.length.toLong - off).toInt
+            val end = math.min(bytes.length, off + len)
+            send(ex, 200, java.util.Arrays.copyOfRange(bytes, off, end),
+              "application/octet-stream")
+          case "GETFILEBLOCKLOCATIONS" =>
+            // one local "block" covering the file — split planning input
+            val len = Files.size(p)
+            send(ex, 200,
+              (s"""{"BlockLocations":{"BlockLocation":[{"cachedHosts":[],""" +
+                s""""corrupt":false,"hosts":["127.0.0.1"],"length":$len,""" +
+                s""""names":["127.0.0.1:50010"],"offset":0,""" +
+                s""""storageTypes":["DISK"],""" +
+                s""""topologyPaths":["/default-rack/127.0.0.1:50010"]}]}}""").getBytes)
+          case "GETSERVERDEFAULTS" | "GETTRASHROOT" =>
+            send(ex, 400, s"""{"RemoteException":{"exception":"UnsupportedOperationException","javaClassName":"java.lang.UnsupportedOperationException","message":"$op"}}""".getBytes)
+          case other =>
+            send(ex, 400, s"""{"RemoteException":{"exception":"UnsupportedOperationException","javaClassName":"java.lang.UnsupportedOperationException","message":"op $other"}}""".getBytes)
+        }
+      } catch {
+        case t: Throwable =>
+          send(ex, 500, s"""{"RemoteException":{"exception":"IOException","javaClassName":"java.io.IOException","message":"${t.getMessage}"}}""".getBytes)
+      }
+    })
+    server.start()
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("parquet scan reads through a remote webhdfs:// endpoint") {
+    val root = Files.createTempDirectory("graft-webhdfs")
+    Files.copy(Paths.get(s"$sfDir/nation.parquet"),
+      root.resolve("nation.parquet"))
+    val mock = new WebHdfsMock(root)
+    try {
+      val remote = spark.read.parquet(
+        s"webhdfs://127.0.0.1:${mock.port}/nation.parquet")
+      val local = Tables.load(spark, sfDir, "nation")
+      assert(remote.schema == local.schema,
+        "schema inferred over webhdfs differs from local")
+      val a = remote.orderBy(col("n_nationkey")).collect().toSeq
+      val b = local.orderBy(col("n_nationkey")).collect().toSeq
+      assert(a == b, "rows read over webhdfs differ from local")
+      // predicate + projection survive the remote scan too
+      val filtered = spark.read.parquet(
+          s"webhdfs://127.0.0.1:${mock.port}/nation.parquet")
+        .filter(col("n_regionkey") === 0).select("n_name").collect()
+      assert(filtered.nonEmpty && filtered.length < b.length)
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+  }
+}
