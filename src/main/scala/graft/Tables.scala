@@ -81,15 +81,18 @@ object Tables {
       val fs = pq.getFileSystem(conf)
       if (fs.exists(pq)) readParquet(spark, path(dir, name))
       else {
-        val fmt = Seq("csv", "orc", "json")
+        val fmt = Seq("csv", "psv", "orc", "json")
           .find(e => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.$e")))
           .getOrElse(throw new java.io.FileNotFoundException(
-            s"no $name.{parquet,csv,orc,json} under $dir"))
+            s"no $name.{parquet,csv,psv,orc,json} under $dir"))
         val p = s"$dir/$name.$fmt"
         fmt match {
           case "orc" => spark.read.orc(p)
           case "csv" =>
             spark.read.options(variantCsvOptions)
+              .schema(variantSchema(spark, dir, name)).csv(p)
+          case "psv" => // pipe-separated (reference format loop includes psv)
+            spark.read.options(variantCsvOptions).option("sep", "|")
               .schema(variantSchema(spark, dir, name)).csv(p)
           case "json" =>
             spark.read.options(variantJsonOptions)

@@ -31,6 +31,46 @@ object VectorOps {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Argmax-cosine centroid index over a flat-packed float centroid
+    * matrix (`cents[j·dim + i]`): returns the index j maximizing
+    * cosine(vec, cent_j), ties to the SMALLEST j. Bit-identical to the
+    * declarative `array_max(struct(cosine_similarity(v, lit(cent_j)),
+    * -cid_j))` form when centroids are passed in ascending-cid order:
+    * each cosine is the same [[cosine]] fold (float→double widening,
+    * ascending-i accumulation), and the strict `>` update keeps the first
+    * (smallest-j) maximum exactly like the negated-cid struct max — NaN
+    * sorts above every finite cosine in both (Spark total ordering).
+    * Exists because inlining k centroid literals builds a k-branch
+    * expression tree: fine at k=16 (IVF coarse quantizers), seconds of
+    * plan/JIT setup and quadratic-growth pressure at the corpus-derived
+    * k a SemDeDup pass needs.
+    */
+  def argmaxCosine(vec: ArrayData, cents: Array[Float], k: Int, dim: Int,
+      isFloat: Boolean): Int = {
+    var bestCos = Double.NegativeInfinity
+    var bestJ = 0
+    var first = true
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      val n = math.min(vec.numElements(), dim)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = cents(off + i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (first || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; bestJ = j; first = false
+      }
+      j += 1
+    }
+    bestJ
+  }
+
   /** Dot product (vectors assumed pre-normalized when used for cosine). */
   def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -175,6 +175,35 @@ case class PqEncodeExpr(child: Expression, books: Array[Double],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused argmax-cosine coarse assignment: array<float> vector → the index
+  * of the nearest centroid in a flat-packed float[] matrix (ties to the
+  * smallest index; bit-identical to the declarative
+  * array_max(struct(cos, -cid)) form — see VectorOps.argmaxCosine).
+  * Lets the centroid count scale with the corpus (SemDeDup's
+  * derived nlist) without building a k-branch expression tree.
+  */
+case class ArgmaxCosineExpr(child: Expression, cents: Array[Float],
+    k: Int, dim: Int) extends UnaryExpression {
+
+  require(k >= 1 && dim >= 1 && cents.length == k * dim,
+    s"argmax_cosine: flat centroids length ${cents.length} != k*dim = ${k * dim}")
+
+  private lazy val isFloat = VectorOps.isFloatArray(child.dataType)
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.argmaxCosine(v.asInstanceOf[ArrayData], cents, k, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centsFlat", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.argmaxCosine($c, $ref, $k, $dim, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -85,6 +85,11 @@ package object functions {
   def pq_encode(vec: Column, booksFlat: Array[Double], m: Int, ksub: Int): Column =
     col0(PqEncodeExpr(expr0(vec), booksFlat, m, ksub))
 
+  /** Fused argmax-cosine centroid index over flat-packed float centroids
+    * (ties to the smallest index; see [[ArgmaxCosineExpr]]). */
+  def argmax_cosine(vec: Column, centsFlat: Array[Float], k: Int, dim: Int): Column =
+    col0(ArgmaxCosineExpr(expr0(vec), centsFlat, k, dim))
+
   /** Distinct sorted FNV-1a shingle hashes — hash-space twin of
     * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
     * verification over longs instead of strings. */

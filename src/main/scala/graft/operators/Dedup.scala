@@ -499,15 +499,30 @@ object Dedup {
     *
     * Scale shape: the coarse assignment is [[Similarity.assign]]'s
     * map-side argmax over broadcast centroids (zero shuffle for the
-    * corpus); the within-cluster self-join is the only exchange, keyed by
-    * centroid_id, and the cosine filter runs inside its codegen stage so
-    * only surviving (id, id) pairs reach the distinct.
+    * corpus, fused ArgmaxCosine kernel); the within-cluster self-join is
+    * the only exchange, keyed by centroid_id, and the cosine filter runs
+    * inside its codegen stage so only surviving (id, id) pairs reach the
+    * distinct.
+    *
+    * The centroid count must GROW with the corpus: a fixed nlist makes
+    * mean cluster size n/k linear in n and the within-cluster pair work
+    * (n/k)²·k quadratic — measured as 52× cost for 10× data at the sf10
+    * scale point. Pass `nlist = 0` (the scale-correct default) to derive
+    * k = max(8, n/targetClusterSize), which pins mean cluster size and
+    * makes pair work linear: (target)²·(n/target) = n·target. The cap at
+    * 65536 keeps the broadcast centroid matrix model-state sized; beyond
+    * that (≫4 B vectors), layer a second IVF level before this operator.
     *
     * Returns (idCol, centroid_id, kept) for every input vector.
     */
-  def semDedup(embs: DataFrame, nlist: Int = 16, threshold: Double = 0.9,
+  def semDedup(embs: DataFrame, nlist: Int = 0, threshold: Double = 0.9,
+      targetClusterSize: Int = 64,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = Similarity.centroids(embs, nlist, vecCol, idCol)
+    val k =
+      if (nlist > 0) nlist
+      else math.min(65536L,
+        math.max(8L, embs.count() / targetClusterSize)).toInt
+    val cents = Similarity.centroids(embs, k, vecCol, idCol)
     val assigned = Similarity.assign(embs, cents, vecCol, idCol, "c", top = 1)
     val a = assigned.select(col("centroid_id"), col("c_id").as("id_a"),
       col("c_vec").as("v_a"))

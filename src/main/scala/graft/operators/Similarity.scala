@@ -72,18 +72,24 @@ object Similarity {
   def assign(vectors: DataFrame, cents: DataFrame,
       vecCol: String, idCol: String, outPrefix: String, top: Int): DataFrame = {
     if (top == 1) {
-      val centRows = cents.select(col("centroid_id"), col("centroid_vec")).collect()
+      // map-side argmax through the fused ArgmaxCosine kernel: the
+      // centroid matrix rides along flat-packed as one float[] reference,
+      // so the centroid count can scale with the corpus (SemDeDup's
+      // derived nlist) without a k-branch expression tree. Kernel index →
+      // centroid_id via one small literal array lookup.
+      val centRows = cents.select(col("centroid_id"), col("centroid_vec"))
+        .collect().sortBy(_.getLong(0))
       require(centRows.nonEmpty, "assign: empty centroid set")
-      val scored = centRows.map { r =>
-        val cid = r.getLong(0)
-        val vec = r.getSeq[Float](1).toArray
-        struct(cosine_similarity(col(vecCol), typedlit(vec)).as("ccos"),
-          lit(-cid).as("neg_cid"))
-      }
-      val best = array_max(array(scored.toIndexedSeq: _*))
+      val cids = centRows.map(_.getLong(0))
+      val dim = centRows.head.getSeq[Float](1).length
+      val flat = new Array[Float](centRows.length * dim)
+      for (j <- centRows.indices; (x, i) <- centRows(j).getSeq[Float](1).zipWithIndex)
+        flat(j * dim + i) = x
+      val idx = graft.functions.argmax_cosine(
+        col(vecCol), flat, centRows.length, dim)
       vectors.select(col(idCol).as(s"${outPrefix}_id"),
         col(vecCol).as(s"${outPrefix}_vec"),
-        (-best.getField("neg_cid")).as("centroid_id"))
+        element_at(typedlit(cids.toSeq), idx + 1).as("centroid_id"))
     } else {
       val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
       vectors.join(broadcast(cents))
@@ -95,6 +101,28 @@ object Similarity {
         .select(col(idCol).as(s"${outPrefix}_id"), col(vecCol).as(s"${outPrefix}_vec"),
           col("centroid_id"))
     }
+  }
+
+  /** The literal-inlined declarative twin of [[assign]]'s top-1 path
+    * (`array_max(struct(cos, -cid))` over k inlined centroid literals).
+    * Retained ONLY as the bit-identity oracle for the fused
+    * ArgmaxCosine kernel (RegressionSpec) — its k-branch expression tree
+    * is exactly what the kernel exists to avoid.
+    */
+  private[graft] def assignDeclarative(vectors: DataFrame, cents: DataFrame,
+      vecCol: String, idCol: String, outPrefix: String): DataFrame = {
+    val centRows = cents.select(col("centroid_id"), col("centroid_vec")).collect()
+    require(centRows.nonEmpty, "assignDeclarative: empty centroid set")
+    val scored = centRows.map { r =>
+      val cid = r.getLong(0)
+      val vec = r.getSeq[Float](1).toArray
+      struct(cosine_similarity(col(vecCol), typedlit(vec)).as("ccos"),
+        lit(-cid).as("neg_cid"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    vectors.select(col(idCol).as(s"${outPrefix}_id"),
+      col(vecCol).as(s"${outPrefix}_vec"),
+      (-best.getField("neg_cid")).as("centroid_id"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

@@ -286,11 +286,13 @@ object Curation {
       // far above it, so the same query drops true near-dups at scale).
       // Cosines compare on raw doubles (DOUBLE[] cast matches Spark's
       // double accumulation); no cosine is emitted, so no rounding needed.
-      """WITH params AS (SELECT greatest((SELECT count(*) FROM embeddings) // 8, 1) AS step),
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |params AS (SELECT greatest(n // 64, 8) AS nlist,
+        |                  greatest(n // greatest(n // 64, 8), 1) AS step FROM nn),
         |cents AS (
         |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
-        |  FROM embeddings, params WHERE vec_id % step = 0
-        |  ORDER BY vec_id LIMIT 8),
+        |  FROM embeddings, params
+        |  WHERE vec_id % step = 0 AND vec_id // step < nlist),
         |assigned AS (
         |  SELECT vec_id, v, centroid_id FROM (
         |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
@@ -304,7 +306,12 @@ object Curation {
         |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
-      Dedup.semDedup(t(s, dir, "embeddings"), nlist = 8, threshold = 0.42)
+      // nlist = 0 -> derived max(8, n/64): pins mean cluster size so the
+      // within-cluster pair work scales LINEARLY in corpus size (the sf10
+      // scale point measured the fixed-nlist form at 52x for 10x data);
+      // at sf0.01 (n=500) the derived k is exactly the former nlist=8
+      Dedup.semDedup(t(s, dir, "embeddings"), nlist = 0, threshold = 0.42,
+          targetClusterSize = 64)
         .orderBy(col("vec_id"))
     },
 

@@ -13,8 +13,8 @@ import graft.Tables
   *
   * Layout under `outRoot`:
   * {{{
-  *   plain_csv/  plain_orc/  plain_json/            — format copies
-  *   nulls_parquet/  nulls_csv/  nulls_orc/  nulls_json/  — with-nulls
+  *   plain_{csv,psv,orc,json}/                      — format copies
+  *   nulls_{parquet,csv,psv,orc,json}/              — with-nulls
   * }}}
   * Each directory is a full self-contained fixture dir (`<table>.<ext>`
   * single files + `_schemas/<table>.ddl` sidecars + untouched parquet
@@ -78,6 +78,8 @@ object FixtureVariants {
       case "parquet" => w.parquet(tmp.toString)
       case "orc" => w.orc(tmp.toString)
       case "csv" => w.options(Tables.variantCsvOptions).csv(tmp.toString)
+      case "psv" => w.options(Tables.variantCsvOptions)
+        .option("sep", "|").csv(tmp.toString)
       case "json" => w.options(Tables.variantJsonOptions).json(tmp.toString)
     })
     val part = fs.listStatus(tmp).map(_.getPath)
@@ -101,12 +103,12 @@ object FixtureVariants {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
   }
 
-  /** Generate all seven variant dirs under `outRoot` from `srcDir`. */
+  /** Generate all nine variant dirs under `outRoot` from `srcDir`. */
   def generate(spark: SparkSession, srcDir: String, outRoot: String): Unit = {
     val cells = Seq(
-      ("plain", "csv"), ("plain", "orc"), ("plain", "json"),
-      ("nulls", "parquet"), ("nulls", "csv"), ("nulls", "orc"),
-      ("nulls", "json"))
+      ("plain", "csv"), ("plain", "psv"), ("plain", "orc"), ("plain", "json"),
+      ("nulls", "parquet"), ("nulls", "csv"), ("nulls", "psv"),
+      ("nulls", "orc"), ("nulls", "json"))
     for ((variant, fmt) <- cells) {
       val outDir = s"$outRoot/${variant}_$fmt"
       for (t <- relational) {
@@ -130,7 +132,7 @@ object FixtureVariants {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, srcDir, outRoot)
-    println(s"[fixture-variants] wrote 7 variant dirs under $outRoot")
+    println(s"[fixture-variants] wrote 9 variant dirs under $outRoot")
     spark.stop()
   }
 }

@@ -224,6 +224,32 @@ class RegressionSpec extends SparkSuite {
     assert(badEdge == 0, "edge vectors diverge between fused and declarative")
   }
 
+  test("fused argmax_cosine assignment is identical to the declarative argmax") {
+    import graft.operators.Similarity
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.centroids(embs, 16)
+    val fused = Similarity.assign(embs, cents, "embedding", "vec_id", "c", top = 1)
+      .select($"c_id", $"centroid_id".as("f_cid"))
+    val decl = Similarity.assignDeclarative(embs, cents, "embedding", "vec_id", "c")
+      .select($"c_id", $"centroid_id".as("d_cid"))
+    val bad = fused.join(decl, "c_id").filter($"f_cid" =!= $"d_cid").count()
+    assert(bad == 0, s"$bad vectors assigned to different centroids")
+    // edge vectors: zero vector (all cosines 0 -> tie -> smallest cid),
+    // exact centroid copy, negated centroid
+    val dim = embs.select($"embedding").head().getSeq[Float](0).length
+    val c0 = cents.orderBy($"centroid_id").head().getSeq[Float](1).toArray
+    val edge = Seq(
+      (900001L, Array.fill(dim)(0.0f)),
+      (900002L, c0),
+      (900003L, c0.map(x => -x))).toDF("vec_id", "embedding")
+    val fe = Similarity.assign(edge, cents, "embedding", "vec_id", "c", top = 1)
+      .select($"c_id", $"centroid_id".as("f_cid"))
+    val de = Similarity.assignDeclarative(edge, cents, "embedding", "vec_id", "c")
+      .select($"c_id", $"centroid_id".as("d_cid"))
+    val badEdge = fe.join(de, "c_id").filter($"f_cid" =!= $"d_cid").count()
+    assert(badEdge == 0, "edge vectors diverge between fused and declarative assign")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
