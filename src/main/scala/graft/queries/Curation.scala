@@ -462,7 +462,11 @@ object Curation {
         |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      docs.select(col("doc_id"), col("lang"))
+      // prediction universe = docs with >= 1 token, matching the oracle's
+      // toks-derived rows: a token-free (or NULL-text) doc has no features
+      // and the SQL formulation never scores it (no-op on dense fixtures)
+      docs.filter(size(graft.functions.tokens(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"))
         .join(graft.operators.NaiveBayes.fitPredict(docs)
           .withColumnRenamed("label_pred", "lang_nb"), Seq("doc_id"))
         .orderBy(col("doc_id"))

@@ -685,7 +685,9 @@ object Pipeline {
         |    CASE WHEN len(tk) >= 5 THEN list_transform(generate_series(1, len(tk)-4), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]) ELSE [] END AS g5
         |  FROM base)
         |SELECT doc_id,
-        |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)/len(lines) AS dup_line_frac,
+        |  CASE WHEN len(lines) > 0 THEN
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)/len(lines)
+        |    ELSE 0.0 END AS dup_line_frac,
         |  CASE WHEN len(g2) > 0 THEN
         |    CAST(list_aggregate(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))), 'max') AS DOUBLE)/len(g2)
         |    ELSE 0.0 END AS top_2gram_frac,
@@ -758,7 +760,10 @@ object Pipeline {
       langIdOracleSql) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("lang_pred"))
+          // NULL text carries zero signal -> the same 'unknown' the
+          // no-stopword-match fallback yields (pins the with-nulls axis)
+          coalesce(TextAnalysis.langId(col("text")), lit("unknown"))
+            .as("lang_pred"))
         .orderBy(col("doc_id"))
     },
 

@@ -36,7 +36,7 @@ object FixtureVariants {
     "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
     "lineitem" -> Seq("l_orderkey", "l_linenumber"),
-    "events" -> Seq("event_id"))
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"))
 
   /** Join/identity columns stay non-null (the reference's with-nulls data
     * keeps keys intact too — a null key row would vanish from every join
@@ -116,8 +116,16 @@ object FixtureVariants {
         val df = if (variant == "nulls") injectNulls(base, t) else base
         writeSingle(df, fmt, outDir, t)
       }
-      for (t <- Seq("documents", "embeddings"))
-        copyParquetFixture(spark, srcDir, outDir, t)
+      // documents joins the with-nulls axis (null text/lang/source drive
+      // the text/dedup battery's null semantics) but always as PARQUET:
+      // document text embeds newlines, which CSV/PSV can't carry without
+      // multiLine readers. embeddings stays dense — a NULL vector has no
+      // defined cosine and every ANN oracle would need a filter clause.
+      if (variant == "nulls")
+        writeSingle(injectNulls(Tables.load(spark, srcDir, "documents"),
+          "documents"), "parquet", outDir, "documents")
+      else copyParquetFixture(spark, srcDir, outDir, "documents")
+      copyParquetFixture(spark, srcDir, outDir, "embeddings")
     }
   }
 
