@@ -22,7 +22,7 @@ class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    val done = new java.io.File(s"$outRoot/.complete-v2-psv")
+    val done = new java.io.File(s"$outRoot/.complete-v3-docnulls")
     if (!done.exists()) {
       tools.FixtureVariants.generate(spark, sfDir, outRoot)
       done.getParentFile.mkdirs()
