@@ -61,6 +61,25 @@ class ScaleSpec extends SparkSuite {
         viaArgmax.count { case (k, v) => viaWindow.get(k) != Some(v) }} ids")
   }
 
+  test("fused PQ encode and argmax assignment stay in one codegen stage") {
+    // both kernels must be a whole-stage-codegen projection DIRECTLY over
+    // the scan: no exchange, no window, no per-codeword expression forest
+    // (the declarative forms they replace cost seconds of plan/JIT setup
+    // and, for assignment, capped the centroid count SemDeDup can derive)
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.centroids(embs, nlist = 32)
+    val assignPlan = Similarity.assign(embs, cents, "embedding", "vec_id", "c", top = 1)
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("argmaxcosineexpr"), s"kernel missing:\n$assignPlan")
+    assert(!assignPlan.contains("Exchange") && !assignPlan.contains("Window"),
+      s"assignment left the scan stage:\n$assignPlan")
+    val books = Similarity.pqCodebooks(embs, m = 8, ksub = 16)
+    val encPlan = Similarity.pqEncode(embs, books)
+      .queryExecution.executedPlan.toString
+    assert(encPlan.contains("pqencodeexpr"), s"kernel missing:\n$encPlan")
+    assert(!encPlan.contains("Exchange"), s"encode shuffles:\n$encPlan")
+  }
+
   test("q21_waiting shuffles lineitem as a pruned projection, dims broadcast") {
     // The group-rewrite must not reintroduce TPC-H q21's double self-join:
     // supplier/nation stay broadcast, and every lineitem exchange carries
