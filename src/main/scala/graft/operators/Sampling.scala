@@ -67,6 +67,45 @@ object Sampling {
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }
 
+  /** Temperature-weighted domain mixing (the mT5/XLM-R α-sampling recipe,
+    * arXiv:2010.11934 §3.1, at α = 0.5): rare domains are UP-weighted
+    * relative to proportional sampling — weight w_d ∝ avail_d^α — so a
+    * low-resource language isn't drowned out by the head domain.
+    *
+    * Exact-arithmetic formulation: w_d = ⌊√avail_d⌋. Token counts are
+    * exact integers, IEEE sqrt is correctly rounded (and cannot straddle
+    * an integer boundary for integer inputs, so the floor is
+    * engine-stable), the normalizer S = Σ w_d is an INTEGER sum (no
+    * float summation-order drift — the trap a float-weight normalizer
+    * would step into), and the per-domain fraction
+    * (budget·w_d)/S/avail_d is a fixed two-division sequence over
+    * exactly-represented integers: every step bit-identical in any
+    * IEEE-754 engine, so the 2³²-scaled keep threshold replays exactly.
+    *
+    * Same scale shape as [[mixtureSample]]: one partial-aggregated pass
+    * for per-domain availability (a handful of rows), the integer
+    * normalizer via one tiny aggregate cross-joined back, then a
+    * scan-local hash filter — nothing corpus-sized shuffles.
+    */
+  def temperatureMixture(docs: DataFrame, budgetTokens: Long,
+      domainCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), col(domainCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val avail = toks.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("w", floor(sqrt(col("avail_tokens"))).cast("long"))
+    val s = avail.agg(sum(col("w")).as("s_norm"))
+    toks.join(broadcast(avail), Seq(domainCol))
+      .crossJoin(broadcast(s))
+      .withColumn("threshold",
+        floor(least(lit(1.0),
+          lit(budgetTokens) * col("w") / col("s_norm") / col("avail_tokens"))
+          * 4294967296.0).cast("long"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("threshold"),
+        (hash32(col(idCol)) < col("threshold")).as("kept"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     * each document by how target-like its hashed-bigram distribution is,
     * log w(doc) = Σ_grams [ln p̂(bucket) − ln q̂(bucket)], where p̂/q̂ are

@@ -396,6 +396,35 @@ object Curation {
     },
 
     QuerySpec(
+      "sample_temperature",
+      // mT5-style α=0.5 temperature mixing (arXiv:2010.11934 §3.1) in the
+      // exact-arithmetic form: w_d = floor(sqrt(avail_d)) is an exact
+      // integer in both engines (correctly-rounded sqrt of an integer
+      // cannot straddle an integer boundary), the normalizer is an
+      // INTEGER sum (no float summation-order drift), and the fraction is
+      // the same two-division sequence — so the 2^32 threshold and the
+      // md5 keep decision replay bit-exact.
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+        |                 CAST(floor(sqrt(CAST(sum(n_tokens) AS BIGINT))) AS BIGINT) AS w
+        |          FROM toks GROUP BY 1),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS s_norm FROM avail),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0, 10000 * w / s_norm / avail_tokens) * 4294967296.0) AS BIGINT) AS threshold
+        |  FROM avail CROSS JOIN s)
+        |SELECT t.doc_id, t.lang, t.n_tokens, thr.threshold,
+        |  ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr.threshold AS kept
+        |FROM toks t JOIN thr USING (lang) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.temperatureMixture(
+          t(s, dir, "documents"), budgetTokens = 10000L)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "dsir_weights",
       // DSIR importance resampling (arXiv:2302.03169) toward an English
       // target: hashed-bigram bucket counts (exact ints) → add-1-smoothed

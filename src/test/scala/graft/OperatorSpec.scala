@@ -556,6 +556,27 @@ class OperatorSpec extends SparkSuite {
     assert(uncapped == 3)
   }
 
+  test("temperatureMixture up-weights rare domains vs proportional") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = operators.Sampling.temperatureMixture(docs, budgetTokens = 5000L)
+    // per-domain sampling fraction threshold/2^32 must DECREASE with
+    // availability (w/S/avail ∝ avail^-0.5): the rarest domain gets the
+    // highest keep probability relative to its size
+    val rows = out.select($"lang", $"threshold")
+      .groupBy($"lang").agg(max($"threshold").as("thr"))
+      .join(docs.groupBy($"lang").agg(
+        sum(size(graft.functions.tokens($"text"))).as("avail")), Seq("lang"))
+      .orderBy($"avail")
+      .collect()
+    val thrs = rows.map(_.getAs[Long]("thr"))
+    assert(thrs.length >= 3, "need several domains to compare")
+    assert(thrs.zip(thrs.tail).forall { case (a, b) => a >= b },
+      s"thresholds not monotone in rarity: ${rows.mkString(";")}")
+    // and it really redistributes vs proportional: rarest domain's
+    // fraction strictly exceeds the head domain's
+    assert(thrs.head > thrs.last)
+  }
+
   test("dsirWeights upweights the target domain") {
     val docs = Tables.load(spark, sfDir, "documents")
     val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
