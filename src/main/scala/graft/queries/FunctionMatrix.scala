@@ -72,15 +72,15 @@ object FunctionMatrix {
       """SELECT doc_id,
         |  lower(substring(text, 1, 30)) AS lower_v,
         |  upper(substring(text, 1, 30)) AS upper_v,
-        |  trim(concat('  ', substring(text, 1, 10), '  ')) AS trim_v,
-        |  ltrim(concat('  ', substring(text, 1, 10))) AS ltrim_v,
-        |  rtrim(concat(substring(text, 1, 10), '  ')) AS rtrim_v,
+        |  trim('  ' || substring(text, 1, 10) || '  ') AS trim_v,
+        |  ltrim('  ' || substring(text, 1, 10)) AS ltrim_v,
+        |  rtrim(substring(text, 1, 10) || '  ') AS rtrim_v,
         |  replace(substring(text, 1, 40), 'a', '#') AS replace_v,
         |  left(text, 8) AS left_v,
         |  right(text, 8) AS right_v,
         |  reverse(substring(text, 1, 12)) AS reverse_v,
         |  length(text) AS len_v,
-        |  concat(lang, '_', source) AS concat_v,
+        |  lang || '_' || source AS concat_v,
         |  instr(text, 'the') AS instr_v,
         |  lpad(lang, 5, '*') AS lpad_v,
         |  rpad(lang, 5, '*') AS rpad_v,
@@ -348,7 +348,8 @@ object FunctionMatrix {
         |  position('data' IN text) AS pos_v,
         |  regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS rr_v,
         |  repeat(lang, 3) AS repeat_v,
-        |  split_part(concat(lang, '-', source), '-', 2) AS split_v
+        |  CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+        |       ELSE split_part(lang || '-' || source, '-', 2) END AS split_v
         |FROM documents WHERE doc_id <= 150 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") <= 150)
         .select(

@@ -880,12 +880,15 @@ object Pipeline {
     QuerySpec(
       "multimodal_frames",
       // Frame sampling is deterministic substring arithmetic over the
-      // synthetic payload (text bytes): video rows are doc_id%3==2, frame
+      // synthetic payload (text bytes): video rows are doc_id%3==2 with
+      // non-NULL payload (media ingestion never yields contentless rows;
+      // without the filter DuckDB's null-skipping least() would
+      // resurrect NULL-payload rows as 1024-byte frames), frame
       // stride is greatest(bytes/4, 1), each frame reads up to 1024 bytes
       // — DuckDB replays the geometry exactly from byte lengths.
       """WITH m AS (
         |  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS L
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         |f AS (
         |  SELECT media_id, CAST(i AS INT) AS frame_idx,
         |    CAST(least(1024, L - i * greatest(L // 4, 1)) AS INT) AS frame_len

@@ -151,8 +151,10 @@ object Superset {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       val exact = docs.groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("exact_n"))
-      unioned.join(exact, Seq("lang"))
-        .select(col("lang"),
+      // null-safe join key: both sides carry a NULL-lang group on
+      // with-nulls data, and an equi-join would silently drop it
+      unioned.join(exact, unioned("lang") <=> exact("lang"))
+        .select(unioned("lang"),
           (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05).as("est_ok"),
           col("exact_n"))
         .orderBy(col("lang"))
