@@ -278,6 +278,17 @@ object Dedup {
 
   /** Near-duplicate pairs via 64-bit SimHash: candidates share one of four
     * 16-bit bands; verified by Hamming distance <= maxHamming.
+    *
+    * SCALE ENVELOPE (unlike the minhash/embedding LSH paths, whose band
+    * keys are hash VALUES with unbounded keyspace): the candidate key
+    * space here is 4 × 2¹⁶ buckets, so expected bucket occupancy is
+    * n/65536 and within-bucket pair work grows quadratically once
+    * occupancy is material — fine to ~10⁷ docs per run (occupancy ≤
+    * ~150), the per-shard regime this operator targets. Corpus-wide
+    * dedup at 10⁸–10⁹+ docs should go through [[minHashPairs]] (the
+    * at-scale primary) or [[simHashPairsBlocked]] — the Manku
+    * combination-banding scheme with a 2⁴⁰ key space and a guaranteed
+    * hamming ≤ 3 recall.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 8): DataFrame = {
@@ -297,6 +308,102 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Candidate pairs under Manku combination banding over (id, sh) 64-bit
+    * signatures: split the signature into `blocks` equal blocks; a pair
+    * with Hamming distance ≤ `maxHamming` has ≥ blocks−maxHamming clean
+    * blocks, so it shares at least one (blocks−maxHamming)-block
+    * combination key EXACTLY — every such combination is a banding table.
+    * Exposed for the guarantee property test; [[simHashPairsBlocked]]
+    * verifies candidates by true Hamming distance.
+    */
+  private[graft] def blockedCandidates(sigs: DataFrame, maxHamming: Int,
+      blocks: Int): DataFrame = {
+    require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
+    require(maxHamming >= 1 && maxHamming < blocks,
+      s"need 1 <= maxHamming < blocks, got h=$maxHamming b=$blocks")
+    val w = 64 / blocks
+    val mask = (1L << w) - 1
+    def block(i: Int) = // arithmetic shift + mask ≡ logical shift per block
+      call_function("shiftright", col("sh"), lit(w * i)).bitwiseAND(lit(mask))
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keys = combos.zipWithIndex.map { case (c, bi) =>
+      val key = c.foldLeft(lit(0L)) { (acc, i) =>
+        call_function("shiftleft", acc, lit(w)).bitwiseOR(block(i))
+      }
+      struct(lit(bi).as("band"), key.as("bkey"))
+    }
+    val banded = sigs.select(col("id"), col("sh"),
+        explode(array(keys.toIndexedSeq: _*)).as("bk"))
+      .select(col("id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs via 64-bit SimHash with the GUARANTEED-recall,
+    * corpus-scale candidate scheme (Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007): every pair with
+    * Hamming distance ≤ `maxHamming` is a candidate BY CONSTRUCTION (see
+    * [[blockedCandidates]]), unlike [[simHashPairs]]' fixed 4×16 banding,
+    * whose 2¹⁶ key space caps it at per-shard corpora (~10⁷ docs). With
+    * the defaults (h=3, 8 blocks of 8 bits) the key space is
+    * 2⁴⁰ per table — occupancy stays negligible at 10⁹+ docs — for
+    * C(8,5)=56 banding tables; the C(b,b−h) growth is why production
+    * simhash systems fix h ≤ 3 (Manku run h=3 over 8 B pages).
+    * Signatures are single longs, so banding rows are (id, long, long)
+    * and the verify is one `bit_count(xor)`.
+    */
+  def simHashPairsBlocked(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      blocks: Int = 8): DataFrame = {
+    val sigs = Caches.register(
+      docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    blockedCandidates(sigs, maxHamming, blocks)
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle twin of [[simHashPairsBlocked]]: same md5-majority-vote
+    * replayable signatures as [[simHashPairsReplayable]], with the
+    * combination-banded candidate scheme expressed over the bit STRING
+    * (bkey = concatenated block substrings) so DuckDB replays banding,
+    * candidates, and Hamming verify exactly.
+    */
+  def simHashPairsBlockedReplayable(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      blocks: Int = 8): DataFrame = {
+    require(64 % blocks == 0 && maxHamming >= 1 && maxHamming < blocks)
+    val w = 64 / blocks
+    val sigs = replayableSigs(docs, textCol, idCol)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keys = combos.zipWithIndex.map { case (c, bi) =>
+      struct(lit(bi).as("band"),
+        concat(c.map(i => substring(col("bits"), i * w + 1, w)).toIndexedSeq: _*)
+          .as("bkey"))
+    }
+    val banded = sigs.select(col("id"), col("h1"), col("h2"),
+        explode(array(keys.toIndexedSeq: _*)).as("bk"))
+      .select(col("id"), col("h1"), col("h2"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val left = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("h1").as("a1"), col("h2").as("a2"))
+    val right = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("h1").as("b1"), col("h2").as("b2"))
+    val hamming =
+      expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")
+    left.join(right, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("a1"), col("a2"), col("b1"), col("b2"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -351,11 +458,18 @@ object Dedup {
     * whole-stage codegen. [[simHashPairs]]' fused 64-bit kernel remains
     * the at-scale default; this is its oracle twin.
     */
-  def simHashPairsReplayable(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+  /** md5-majority-vote replayable signatures shared by the simhash oracle
+    * twins: (id, bits 64-char bit string, h1/h2 32-bit packs).
+    * PERSISTED (two join sides would otherwise recompute the 64 majority
+    * votes); the longs make the per-pair Hamming distance a native
+    * bit_count(xor) instead of 128 interpreted substring compares —
+    * candidate sets grow quadratically inside near-dup clusters, so the
+    * verify step is the hot loop at scale (measured 9s over 4.5M
+    * candidates on the 10x fixture the string way, ~0.5s packed).
+    */
+  private def replayableSigs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val dims = 64
-    val bands = 4
-    val r = dims / bands // 16-bit bands
     val hh = transform(tokens(col(textCol)), t => concat(md5(t), md5(concat(lit("x"), t))))
     val sigSrc = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), hh.as("hh"))
       .filter(size(col("hh")) > 0)
@@ -364,19 +478,19 @@ object Dedup {
       when(lit(2) * size(filter(col("hh"), h => substring(h, d, 1) >= lit("8"))) > col("n"),
         lit("1")).otherwise(lit("0"))
     }
-    // Signatures are PERSISTED (two join sides would otherwise recompute
-    // the 64 majority votes), and the bit string is packed into two
-    // 32-bit longs so the per-pair Hamming distance is a native
-    // bit_count(xor) instead of 128 interpreted substring compares —
-    // candidate sets grow quadratically inside near-dup clusters, so the
-    // verify step is the hot loop at scale (measured 9s over 4.5M
-    // candidates on the 10x fixture the string way, ~0.5s packed).
     val sigs0 = sigSrc.select(col("id"), concat(bitCols: _*).as("bits"))
       .select(col("id"), col("bits"),
         conv(substring(col("bits"), 1, 32), 2, 10).cast("long").as("h1"),
         conv(substring(col("bits"), 33, 32), 2, 10).cast("long").as("h2"))
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Caches.register(sigs)
+    Caches.register(
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def simHashPairsReplayable(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    val r = 64 / bands // 16-bit bands
+    val sigs = replayableSigs(docs, textCol, idCol)
     val banded = sigs.select(col("id"), col("h1"), col("h2"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), substring(col("bits"), b * r + 1, r).as("bkey"))): _*)).as("bk"))

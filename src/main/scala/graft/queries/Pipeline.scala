@@ -178,6 +178,45 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    QuerySpec(
+      "dedup_simhash_blocked",
+      // Manku combination banding (WWW 2007) replayed END-TO-END: same
+      // md5-majority-vote signatures as dedup_simhash_oracle, but
+      // candidates share one of the C(8,5)=56 five-block combination keys
+      // — the scheme that GUARANTEES hamming<=3 recall with a 2^40 key
+      // space (occupancy-safe at 10^9+ docs, vs the 4x16 banding's 2^16).
+      // The combo table is generated from the same combination sequence
+      // the Scala operator uses, so the two cannot drift.
+      {
+        val combos = (0 until 8).combinations(5).toSeq
+        val vals = combos.zipWithIndex
+          .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")})" }
+          .mkString(", ")
+        s"""WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+          |  FROM documents),
+          |hs AS (SELECT doc_id, list_transform(tk, t -> md5(t) || md5('x' || t)) AS hh
+          |       FROM toks WHERE len(tk) > 0),
+          |sig AS (SELECT doc_id,
+          |  array_to_string(list_transform(generate_series(1, 64), d ->
+          |    CASE WHEN 2 * len(list_filter(hh, h -> h[d] >= '8')) > len(hh) THEN '1' ELSE '0' END), '') AS bits
+          |  FROM hs),
+          |co(band, combo) AS (VALUES $vals),
+          |banded AS (SELECT doc_id, bits, band,
+          |    array_to_string(list_transform(combo, i -> substr(bits, i*8+1, 8)), '') AS bkey
+          |  FROM sig, co),
+          |cands AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.bits AS ba, c.bits AS bb
+          |          FROM banded a JOIN banded c ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+          |SELECT id_a, id_b, hamming FROM (
+          |  SELECT id_a, id_b,
+          |    CAST(len(list_filter(generate_series(1,64), i -> ba[i] != bb[i])) AS INT) AS hamming
+          |  FROM cands) WHERE hamming <= 3
+          |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
+      Dedup.simHashPairsBlockedReplayable(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     QuerySpec.noOracle("dedup_embedding") { (s, dir) =>
       // fixture embeddings are near-orthogonal (max cos ~0.48), so the
       // "near-dup" bar is the top ~0.5% of pairs. planes DERIVE from the

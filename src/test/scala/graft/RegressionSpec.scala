@@ -250,6 +250,40 @@ class RegressionSpec extends SparkSuite {
     assert(badEdge == 0, "edge vectors diverge between fused and declarative assign")
   }
 
+  test("blocked simhash banding: every <=3-bit-flip pair is a candidate") {
+    // the Manku combination scheme's whole point is a RECALL GUARANTEE:
+    // h <= maxHamming diffs across 8 blocks leave >= 5 clean blocks, so
+    // some 5-block combination key matches exactly. Plant neighbors at
+    // hamming 1..3 of a base signature among random far rows and require
+    // every one to surface as a candidate.
+    val rng = new scala.util.Random(7)
+    val base = rng.nextLong()
+    val planted = (1 to 40).map { i =>
+      val nbits = 1 + rng.nextInt(3)
+      val bits = rng.shuffle((0 until 64).toList).take(nbits)
+      (100L + i, bits.foldLeft(base)((v, b) => v ^ (1L << b)))
+    }
+    val far = (1 to 60).map(i => (500L + i, rng.nextLong()))
+    val sigs = (Seq((1L, base)) ++ planted ++ far).toDF("id", "sh")
+    val verified = Dedup.blockedCandidates(sigs, maxHamming = 3, blocks = 8)
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    val cands = verified.select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (pid, _) =>
+      assert(cands.contains((1L, pid)),
+        s"planted <=3-flip neighbor $pid missed — recall guarantee broken")
+    }
+    // verify step: no pair beyond maxHamming survives the filter
+    val survivors = verified.filter($"hamming" <= 3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (pid, _) => assert(survivors.contains((1L, pid))) }
+    val farIds = far.map(_._1).toSet
+    assert(!survivors.exists { case (a, b) =>
+      (a == 1L && farIds(b)) || (b == 1L && farIds(a)) },
+      "a random far signature slipped under hamming<=3")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
