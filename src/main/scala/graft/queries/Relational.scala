@@ -21,6 +21,35 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Derived-partsupp CTE, DuckDB dialect. The fixtures omit partsupp
+    * (TESTDATA.md), so the Q2/Q11/Q16/Q20 quartet derives it from
+    * part × supplier with dbgen's fan-out rule and md5-family quantities;
+    * both engines evaluate the IDENTICAL derivation so the oracle replays
+    * the full query. Dialect deltas vs Spark: `//` vs `div` integer
+    * division, `('0x'||hex)::T` vs `conv(hex,16,10)`, unnest vs explode.
+    * availqty ∈ [1, 9999] and costcents ∈ [1, 99999] match dbgen's value
+    * ranges (PS_AVAILQTY 1..9999, PS_SUPPLYCOST $1..$1000). */
+  private val psDuck: String =
+    """sp AS (SELECT count(*) AS s_cnt FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i.i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt AS ps_suppkey,
+      |         1 + ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 4))::INT % 9999 AS ps_availqty,
+      |         1 + ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR) || ':c'), 1, 8))::BIGINT % 99999 AS ps_costcents
+      |  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i CROSS JOIN sp)""".stripMargin
+
+  /** Derived-partsupp CTE, Spark dialect — same derivation as [[psDuck]].
+    * Builds as a map-side flatMap of part (4 rows out per row, no shuffle),
+    * which is how a generated dimension should behave at 100 TB. */
+  private val psSpark: String =
+    """sp AS (SELECT count(*) AS s_cnt FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i.i * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt AS ps_suppkey,
+      |         1 + CAST(conv(substr(md5(CAST(p_partkey AS STRING) || ':' || CAST(i.i AS STRING)), 1, 4), 16, 10) AS INT) % 9999 AS ps_availqty,
+      |         1 + CAST(conv(substr(md5(CAST(p_partkey AS STRING) || ':' || CAST(i.i AS STRING) || ':c'), 1, 8), 16, 10) AS BIGINT) % 99999 AS ps_costcents
+      |  FROM part CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS i) i CROSS JOIN sp)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- TPC-H style analytical queries -------------------------------
@@ -217,10 +246,11 @@ object Relational {
     },
 
     // ---- TPC-H battery, part 2. The fixtures omit partsupp and the
-    // commitdate/receiptdate/phone columns, so Q2/Q11/Q16/Q20/Q21 are
-    // inexpressible and Q4/Q9/Q12/Q22 run as documented variants keeping
-    // the original plan shape (exists-subquery, multi-join profit,
-    // delay-bucket CASE agg, anti-join + scalar subquery). -----------------
+    // commitdate/receiptdate/phone columns, so Q4/Q9/Q12/Q21/Q22 run as
+    // documented variants keeping the original plan shape (exists-subquery,
+    // multi-join profit, delay-bucket CASE agg, sole-late-supplier group
+    // rewrite, anti-join + scalar subquery); the partsupp quartet
+    // Q2/Q11/Q16/Q20 runs in part 3 below over a derived partsupp. --------
 
     QuerySpec(
       "q4_late",
@@ -499,6 +529,155 @@ object Relational {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
+    },
+
+    // ---- TPC-H battery, part 3: the partsupp quartet. ------------------
+    // The fixtures ship no partsupp table, so Q2/Q11/Q16/Q20 derive one
+    // deterministically from part × supplier with dbgen's own fan-out rule
+    // (4 suppliers per part, suppkey = (p + i*(S/4 + p/S)) mod S — the
+    // 0-based analogue of tpch dbgen PS_SUPPKEY) and md5-hash-family
+    // quantities, the repo's standard replayable-randomness idiom (see
+    // operators/Sampling.scala): DuckDB evaluates the IDENTICAL derivation,
+    // so the oracle checks the full query, not a lookalike. supplycost is
+    // kept in integer CENTS so every aggregate/HAVING/min comparison is
+    // exact integer arithmetic — no float-summation-order drift across
+    // engines — and only the displayed value divides by 100.
+    // At scale the derived partsupp is a map-side flatMap of part (4 rows
+    // out per row in, no shuffle to build), exactly how a generated dim
+    // should behave at 100 TB.
+    QuerySpec(
+      "q2_min_cost",
+      // Q2 variant: fixtures lack p_mfgr/s_address/s_phone/s_comment, so
+      // the output keeps the available columns; the plan shape (region-
+      // filtered 4-way dim join + correlated min-cost subquery over the
+      // same join) is canonical Q2. p_size <= 15 stands in for = 15 to
+      // keep the sf0.01 result non-trivial (43 rows, not 2).
+      s"""WITH $psDuck
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       round(ps_costcents / 100.0, 2) AS ps_supplycost
+        |FROM part JOIN partsupp ON p_partkey = ps_partkey
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 15 AND p_type LIKE '%CONO%' AND r_name = 'EUROPE'
+        |  AND ps_costcents = (
+        |    SELECT min(ps2.ps_costcents)
+        |    FROM partsupp ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC NULLS LAST, n_name NULLS FIRST, s_name NULLS FIRST, p_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH $psSpark
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+          |       round(ps_costcents / 100.0D, 2) AS ps_supplycost
+          |FROM part JOIN partsupp ON p_partkey = ps_partkey
+          |  JOIN supplier ON s_suppkey = ps_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |WHERE p_size <= 15 AND p_type LIKE '%CONO%' AND r_name = 'EUROPE'
+          |  AND ps_costcents = (
+          |    SELECT min(ps2.ps_costcents)
+          |    FROM partsupp ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC NULLS LAST, n_name NULLS FIRST, s_name NULLS FIRST, p_partkey LIMIT 100""".stripMargin)
+    },
+
+    QuerySpec(
+      "q11_stock_value",
+      // Q11: stock value per part in one nation, HAVING above a fraction
+      // of the national total. The threshold compare runs on exact integer
+      // cents (sum * 200 > total ⟺ sum > total/200) so a borderline group
+      // cannot flip on cross-engine rounding.
+      s"""WITH $psDuck
+        |SELECT ps_partkey, round(sum(ps_costcents * ps_availqty) / 100.0, 2) AS value
+        |FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_12'
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_costcents * ps_availqty) * 200 > (
+        |  SELECT sum(ps_costcents * ps_availqty)
+        |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_12')
+        |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH $psSpark
+          |SELECT ps_partkey, round(sum(ps_costcents * ps_availqty) / 100.0D, 2) AS value
+          |FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_12'
+          |GROUP BY ps_partkey
+          |HAVING sum(ps_costcents * ps_availqty) * 200 > (
+          |  SELECT sum(ps_costcents * ps_availqty)
+          |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+          |    JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_12')
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
+    },
+
+    QuerySpec(
+      "q16_supplier_cnt",
+      // Q16: supplier count per (brand, type, size) bucket with the three
+      // canonical exclusions. The s_comment NOT LIKE filter becomes a
+      // negative-balance exclusion (fixtures lack comments); NOT IN + null
+      // semantics are identical SQL in both engines.
+      s"""WITH $psDuck
+        |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#17' AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH $psSpark
+          |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM partsupp JOIN part ON p_partkey = ps_partkey
+          |WHERE p_brand <> 'Brand#17' AND p_type NOT LIKE 'SMALL%'
+          |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST LIMIT 100""".stripMargin)
+    },
+
+    QuerySpec(
+      "q20_excess",
+      // Q20: suppliers in one nation holding excess stock (availqty above
+      // half the shipped quantity) of 'red' parts. l_quantity is integral
+      // in the fixtures, so 0.5*sum is exact in double regardless of
+      // summation order and the > compare cannot drift across engines.
+      s"""WITH $psDuck
+        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+        |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH $psSpark
+          |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_5'
+          |  AND s_suppkey IN (
+          |    SELECT ps_suppkey FROM partsupp
+          |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          |      AND ps_availqty > (
+          |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+          |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+          |ORDER BY s_name""".stripMargin)
     },
 
     // ---- join types ---------------------------------------------------

@@ -54,6 +54,7 @@ class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
     "q7_volume", "q8_share", "q9_profit", "q10_returns", "q12_delay",
     "q13_orders", "q14_promo", "q15_top_supplier", "q17_small_qty",
     "q18_big_orders", "q19_disjunctive", "q21_waiting", "q22_idle_rich",
+    "q2_min_cost", "q11_stock_value", "q16_supplier_cnt", "q20_excess",
     "events_sessions", "events_funnel", "events_retention", "asof_join",
     "topk_per_group", "pivot_wide", "unpivot_long",
     "expr_case", "expr_cond", "expr_math", "expr_date", "expr_cast")
