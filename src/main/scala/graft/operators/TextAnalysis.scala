@@ -339,6 +339,57 @@ object TextAnalysis {
         col("avg_nll"), col("ppl"))
   }
 
+  /** Bigram-LM perplexity with Jelinek-Mercer interpolation — one n-gram
+    * order up from [[unigramPerplexity]], the shape real KenLM-style
+    * quality gates use (interpolated higher-order estimates backed off
+    * toward the unigram). Both component models are Laplace-smoothed
+    * pure-count estimates so an independent engine replays fit+score
+    * exactly:
+    *   P(cur|prev) = λ·(c(prev,cur)+1)/(c(prev)+V)
+    *               + (1−λ)·(c(cur)+1)/(T+V)
+    *
+    * Scale shape: bigrams come from a map-side `transform` over the token
+    * array (no window, no self-join — position pairing never shuffles);
+    * the model is two hash-aggs (bigram + unigram counts) joined back by
+    * token keys, AQE-broadcast when small; only V and T (two scalars)
+    * reach the driver. The token projection is persisted once and feeds
+    * counting and scoring (released via the Caches contract).
+    *
+    * Returns (idCol, n_bigrams, avg_nll2, ppl2); docs with < 2 tokens
+    * keep NULL scores (nothing to score), n_bigrams 0.
+    */
+  def bigramPerplexity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lambda: Double = 0.7): DataFrame = {
+    val tk = Caches.register(
+      docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
+        .as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val uni = tk.select(explode(col("tk")).as("token"))
+    val cu = uni.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val cb = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val vocab = cu.count()
+    val total = uni.count()
+    // (1 - λ) is COMPUTED in IEEE double on both engines (the oracle says
+    // 1.0 - 0.7 with ::DOUBLE casts), not written as a 0.3 literal — the
+    // parsed-0.3 double differs from computed-0.3 in the last ulp.
+    val p = lit(lambda) * (col("cb") + lit(1.0)) / (col("c_ctx") + lit(vocab.toDouble)) +
+      (lit(1.0) - lit(lambda)) * (col("c_cur") + lit(1.0)) / lit((total + vocab).toDouble)
+    val scored = bi
+      .join(cb, Seq("prev", "cur"))
+      .join(cu.select(col("token").as("prev"), col("cu").as("c_ctx")), Seq("prev"))
+      .join(cu.select(col("token").as("cur"), col("cu").as("c_cur")), Seq("cur"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("avg_nll2"))
+      .withColumn("ppl2", exp(col("avg_nll2")))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll2"), col("ppl2"))
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

@@ -546,6 +546,46 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_perplexity2",
+      // Bigram-LM perplexity with Jelinek-Mercer interpolation (the KenLM
+      // backoff shape, order 2): DuckDB refits both Laplace component
+      // models from exact counts and rescores with the IDENTICAL
+      // interpolation arithmetic — λ stays 0.7::DOUBLE and (1−λ) is
+      // COMPUTED as 1.0-0.7 in IEEE double on both engines (a parsed 0.3
+      // literal is a different double in the last ulp). avg-of-ln is
+      // hash-agg order-sensitive at ~1e-14; round-6 absorbs it.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS token FROM tk),
+        |cu AS (SELECT token, count(*) AS cu FROM uni GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM uni) AS total,
+        |                  (SELECT count(*) FROM cu) AS vs),
+        |bi AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+        |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |             FROM tk WHERE len(tk) >= 2)),
+        |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    -avg(ln(0.7::DOUBLE * (cb.cb + 1.0) / (cup.cu + consts.vs)
+        |          + (1.0::DOUBLE - 0.7::DOUBLE) * (cuc.cu + 1.0) / (consts.total + consts.vs))) AS nll
+        |  FROM bi b JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+        |    JOIN cu cup ON cup.token = b.prev
+        |    JOIN cu cuc ON cuc.token = b.cur
+        |    CROSS JOIN consts
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  round(sc.nll, 6) AS avg_nll2, round(exp(sc.nll), 6) AS ppl2
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramPerplexity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll2"), 6).as("avg_nll2"), round(col("ppl2"), 6).as("ppl2"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "agg_vector_centroid",
       // Typed Aggregator (functions/VectorMeanAggregator.scala): per-bucket
       // embedding centroid — the k-means/IVF update step as a first-class

@@ -773,4 +773,26 @@ class OperatorSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("__bucket"))
   }
+
+  test("bigram perplexity matches a hand-computed tiny corpus") {
+    // Corpus: "a b a b" + "a b" + "x". V = 3 (a, b, x), T = 7.
+    // Bigram counts: (a,b)=3, (b,a)=1. Context counts: a=3, b=3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, lambda = 0.7)
+      .orderBy($"doc_id").collect()
+    val lam = 0.7; val oneM = 1.0 - lam; val v = 3.0; val t = 7.0
+    def p(cb: Double, cctx: Double, ccur: Double) =
+      lam * (cb + 1.0) / (cctx + v) + oneM * (ccur + 1.0) / (t + v)
+    // doc 1: bigrams (a,b) (b,a) (a,b); doc 2: (a,b)
+    val pab = p(3, 3, 3); val pba = p(1, 3, 3)
+    val nll1 = -(math.log(pab) + math.log(pba) + math.log(pab)) / 3.0
+    val nll2 = -math.log(pab)
+    val r1 = out(0); val r2 = out(1); val r3 = out(2)
+    assert(r1.getLong(1) == 3 && r2.getLong(1) == 1)
+    assert(math.abs(r1.getDouble(2) - nll1) < 1e-12, s"doc1 nll ${r1.getDouble(2)} vs $nll1")
+    assert(math.abs(r2.getDouble(2) - nll2) < 1e-12, s"doc2 nll ${r2.getDouble(2)} vs $nll2")
+    // a one-token doc has nothing to score: zero bigrams, NULL nll/ppl
+    assert(r3.getLong(1) == 0 && r3.isNullAt(2) && r3.isNullAt(3))
+    Dedup.releaseCaches()
+  }
 }
