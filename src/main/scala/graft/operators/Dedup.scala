@@ -445,6 +445,57 @@ object Dedup {
           size(col("gh")).cast("double")).as("dup_frac"))
   }
 
+  /** C4-style corpus-level segment dedup WITH REWRITE (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 "we discarded all but one of any three-sentence
+    * span occurring more than once"): where [[crossDocSpans]] only measures
+    * duplication, this operator removes it — every duplicated segment is
+    * dropped from all but its FIRST corpus occurrence (min (doc_id,
+    * seg_idx)) and each document is reassembled from its surviving
+    * segments. The fixtures have no sentence boundaries, so a "span" is a
+    * consecutive non-overlapping `segTokens`-token chunk.
+    *
+    * Scale shape: duplicate resolution shuffles only (id, seg_idx, 16-byte
+    * md5) — segment TEXT never rides the fingerprint exchange. Winners come
+    * from a hash-agg `min(struct(id, idx))` (map-side partial min, no
+    * window sort over the corpus); the kept-key set semi-joins back to the
+    * exploded segments, and reassembly is one id-keyed agg. Documents
+    * reassemble via sort_array over their own ≤⌈n/segTokens⌉ segments —
+    * per-doc state, never corpus-ordered.
+    *
+    * Returns (idCol, n_segs, n_kept, clean_text) for every input document;
+    * token-free docs keep n_segs 0 and NULL clean_text.
+    */
+  def dedupSegments(docs: DataFrame, segTokens: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val segs = Caches.register(
+      Par.ensure(docs, col(idCol))
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("id"), posexplode(expr(
+          s"transform(sequence(0, (size(tk) - 1) div $segTokens)," +
+            s" i -> array_join(slice(tk, i * $segTokens + 1, $segTokens), ' '))")))
+        .toDF("id", "seg_idx", "seg")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fps = segs.select(col("id"), col("seg_idx"), md5(col("seg")).as("fp"))
+    val winners = fps.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("w"))
+      .select(col("w.id").as("id"), col("w.seg_idx").as("seg_idx"))
+    val kept = segs.join(winners, Seq("id", "seg_idx"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x("seg")), " ").as("clean_text"))
+    val counts = segs.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+    docs.select(col(idCol))
+      .join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(kept.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
+  }
+
   /** SimHash near-dup pairs with an ENGINE-REPLAYABLE hash family (the
     * [[minHashPairsReplayable]] companion): dimension d of a token's
     * 64-bit projection is the top bit of hex char d of

@@ -139,6 +139,43 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    QuerySpec(
+      "dedup_lines",
+      // C4-style segment dedup WITH REWRITE (arXiv:1910.10683 §2.2):
+      // duplicated 15-token segments are dropped from all but their first
+      // corpus occurrence (min (doc_id, seg_idx) — DuckDB's row_number
+      // over (doc_id, seg_idx) ≡ Spark's hash-agg min(struct)) and each
+      // doc is reassembled from surviving segments in position order.
+      // Everything is exact string/int ops, so the driver hash is
+      // bit-exact.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tknz AS (SELECT * FROM tk WHERE len(tk) > 0),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(list_slice(tk, i*15 + 1, i*15 + 15), ' ') AS seg
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(0, (len(tk)-1)//15)) AS i
+        |        FROM tknz)),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY md5(seg)
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |counts AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(counts.n_segs, 0) AS BIGINT) AS n_segs,
+        |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept, kept.clean_text
+        |FROM documents d LEFT JOIN counts USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dedupSegments(t(s, dir, "documents"), segTokens = 15)
+        .orderBy(col("doc_id"))
+    },
+
     QuerySpec.noOracle("dedup_ngram_jaccard") { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))

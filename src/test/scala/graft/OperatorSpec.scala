@@ -795,4 +795,27 @@ class OperatorSpec extends SparkSuite {
     assert(r3.getLong(1) == 0 && r3.isNullAt(2) && r3.isNullAt(3))
     Dedup.releaseCaches()
   }
+
+  test("dedupSegments keeps first corpus occurrence and rewrites docs") {
+    // Segment length 3. Doc 1 = [s1][s2], doc 2 = [s1][s3] (s1 duplicated,
+    // doc 1 seg 0 wins), doc 3 = [s2-prefix...] unique, doc 4 empty-ish.
+    val s1 = "alpha beta gamma"; val s2 = "delta epsilon zeta"
+    val s3 = "eta theta iota"
+    val docs = Seq(
+      (1L, s"$s1 $s2"), (2L, s"$s1 $s3"), (3L, "delta epsilon"), (4L, " "))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, segTokens = 3)
+      .orderBy($"doc_id").collect()
+    // doc 1 keeps both segments (it owns the first s1)
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2)
+    assert(out(0).getString(3) == s"$s1 $s2")
+    // doc 2 loses s1 (doc 1 seg 0 is the corpus-first occurrence)
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1)
+    assert(out(1).getString(3) == s3)
+    // short trailing segment "delta epsilon" differs from s2 — kept
+    assert(out(2).getLong(2) == 1 && out(2).getString(3) == "delta epsilon")
+    // token-free doc: zero segments, NULL rewrite
+    assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0 && out(3).isNullAt(3))
+    Dedup.releaseCaches()
+  }
 }
