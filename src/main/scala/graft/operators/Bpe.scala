@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909 — the algorithm behind GPT-2/LLaMA-family vocabularies):
+  * iteratively merge the most frequent adjacent symbol pair, starting from
+  * characters plus a `</w>` end-of-word marker.
+  *
+  * Scale shape — the part that matters at 100 TB: merges are learned on the
+  * WORD-FREQUENCY table, not the corpus. The corpus is touched exactly once
+  * (one token hash-agg builds `vocab`); every merge round then aggregates
+  * pair counts over the vocab (distinct words — millions of rows at web
+  * scale, not trillions), takes the top-1 pair via `orderBy.limit(1)`
+  * (TakeOrdered fusion — one row to the driver per round, which is model
+  * state like a k-means centroid), and rewrites symbol arrays with a
+  * map-side fold. No corpus re-scan, no driver-side data.
+  *
+  * Merge application is the standard greedy left-to-right pass, expressed
+  * as an `aggregate` fold with (out, carry) state — equivalent to
+  * repeatedly merging the leftmost occurrence (a merged symbol can never
+  * create a new occurrence of the SAME pair to its left, since the merged
+  * symbol differs from both halves).
+  *
+  * Determinism: ties on pair count break on (lsym, rsym) lexicographic
+  * order, so the learned merge table is engine-replayable; the DuckDB
+  * oracle replays all rounds with a recursive leftmost-first rewrite.
+  * Fixture contract: tokens are `[a-z]+` (verified in the oracle spec), so
+  * the `</w>` marker cannot collide and the oracle's pattern needs no
+  * regex escaping.
+  */
+object Bpe {
+
+  /** One greedy left-to-right merge pass of (l, r) → l+r over a symbol
+    * array: fold with (out, carry) state, flushing the carry unless it
+    * pairs with the current element.
+    */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column =
+    aggregate(
+      syms,
+      expr("named_struct('out', CAST(array() AS ARRAY<STRING>), 'carry', CAST(NULL AS STRING))"),
+      (st, x) => {
+        val out = st.getField("out"); val carry = st.getField("carry")
+        when(carry.isNull,
+          struct(out.as("out"), x.as("carry")))
+          .when(carry === lit(l) && x === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("carry")))
+          .otherwise(
+            struct(concat(out, array(carry)).as("out"), x.as("carry")))
+      },
+      st => when(st.getField("carry").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("carry")))))
+
+  /** Learn `merges` BPE merge rules from a document corpus. Returns one row
+    * per rule: (merge_round, lsym, rsym, cnt) in learning order.
+    */
+  def train(docs: DataFrame, merges: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = Caches.register(
+      docs.select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var cur = vocab
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to merges) {
+      val best: Row = cur
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((round, l, r, cnt))
+      cur = cur.select(col("word"), col("freq"),
+        applyMerge(col("syms"), l, r).as("syms"))
+    }
+    learned.toSeq.toDF("merge_round", "lsym", "rsym", "cnt")
+  }
+
+  /** Segment words with a learned merge table (greedy passes in learning
+    * order — the standard BPE apply). Returns (word, freq, syms).
+    */
+  def segment(vocab: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    rules.foldLeft(vocab) { case (df, (l, r)) =>
+      df.withColumn("syms", applyMerge(col("syms"), l, r))
+    }
+}

@@ -590,6 +590,88 @@ object Curation {
           md5(regexp_replace(regexp_replace(regexp_replace(col("s"),
             email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("clean_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "bpe_train",
+      // BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+      // 4 merge rounds learned on the word-frequency table — the corpus is
+      // touched once (token count hash-agg); each round aggregates pair
+      // counts over the VOCAB and rewrites symbol sequences. DuckDB
+      // replays every round: pair counts from the split symbol string, the
+      // same (cnt DESC, lsym, rsym) argmax, and a RECURSIVE leftmost-first
+      // rewrite (regexp_replace without 'g' = first occurrence) that is
+      // provably equivalent to Spark's greedy left-to-right fold — a
+      // merged symbol can never create a new occurrence of the same pair
+      // to its left. Counts are exact integers; no floats anywhere.
+      // Fixture contract: tokens are [a-z]+ (so '</w>' cannot collide and
+      // the oracle's pattern needs no regex escaping).
+      """WITH RECURSIVE tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |wf AS (SELECT unnest(tk) AS word FROM tk),
+        |vocab AS (SELECT word, count(*) AS freq FROM wf GROUP BY 1),
+        |s0 AS (SELECT word, freq,
+        |        ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' </w> ' AS s
+        |       FROM vocab),
+        |p1 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s0),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT lsym, rsym, cnt, ' ' || lsym || ' ' || rsym || ' ' AS pat,
+        |              ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p1 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a1 AS (
+        |  SELECT word, freq, s FROM s0
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b1), (SELECT rep FROM b1))
+        |  FROM a1 WHERE contains(s, (SELECT pat FROM b1))),
+        |s1 AS (SELECT word, freq, s FROM a1 WHERE NOT contains(s, (SELECT pat FROM b1))),
+        |p2 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s1),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT lsym, rsym, cnt, ' ' || lsym || ' ' || rsym || ' ' AS pat,
+        |              ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p2 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a2 AS (
+        |  SELECT word, freq, s FROM s1
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b2), (SELECT rep FROM b2))
+        |  FROM a2 WHERE contains(s, (SELECT pat FROM b2))),
+        |s2 AS (SELECT word, freq, s FROM a2 WHERE NOT contains(s, (SELECT pat FROM b2))),
+        |p3 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s2),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT lsym, rsym, cnt, ' ' || lsym || ' ' || rsym || ' ' AS pat,
+        |              ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p3 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a3 AS (
+        |  SELECT word, freq, s FROM s2
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b3), (SELECT rep FROM b3))
+        |  FROM a3 WHERE contains(s, (SELECT pat FROM b3))),
+        |s3 AS (SELECT word, freq, s FROM a3 WHERE NOT contains(s, (SELECT pat FROM b3))),
+        |p4 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s3),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT lsym, rsym, cnt, ' ' || lsym || ' ' || rsym || ' ' AS pat,
+        |              ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p4 ORDER BY cnt DESC, lsym, rsym LIMIT 1)
+        |SELECT merge_round, lsym, rsym, cnt FROM (
+        |  SELECT 1 AS merge_round, lsym, rsym, cnt FROM b1 UNION ALL
+        |  SELECT 2, lsym, rsym, cnt FROM b2 UNION ALL
+        |  SELECT 3, lsym, rsym, cnt FROM b3 UNION ALL
+        |  SELECT 4, lsym, rsym, cnt FROM b4)
+        |ORDER BY merge_round""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.train(t(s, dir, "documents"), merges = 4)
+        .orderBy(col("merge_round"))
     }
   )
 }

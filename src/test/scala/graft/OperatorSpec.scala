@@ -818,4 +818,31 @@ class OperatorSpec extends SparkSuite {
     assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0 && out(3).isNullAt(3))
     Dedup.releaseCaches()
   }
+
+  test("BPE training learns hand-computable merges in order") {
+    // Corpus: "low" x3, "lower" x1 → chars + </w>.
+    // Pairs r1: (l,o)=4, (o,w)=4, (w,</w>)=3, (w,e)=1, (e,r)=1, (r,</w>)=1.
+    // Tie (l,o) vs (o,w) breaks lexicographic → (l,o) first.
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val rules = Bpe.train(docs, merges = 3).orderBy($"merge_round").collect()
+    assert(rules(0).getString(1) == "l" && rules(0).getString(2) == "o"
+      && rules(0).getLong(3) == 4)
+    // r2: syms now (lo,w,...): (lo,w)=4 wins
+    assert(rules(1).getString(1) == "lo" && rules(1).getString(2) == "w"
+      && rules(1).getLong(3) == 4)
+    // r3: (low,</w>)=3 wins over (low,e)=1
+    assert(rules(2).getString(1) == "low" && rules(2).getString(2) == "</w>"
+      && rules(2).getLong(3) == 3)
+    Dedup.releaseCaches()
+  }
+
+  test("BPE greedy apply merges repeated adjacent pairs left-to-right") {
+    // 'abab' with rule (a,b): both occurrences must merge (the fold must
+    // not consume lookahead state) — 'a b a b </w>' → 'ab ab </w>'.
+    val vocab = Seq(("abab", 1L)).toDF("word", "freq")
+      .withColumn("syms", concat(split($"word", ""), array(lit("</w>"))))
+    val segd = Bpe.segment(vocab, Seq(("a", "b"))).collect()(0)
+      .getSeq[String](2)
+    assert(segd == Seq("ab", "ab", "</w>"), s"got $segd")
+  }
 }
