@@ -168,4 +168,38 @@ object Sampling {
       .withColumn("rn", row_number().over(w))
       .select(col(idCol), col("dsir_logw"), col("rn"))
   }
+
+  /** Leakage-safe train/val/test assignment: the split is a hash of the
+    * document's DUPLICATE-CLUSTER label, not of the document itself, so
+    * exact duplicates can never straddle a split boundary (the classic
+    * eval-contamination bug: test docs whose twins sit in train). Cluster
+    * label = min id over the exact-dedup fingerprint group (the
+    * [[Dedup.exactGroups]] normalization); singletons are their own
+    * cluster. Buckets 0..7 → train, 8 → val, 9 → test (8/1/1).
+    *
+    * Scale shape: one fingerprint-keyed shuffle carrying (16-byte fp, id)
+    * to pick cluster representatives (map-side partial min), one join
+    * back; the split decision itself is map-side md5 arithmetic — the
+    * same replayable-hash idiom as [[bernoulli]], keyed by ':split' so it
+    * is independent of any sampling decision made with [[hash32]].
+    */
+  def leakageSafeSplit(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", prefixLen: Int = 0): DataFrame = {
+    // NULL text coalesces to '' BEFORE hashing: a null fp would silently
+    // drop the doc at the equi-join (NULL ≠ NULL), and contentless docs
+    // belong in one cluster anyway. prefixLen > 0 fingerprints the
+    // normalized prefix, matching [[Dedup.exactGroups]]'s knob.
+    val norm = coalesce(normalize_text(col(textCol)), lit(""))
+    val keyed = if (prefixLen > 0) substring(norm, 1, prefixLen) else norm
+    val fp = docs.select(col(idCol), md5(keyed).as("fp"))
+    val reps = fp.groupBy(col("fp")).agg(min(col(idCol)).as("cluster_id"))
+    val bucket = conv(substring(
+      md5(concat(col("cluster_id").cast("string"), lit(":split"))), 1, 4),
+      16, 10).cast("int") % 10
+    fp.join(reps, Seq("fp"))
+      .select(col(idCol), col("cluster_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+  }
 }

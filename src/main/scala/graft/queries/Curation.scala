@@ -672,6 +672,30 @@ object Curation {
         |ORDER BY merge_round""".stripMargin) { (s, dir) =>
       graft.operators.Bpe.train(t(s, dir, "documents"), merges = 4)
         .orderBy(col("merge_round"))
+    },
+
+    QuerySpec(
+      "split_leakage_safe",
+      // Leakage-safe train/val/test assignment: the split hashes the
+      // DUPLICATE-CLUSTER label (min doc_id over the 60-char-prefix
+      // fingerprint group — dedup_exact's normalization), so duplicates
+      // can never straddle a split boundary (the classic eval-
+      // contamination bug). Pure md5 arithmetic on both engines.
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(substring(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), 1, 60)) AS fp
+        |  FROM documents),
+        |reps AS (SELECT fp, min(doc_id) AS cluster_id FROM fp GROUP BY 1)
+        |SELECT f.doc_id, r.cluster_id,
+        |  ('0x' || substring(md5(CAST(r.cluster_id AS VARCHAR) || ':split'), 1, 4))::INT % 10 AS bucket,
+        |  CASE WHEN ('0x' || substring(md5(CAST(r.cluster_id AS VARCHAR) || ':split'), 1, 4))::INT % 10 <= 7 THEN 'train'
+        |       WHEN ('0x' || substring(md5(CAST(r.cluster_id AS VARCHAR) || ':split'), 1, 4))::INT % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM fp f JOIN reps r USING (fp)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(
+          t(s, dir, "documents"), prefixLen = 60)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -845,4 +845,24 @@ class OperatorSpec extends SparkSuite {
       .getSeq[String](2)
     assert(segd == Seq("ab", "ab", "</w>"), s"got $segd")
   }
+
+  test("leakage-safe split keeps duplicates in one split") {
+    // Docs 1/5/9 are exact duplicates (after whitespace normalization);
+    // they MUST land in the same split, labeled by the min id. A null-text
+    // doc must still be assigned (clustered with empty text).
+    val docs = Seq(
+      (1L, "shared   duplicate text"), (5L, "shared duplicate text"),
+      (9L, " shared duplicate text "), (2L, "unique one"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.size == 6, "every doc must be assigned, including null text")
+    assert(out(1L) == out(5L) && out(5L) == out(9L),
+      s"duplicates split apart: ${out(1L)} ${out(5L)} ${out(9L)}")
+    assert(out(1L)._1 == 1L, "cluster label must be the min doc_id")
+    assert(out(3L)._1 == out(4L)._1, "null text clusters with empty text")
+    val splits = out.values.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
 }
