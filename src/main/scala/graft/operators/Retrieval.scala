@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+
+/** Retrieval ranking: Okapi BM25 as a first-class operator (previously
+  * inline in the `bm25_search` query) and reciprocal-rank fusion of the
+  * lexical and vector stacks — the standard hybrid-search combiner
+  * (Cormack et al. 2009, RRF): score(d) = Σ_lists 1/(k + rank_list(d)).
+  *
+  * Scale shape: both component rankings reduce to global top-k BEFORE any
+  * rank window (orderBy+limit fuses to TakeOrderedAndProject per-partition
+  * heaps), so the fusion join touches 2·topEach rows — driver-free, and
+  * the full-outer fuse is a tiny exchange regardless of corpus size.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-k over a literal term set.
+    * Returns (idCol, score, rn) with rank ties broken on id.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
+    val tf = toks.select(col(idCol), explode(col("tk")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dl = toks.select(col(idCol), size(col("tk")).as("dl"))
+    val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val term = idf * col("tf") * 2.2 /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dfreq, Seq("t")).join(dl, Seq(idCol)).crossJoin(broadcast(stats))
+      .groupBy(col(idCol)).agg(sum(term).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion: BM25
+    * top-`topEach` over `terms` fused with cosine top-`topEach` around the
+    * `queryVecId` embedding; rrf = Σ 1/(kRrf + rank) over the lists that
+    * contain the doc. Returns the fused top-`k`:
+    * (doc_id, rrf, lex_rn, vec_rn, rn).
+    *
+    * Both 1/(kRrf+rank) divisions are single correctly-rounded double ops
+    * on exact integers, and the two-term sum has a fixed order — the fused
+    * score is bit-identical in any engine.
+    */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+      queryVecId: Long = 0L, topEach: Int = 50, kRrf: Int = 60,
+      k: Int = 20, idCol: String = "doc_id"): DataFrame = {
+    val lex = bm25TopK(docs, terms, topEach, idCol = idCol)
+      .select(col(idCol), col("rn").as("lex_rn"))
+    val vec = Similarity.bruteForceTopK(
+        embs, embs.filter(col("vec_id") === queryVecId), k = topEach)
+      .select(col("c_id").as(idCol), col("rn").as("vec_rn"))
+    def rr(rn: Column): Column =
+      coalesce(lit(1.0) / (lit(kRrf) + rn), lit(0.0))
+    lex.join(vec, Seq(idCol), "full_outer")
+      .select(col(idCol), (rr(col("lex_rn")) + rr(col("vec_rn"))).as("rrf"),
+        col("lex_rn"), col("vec_rn"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
+  }
+}

@@ -161,30 +161,63 @@ object Curation {
         |  FROM scored)
         |SELECT doc_id, round(score, 6) AS score, rn
         |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val qTerms = Seq("customer", "query", "spark", "order")
-      val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      val stats = toks.agg(count(lit(1)).as("n_docs"),
-        avg(size(col("tk"))).as("avgdl"))
-      val tf = toks.select(col("doc_id"), explode(col("tk")).as("t"))
-        .filter(col("t").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val dl = toks.select(col("doc_id"), size(col("tk")).as("dl"))
-      val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      val term = idf * col("tf") * 2.2 /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      import org.apache.spark.sql.expressions.Window
       // global top-20 BEFORE the rank window: orderBy+limit fuses to
       // TakeOrderedAndProject (per-partition heaps), so the partition-less
       // row_number only ever sees 20 rows — ranking the full scored corpus
       // in one window partition is the classic global-top-k scale trap
-      tf.join(dfreq, Seq("t")).join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
-        .groupBy(col("doc_id")).agg(sum(term).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(20)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
+      // (operator: Retrieval.bm25TopK)
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+          Seq("customer", "query", "spark", "order"), k = 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("rn"))
+    },
+
+    QuerySpec(
+      "search_hybrid_rrf",
+      // Hybrid lexical+vector retrieval via reciprocal-rank fusion
+      // (Cormack et al. 2009): BM25 top-50 fused with cosine top-50 around
+      // the vec_id-0 embedding, rrf = Σ 1/(60+rank). Each 1/(60+rn) is one
+      // correctly-rounded double op on exact ints and the two-term sum has
+      // fixed order, so ranking on the RAW fused score is engine-exact.
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, t, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) x
+        |       WHERE t IN ('customer', 'query', 'spark', 'order') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rn
+        |  FROM scored QUALIFY lex_rn <= 50),
+        |q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        |vecl AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY list_cosine_similarity((SELECT e FROM q), c.embedding::DOUBLE[]) DESC, c.vec_id) AS vec_rn
+        |  FROM embeddings c WHERE c.vec_id <> 0
+        |  QUALIFY vec_rn <= 50),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(1.0::DOUBLE / (60 + l.lex_rn), 0.0) +
+        |    coalesce(1.0::DOUBLE / (60 + v.vec_rn), 0.0) AS rrf,
+        |    l.lex_rn, v.vec_rn
+        |  FROM lex l FULL JOIN vecl v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, round(rrf, 6) AS rrf, lex_rn, vec_rn,
+        |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        |FROM fused QUALIFY rn <= 20 ORDER BY rn""".stripMargin) { (s, dir) =>
+      graft.operators.Retrieval.hybridRrf(
+          t(s, dir, "documents"), t(s, dir, "embeddings"),
+          Seq("customer", "query", "spark", "order"),
+          queryVecId = 0L, topEach = 50, kRrf = 60, k = 20)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("lex_rn"), col("vec_rn"), col("rn"))
         .orderBy(col("rn"))
     },
 

@@ -247,4 +247,21 @@ class ScaleSpec extends SparkSuite {
         Tables.load(s2, sfDir, "customer"),
         col("o_custkey") === col("c_custkey")).count())
   }
+
+  test("dedupSegments resolves duplicates without shuffling segment text") {
+    // The fingerprint exchange (duplicate resolution) may carry only
+    // (id, seg_idx, 16-byte md5) — segment TEXT must ride no exchange
+    // keyed on the fingerprint. Text travels once, on the id-keyed
+    // reassembly exchange.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.Dedup.dedupSegments(docs, segTokens = 15)
+      .queryExecution.executedPlan.toString
+    val fpShuffleWithText =
+      "Exchange hashpartitioning\\(fp[^\n]*seg#".r.findFirstIn(plan)
+    assert(fpShuffleWithText.isEmpty,
+      s"segment text rides the fingerprint shuffle:\n${fpShuffleWithText.getOrElse("")}")
+    assert(plan.contains("Exchange hashpartitioning(fp"),
+      s"expected a fingerprint-keyed resolution exchange:\n$plan")
+    operators.Dedup.releaseCaches()
+  }
 }
