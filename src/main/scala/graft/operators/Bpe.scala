@@ -58,15 +58,22 @@ object Bpe {
   /** Learn `merges` BPE merge rules from a document corpus. Returns one row
     * per rule: (merge_round, lsym, rsym, cnt) in learning order.
     */
+  /** Word-frequency table with initial symbol sequences (chars + `</w>`):
+    * the corpus's only appearance in BPE — everything downstream works on
+    * this (distinct-word-sized) table.
+    */
+  def vocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+
   def train(docs: DataFrame, merges: Int = 4,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = Caches.register(
-      docs.select(explode(tokens(col(textCol))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("word"), col("freq"),
-          concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      this.vocab(docs, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var cur = vocab
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]

@@ -708,6 +708,89 @@ object Curation {
     },
 
     QuerySpec(
+      "bpe_apply",
+      // The learned 4-rule merge table APPLIED back to the vocabulary —
+      // the tokenizer end-to-end: every word's final symbol sequence and
+      // piece count. The oracle extends the bpe_train chain one more
+      // recursive rewrite (a4/s4) and emits the post-merge state; the
+      // Spark side re-derives the rules with Bpe.train (model state, 4
+      // rows to the driver) and replays them with the greedy fold.
+      """WITH RECURSIVE tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |wf AS (SELECT unnest(tk) AS word FROM tk),
+        |vocab AS (SELECT word, count(*) AS freq FROM wf GROUP BY 1),
+        |s0 AS (SELECT word, freq,
+        |        ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' </w> ' AS s
+        |       FROM vocab),
+        |p1 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s0),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p1 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a1 AS (
+        |  SELECT word, freq, s FROM s0
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b1), (SELECT rep FROM b1))
+        |  FROM a1 WHERE contains(s, (SELECT pat FROM b1))),
+        |s1 AS (SELECT word, freq, s FROM a1 WHERE NOT contains(s, (SELECT pat FROM b1))),
+        |p2 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s1),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p2 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a2 AS (
+        |  SELECT word, freq, s FROM s1
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b2), (SELECT rep FROM b2))
+        |  FROM a2 WHERE contains(s, (SELECT pat FROM b2))),
+        |s2 AS (SELECT word, freq, s FROM a2 WHERE NOT contains(s, (SELECT pat FROM b2))),
+        |p3 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s2),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p3 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a3 AS (
+        |  SELECT word, freq, s FROM s2
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b3), (SELECT rep FROM b3))
+        |  FROM a3 WHERE contains(s, (SELECT pat FROM b3))),
+        |s3 AS (SELECT word, freq, s FROM a3 WHERE NOT contains(s, (SELECT pat FROM b3))),
+        |p4 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s3),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p4 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a4 AS (
+        |  SELECT word, freq, s FROM s3
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b4), (SELECT rep FROM b4))
+        |  FROM a4 WHERE contains(s, (SELECT pat FROM b4))),
+        |s4 AS (SELECT word, freq, s FROM a4 WHERE NOT contains(s, (SELECT pat FROM b4)))
+        |SELECT word, CAST(freq AS BIGINT) AS freq,
+        |  CAST(len(string_split(trim(s), ' ')) AS INT) AS n_pieces,
+        |  trim(s) AS segmented
+        |FROM s4 ORDER BY word""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rules = graft.operators.Bpe.train(docs, merges = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.segment(graft.operators.Bpe.vocab(docs), rules)
+        .select(col("word"), col("freq"),
+          size(col("syms")).as("n_pieces"),
+          array_join(col("syms"), " ").as("segmented"))
+        .orderBy(col("word"))
+    },
+
+    QuerySpec(
       "split_leakage_safe",
       // Leakage-safe train/val/test assignment: the split hashes the
       // DUPLICATE-CLUSTER label (min doc_id over the 60-char-prefix

@@ -648,14 +648,19 @@ object Relational {
 
     QuerySpec(
       "q20_excess",
-      // Q20: suppliers in one nation holding excess stock (availqty above
-      // half the shipped quantity) of 'red' parts. l_quantity is integral
-      // in the fixtures, so 0.5*sum is exact in double regardless of
-      // summation order and the > compare cannot drift across engines.
+      // Q20: suppliers in one region holding excess stock (availqty above
+      // half the shipped quantity) of 'red' parts. Region rather than the
+      // canonical single nation: the sf0.001 fixture has 10 suppliers
+      // spread over 10 nations, so any single-nation literal is vacuous
+      // at the smallest scale; the dim-chain shape is unchanged.
+      // l_quantity is integral in the fixtures, so 0.5*sum is exact in
+      // double regardless of summation order and the > compare cannot
+      // drift across engines.
       s"""WITH $psDuck
-        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_5'
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
         |  AND s_suppkey IN (
         |    SELECT ps_suppkey FROM partsupp
         |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
@@ -667,9 +672,10 @@ object Relational {
       Tables.registerAll(s, dir)
       s.sql(
         s"""WITH $psSpark
-          |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+          |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          |WHERE n_name = 'NATION_5'
+          |  JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE'
           |  AND s_suppkey IN (
           |    SELECT ps_suppkey FROM partsupp
           |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
