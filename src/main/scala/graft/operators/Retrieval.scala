@@ -19,20 +19,44 @@ object Retrieval {
 
   /** Okapi BM25 (k1=1.2, b=0.75) top-k over a literal term set.
     * Returns (idCol, score, rn) with rank ties broken on id.
+    *
+    * Corpus is tokenized exactly TWICE (asserted in ScaleSpec):
+    *  - ONE global stats pass computes n_docs, avgdl AND every per-term
+    *    document frequency — df_i is just sum(array_contains(tk, t_i))
+    *    folded into the same single-row aggregate, so "df" costs |terms|
+    *    codegen'd array_contains per doc instead of the corpus re-scan
+    *    (or tf cache) a tf.groupBy(t) formulation needs. The one-row
+    *    result broadcasts; per-row idf resolves t → df_i via a literal
+    *    CASE chain — no df join exists at all.
+    *  - ONE tf pass explodes raw tokens with the codegen'd `isin` filter
+    *    directly on the Generate's output — only query-term hits reach
+    *    the aggregation exchange, docs with no hits contribute zero
+    *    shuffle rows. (An array-`filter` HOF prune before the Generate
+    *    would shuffle the same rows but evaluates interpreted per token —
+    *    measured ~2× slower end-to-end.) Per-doc length rides the tf rows
+    *    as a grouping column (dl is functionally determined by the doc
+    *    id), eliminating the separate dl scan+join a naive formulation
+    *    needs.
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
-    val tf = toks.select(col(idCol), explode(col("tk")).as("t"))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).as("dl"), col("tk"))
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.zipWithIndex.map { case (tm, i) =>
+        sum(when(array_contains(col("tk"), tm), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val tf = base.select(col(idCol), col("dl"), explode(col("tk")).as("t"))
       .filter(col("t").isin(terms: _*))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val dl = toks.select(col(idCol), size(col("tk")).as("dl"))
-    val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfc = coalesce(terms.zipWithIndex.map { case (tm, i) =>
+      when(col("t") === tm, col(s"df_$i"))
+    }: _*)
+    val idf = log(lit(1) + (col("n_docs") - dfc + 0.5) / (dfc + 0.5))
     val term = idf * col("tf") * 2.2 /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    tf.join(dfreq, Seq("t")).join(dl, Seq(idCol)).crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .groupBy(col(idCol)).agg(sum(term).as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rn",

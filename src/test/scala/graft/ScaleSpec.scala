@@ -209,6 +209,27 @@ class ScaleSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n$plan")
   }
 
+  test("bm25TopK tokenizes the corpus exactly twice with hits-only shuffle") {
+    // stats pass + tf pass — a naive formulation adds a third scan for the
+    // per-doc length join and re-tokenizes the corpus for doc frequency
+    val plan = SparkEntry.queries("bm25_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // per-term doc frequency is folded into the broadcast stats row, so
+    // the only corpus passes are the stats aggregate and the tf pass — a
+    // tf.groupBy(t) df formulation re-tokenizes a third time (column
+    // pruning makes the branches canonically different, defeating
+    // ReuseExchange), and a dl join would add a fourth
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 documents scans (stats + tf), found $scans:\n$plan")
+    // the codegen'd term filter must sit on the Generate's output (it
+    // prints ABOVE the Generate, tree-root-first), before any exchange —
+    // only query-term hits may reach the aggregation shuffle
+    assert(plan.contains("Generate explode(tk"), s"no token explode:\n$plan")
+    assert("Filter t#\\d+ IN".r.findFirstIn(plan).nonEmpty ||
+      "Filter t#\\d+ INSET".r.findFirstIn(plan).nonEmpty,
+      s"expected a codegen'd IN/INSET term filter on the exploded tokens:\n$plan")
+  }
+
   test("pivot plans as one scan + one aggregate pair (no per-value scans)") {
     val plan = SparkEntry.queries("pivot_wide")(spark, sfDir)
       .queryExecution.executedPlan.toString
