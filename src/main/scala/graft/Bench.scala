@@ -94,13 +94,20 @@ object Bench {
         "SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) rev FROM lineitem GROUP BY 1 ORDER BY rev DESC, l_orderkey LIMIT 10",
         "SELECT o_custkey, count(*) c FROM orders GROUP BY 1 ORDER BY c DESC, o_custkey LIMIT 10",
         "SELECT event_type, count(*) c FROM events GROUP BY 1",
-        "SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM documents",
+        // window queries keep their corpus-wide window but bound the
+        // OUTPUT: sqlToken's worker collect()s the result to the driver,
+        // so an unbounded result set would OOM the driver at sf10 — and
+        // the sequential leg must do the same collect for a fair compare
+        "SELECT doc_id, rn FROM (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn FROM documents) ORDER BY rn DESC, doc_id LIMIT 100",
         "SELECT count(DISTINCT o_custkey) c FROM orders",
-        "SELECT s_name, rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) rk FROM supplier",
+        "SELECT s_name, rk FROM (SELECT s_name, rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) rk FROM supplier) ORDER BY rk, s_name LIMIT 100",
         "SELECT l_linestatus, max(l_extendedprice) m FROM lineitem GROUP BY 1",
         "SELECT lang, count(*) c FROM documents GROUP BY 1")
       val t1 = System.nanoTime()
-      val seqRows = sqls.map(q => spark.sql(q).count()).sum
+      // collect(), not count(): the concurrent leg's sqlToken worker
+      // materializes full result sets to the driver — count() would let
+      // Catalyst skip that work and the legs would measure different jobs
+      val seqRows = sqls.map(q => spark.sql(q).collect().length.toLong).sum
       val seqSec = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
       val concRows = sqls.grouped(6).map { wave =>

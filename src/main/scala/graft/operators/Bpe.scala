@@ -77,20 +77,49 @@ object Bpe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var cur = vocab
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to merges) {
-      val best: Row = cur
+    // each round's rewritten vocab is persisted so round r+1's pair count
+    // evaluates ONE applyMerge fold over cached rows — an unpersisted
+    // chain re-runs every previous round's interpreted fold per round
+    // (O(merges²) work, unbounded expression tree). `older` (two rounds
+    // back) is dropped only after the collect has materialized the round
+    // that read it.
+    var older: DataFrame = null
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val bestRows = cur
+        // single-symbol words carry no pairs — and sequence(1, 0) is
+        // DESCENDING in Spark ([1,0] → syms[1] out-of-bounds), so they
+        // must be filtered out, not handed to the transform
+        .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1)," +
             " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
         .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
-        .limit(1).collect()(0)
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((round, l, r, cnt))
-      cur = cur.select(col("word"), col("freq"),
-        applyMerge(col("syms"), l, r).as("syms"))
+        .limit(1).collect()
+      if (older != null) { older.unpersist(blocking = false); older = null }
+      if (bestRows.isEmpty) {
+        // no adjacent pairs anywhere (empty/all-null corpus, or every
+        // word already collapsed to a single symbol): stop with the
+        // merges learned so far instead of indexing an empty result
+        exhausted = true
+      } else {
+        val best: Row = bestRows(0)
+        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((round, l, r, cnt))
+        val next = cur.select(col("word"), col("freq"),
+            applyMerge(col("syms"), l, r).as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!(cur eq vocab)) older = cur
+        cur = next
+      }
+      round += 1
     }
+    // hand any still-persisted round caches to the harness-released registry
+    if (older != null) Caches.register(older)
+    if (!(cur eq vocab)) Caches.register(cur)
     learned.toSeq.toDF("merge_round", "lsym", "rsym", "cnt")
   }
 

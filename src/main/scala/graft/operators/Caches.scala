@@ -24,8 +24,15 @@ private[graft] object Caches {
       override def initialValue() =
         scala.collection.mutable.ListBuffer.empty[DataFrame]
     }
+  // global shadow of every live registration, for [[releaseAll]]: a
+  // per-thread release() is a silent no-op when the registering thread
+  // handed its plan to another thread (Future, pool teardown) — without
+  // a session-wide escape hatch those blocks stay cached forever
+  private val all =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
-  def register(df: DataFrame): DataFrame = { local.get += df; df }
+  def register(df: DataFrame): DataFrame = { local.get += df; all.add(df); df }
 
   /** Unpersist every DataFrame registered BY THIS THREAD. Contract: call
     * AFTER materializing (count/collect/write) the consuming plan —
@@ -33,8 +40,19 @@ private[graft] object Caches {
     */
   def release(): Unit = {
     val buf = local.get
-    buf.foreach(_.unpersist(blocking = false))
+    buf.foreach { df => df.unpersist(blocking = false); all.remove(df) }
     buf.clear()
+  }
+
+  /** Unpersist EVERY live registration regardless of owning thread — the
+    * session-teardown / test-cleanup hatch for intermediates orphaned by
+    * a thread that died without releasing. Not safe while other queries
+    * are in flight (it is exactly the cross-release the per-thread
+    * registry exists to prevent).
+    */
+  def releaseAll(): Unit = {
+    val it = all.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }
 

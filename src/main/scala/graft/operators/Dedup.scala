@@ -27,6 +27,13 @@ object Dedup {
     */
   def releaseCaches(): Unit = Caches.release()
 
+  /** Session-teardown hatch: unpersist every registered intermediate
+    * regardless of owning thread (see [[Caches.releaseAll]]) — for
+    * cleanup after a worker thread died without releasing. Do not call
+    * with queries in flight.
+    */
+  def releaseAllCaches(): Unit = Caches.releaseAll()
+
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
     * Returns one row per duplicate group (n_dups >= 2) with the kept id.
     * `prefixLen > 0` fingerprints only the first N normalized chars
@@ -683,11 +690,13 @@ object Dedup {
   def semDedup(embs: DataFrame, nlist: Int = 0, threshold: Double = 0.9,
       targetClusterSize: Int = 64,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // one count() serves both the derived k and the centroid stride —
+    // a second count on an uncached derived pipeline would re-run it
+    val n = embs.count()
     val k =
       if (nlist > 0) nlist
-      else math.min(65536L,
-        math.max(8L, embs.count() / targetClusterSize)).toInt
-    val cents = Similarity.centroids(embs, k, vecCol, idCol)
+      else math.min(65536L, math.max(8L, n / targetClusterSize)).toInt
+    val cents = Similarity.centroids(embs, k, vecCol, idCol, knownCount = n)
     val assigned = Similarity.assign(embs, cents, vecCol, idCol, "c", top = 1)
     val a = assigned.select(col("centroid_id"), col("c_id").as("id_a"),
       col("c_vec").as("v_a"))

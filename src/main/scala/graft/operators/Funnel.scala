@@ -52,16 +52,35 @@ object Funnel {
     // null-ts first-stage event would be credited (reached = 1 with a
     // NULL stage time) and then block every later stage, diverging from
     // the SQL formulation on with-nulls data.
-    val stageEvent = when(
-      col(typeCol).isin(stages: _*) && col(tsCol).isNotNull,
+    val isStage = col(typeCol).isin(stages: _*) && col(tsCol).isNotNull
+    val stageEvent = when(isStage,
       struct(col(tsCol).as("ts"), col(typeCol).as("et")))
-    val sortedSeq = sort_array(collect_list(stageEvent))
-    val capped =
-      if (maxEventsPerUser == Int.MaxValue) sortedSeq
-      else slice(sortedSeq, 1, maxEventsPerUser)
-    val seq0 = events
+    // the cap must drop rows BEFORE the aggregation: a slice() after
+    // collect_list would still buffer the hot user's entire event array
+    // in the agg buffer (collect_list cannot spill). The windowed running
+    // count sorts within the same user-keyed partitioning (sort-based
+    // window operators spill to disk), and the groupBy below reuses that
+    // partitioning — still exactly ONE user-keyed exchange. ROWS frame,
+    // not the default RANGE: RANGE counts peers together, so two
+    // identical events would both land past the cap instead of keeping
+    // the first. Non-stage rows pass through untouched (they aggregate
+    // to null and vanish), keeping zero-stage users in the result.
+    val capSrc =
+      if (maxEventsPerUser == Int.MaxValue) events
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol))
+          .orderBy(col(tsCol).asc_nulls_last, col(typeCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        events
+          .withColumn("__stage_rn", sum(when(isStage, 1L).otherwise(0L)).over(w))
+          .filter(not(isStage) || col("__stage_rn") <= maxEventsPerUser)
+          .drop("__stage_rn")
+      }
+    val seq0 = capSrc
       .groupBy(col(userCol))
-      .agg(capped.as("seq"))
+      .agg(sort_array(collect_list(stageEvent)).as("seq"))
     val stageLit = typedlit(stages)
     val times = aggregate(
       col("seq"),

@@ -75,11 +75,13 @@ object Retrieval {
     */
   def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
       queryVecId: Long = 0L, topEach: Int = 50, kRrf: Int = 60,
-      k: Int = 20, idCol: String = "doc_id"): DataFrame = {
+      k: Int = 20, idCol: String = "doc_id",
+      embIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val lex = bm25TopK(docs, terms, topEach, idCol = idCol)
       .select(col(idCol), col("rn").as("lex_rn"))
     val vec = Similarity.bruteForceTopK(
-        embs, embs.filter(col("vec_id") === queryVecId), k = topEach)
+        embs, embs.filter(col(embIdCol) === queryVecId), k = topEach,
+        vecCol = vecCol, idCol = embIdCol)
       .select(col("c_id").as(idCol), col("rn").as("vec_rn"))
     def rr(rn: Column): Column =
       coalesce(lit(1.0) / (lit(kRrf) + rn), lit(0.0))

@@ -60,9 +60,14 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("avail_tokens"))
     toks.join(broadcast(avail), Seq(domainCol))
       .withColumn("threshold",
-        floor(least(lit(1.0),
-          lit(budgetTokens) * wCol / wSum / col("avail_tokens"))
-          * 4294967296.0).cast("long"))
+        // avail=0 guard: 0/0 is NaN and least(1.0, NaN) = 1.0 under
+        // Spark's NaN-greatest ordering — an all-empty domain would keep
+        // EVERYTHING instead of nothing
+        when(col("avail_tokens") > 0,
+          floor(least(lit(1.0),
+            lit(budgetTokens) * wCol / wSum / col("avail_tokens"))
+            * 4294967296.0).cast("long"))
+          .otherwise(lit(0L)))
       .select(col(idCol), col(domainCol), col("n_tokens"), col("threshold"),
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }
@@ -99,9 +104,14 @@ object Sampling {
     toks.join(broadcast(avail), Seq(domainCol))
       .crossJoin(broadcast(s))
       .withColumn("threshold",
-        floor(least(lit(1.0),
-          lit(budgetTokens) * col("w") / col("s_norm") / col("avail_tokens"))
-          * 4294967296.0).cast("long"))
+        // avail=0 guard: w = √0 = 0 makes the fraction 0/0 = NaN, and
+        // least(1.0, NaN) = 1.0 (NaN sorts greatest) — the inverse of
+        // the intended zero weight for an all-empty domain
+        when(col("avail_tokens") > 0,
+          floor(least(lit(1.0),
+            lit(budgetTokens) * col("w") / col("s_norm") / col("avail_tokens"))
+            * 4294967296.0).cast("long"))
+          .otherwise(lit(0L)))
       .select(col(idCol), col(domainCol), col("n_tokens"), col("threshold"),
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }

@@ -43,11 +43,15 @@ object Similarity {
 
   /** Deterministic coarse centroids: every (n/nlist)-th vector by id.
     * count() on parquet is metadata-only; the filter prunes map-side, so
-    * no global sort or single-partition funnel ever happens.
+    * no global sort or single-partition funnel ever happens. Callers that
+    * already know the corpus size pass it as `knownCount` — when the
+    * corpus is an uncached derived pipeline, a second count() would
+    * re-run the whole upstream computation.
     */
   def centroids(corpus: DataFrame, nlist: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val n = corpus.count()
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
     val step = math.max(n / nlist, 1L)
     corpus
       .filter(col(idCol) % step === 0)

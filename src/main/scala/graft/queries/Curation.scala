@@ -412,10 +412,11 @@ object Curation {
         |avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens FROM toks GROUP BY 1),
         |thr AS (
         |  SELECT lang,
+        |    CASE WHEN avail_tokens > 0 THEN
         |    CAST(floor(least(1.0, 10000 *
         |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 WHEN 'es' THEN 0.125
         |                 WHEN 'de' THEN 0.0625 WHEN 'fr' THEN 0.0625 ELSE 0.0 END)
-        |      / avail_tokens) * 4294967296.0) AS BIGINT) AS threshold
+        |      / avail_tokens) * 4294967296.0) AS BIGINT) ELSE 0 END AS threshold
         |  FROM avail)
         |SELECT t.doc_id, t.lang, t.n_tokens, thr.threshold,
         |  ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr.threshold AS kept
@@ -447,7 +448,8 @@ object Curation {
         |s AS (SELECT CAST(sum(w) AS BIGINT) AS s_norm FROM avail),
         |thr AS (
         |  SELECT lang,
-        |    CAST(floor(least(1.0, 10000 * w / s_norm / avail_tokens) * 4294967296.0) AS BIGINT) AS threshold
+        |    CASE WHEN avail_tokens > 0 THEN
+        |    CAST(floor(least(1.0, 10000 * w / s_norm / avail_tokens) * 4294967296.0) AS BIGINT) ELSE 0 END AS threshold
         |  FROM avail CROSS JOIN s)
         |SELECT t.doc_id, t.lang, t.n_tokens, thr.threshold,
         |  ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT < thr.threshold AS kept

@@ -577,6 +577,75 @@ class OperatorSpec extends SparkSuite {
     assert(thrs.head > thrs.last)
   }
 
+  test("mixture samplers drop an all-empty domain instead of keeping it whole") {
+    // a domain whose docs all tokenize to zero tokens has avail = 0:
+    // the naive fraction is 0/0 = NaN and least(1.0, NaN) = 1.0 (NaN
+    // sorts greatest), which would keep EVERY doc of the degenerate
+    // domain — the exact inverse of its intended zero weight
+    val docs = Seq(
+      (1L, "real words here", "en"), (2L, "more real text", "en"),
+      (3L, "   ", "xx"), (4L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val temp = operators.Sampling.temperatureMixture(docs, budgetTokens = 100L)
+      .filter($"lang" === "xx").collect()
+    assert(temp.nonEmpty && temp.forall(r => !r.getAs[Boolean]("kept")),
+      s"zero-token domain leaked through temperature mixing: ${temp.mkString(";")}")
+    val mix = operators.Sampling.mixtureSample(docs,
+        weights = Map("en" -> 0.5, "xx" -> 0.5), budgetTokens = 100L)
+      .filter($"lang" === "xx").collect()
+    assert(mix.nonEmpty && mix.forall(r => !r.getAs[Boolean]("kept")),
+      s"zero-token domain leaked through mixture sampling: ${mix.mkString(";")}")
+  }
+
+  test("funnel cap drops hot-user rows BEFORE aggregation, in one exchange") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "view"),
+      // u3: two IDENTICAL events — under the default RANGE window frame
+      // both peers would count as rn=2 and a cap of 1 would drop BOTH
+      (3L, ts(0), "view"), (3L, ts(0), "view"),
+      (2L, ts(0), "view")).toDF("user_id", "ts", "event_type")
+    val capped = graft.operators.Funnel.funnel(events,
+      Seq("view", "click"), maxEventsPerUser = 2)
+    // the cap must be a pre-aggregation row filter (a slice after
+    // collect_list still buffers the whole hot user in the agg buffer):
+    // the plan shows Filter(__stage_rn ...) below the aggregate
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("__stage_rn"),
+      s"cap is not a pre-aggregation row filter:\n$plan")
+    // window + groupBy share the user-keyed partitioning: ONE exchange
+    // on user_id (plus the broadcast-less small plan's AQE reads)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 user-keyed exchange, found $exchanges:\n$plan")
+    // the earliest-2 selection credits view@0 + click@1 for u1
+    val u1 = capped.filter($"user_id" === 1L).collect().head
+    assert(u1.getInt(1) == 2, s"expected view+click within cap, got $u1")
+    // identical duplicate events under a cap of 1: the ROWS frame keeps
+    // exactly one (RANGE would count both as peers and drop both)
+    val u3 = graft.operators.Funnel.funnel(events, Seq("view", "click"),
+        maxEventsPerUser = 1)
+      .filter($"user_id" === 3L).collect().head
+    assert(u3.getInt(1) == 1, s"peer rows dropped together under cap: $u3")
+  }
+
+  test("BPE training stops cleanly when the corpus runs out of pairs") {
+    // single-char word: round 1 merges (a, </w>); round 2 has no
+    // adjacent pairs anywhere and must stop with what was learned —
+    // not throw on an empty aggregate
+    val tiny = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val rules = Bpe.train(tiny, merges = 5).collect()
+    Dedup.releaseCaches()
+    assert(rules.length == 1, s"expected 1 learnable merge, got ${rules.length}")
+    // degenerate corpora yield zero merges, not a crash
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, merges = 2).collect().isEmpty)
+    Dedup.releaseCaches()
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Bpe.train(nulls, merges = 2).collect().isEmpty)
+    Dedup.releaseCaches()
+  }
+
   test("dsirWeights upweights the target domain") {
     val docs = Tables.load(spark, sfDir, "documents")
     val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
