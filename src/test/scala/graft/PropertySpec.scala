@@ -207,6 +207,32 @@ class PropertySpec extends SparkSuite {
     check(prop, cases = 100)
   }
 
+  // ---- custom physical operator vs built-in window ------------------
+
+  test("property: TopKPerGroup ≡ window row_number on random grouped data") {
+    // heavy ties (10 values over 300 rows) and nulls; the unique id makes
+    // the order total so row_number is deterministic on both paths
+    val genRow: Gen[(Int, Option[Int])] = for {
+      g <- Gen.chooseNum(0, 6)
+      v <- Gen.option(Gen.chooseNum(0, 9))
+    } yield (g, v)
+    for ((seedBase, k) <- Seq((600L, 1), (700L, 3), (800L, 7))) {
+      val data = sample(genRow, 300, seedBase).zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+      val df = data.toDF("g", "v", "id")
+      val order = Seq(col("v").desc_nulls_last, col("id"))
+      val ours = graft.plans.TopKPerGroup(df, Seq("g"), order, k)
+        .orderBy(col("g"), col("v").desc_nulls_last, col("id")).collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(order: _*)
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy(col("g"), col("v").desc_nulls_last, col("id")).collect()
+      assert(ours.length == ref.length && ours.sameElements(ref),
+        s"seed=$seedBase k=$k: heap path diverges from window formulation")
+    }
+  }
+
   // ---- connected components vs union-find oracle --------------------
 
   test("property: connectedComponents ≡ union-find on random graphs") {
