@@ -108,6 +108,32 @@ class GraftContext(val spark: SparkSession) {
     out
   }
 
+  /** Sharded sink — the training-shard output layout step. Writes `df`
+    * under `path` hive-partitioned by `partitionBy`, with every file
+    * capped at `maxRecordsPerFile` rows. At 100 TB this is the
+    * difference between one multi-TB file per partition and the evenly
+    * sized shards a training loader streams: the record cap is enforced
+    * executor-locally by the file writer (no extra shuffle, no driver
+    * involvement). `clusterFirst` repartitions by the partition columns
+    * so each hive partition is produced by few tasks — small-file
+    * control when upstream parallelism is much wider than the partition
+    * cardinality (a task writes one file PER partition value it sees,
+    * so W tasks × P values can otherwise emit W·P tiny files).
+    */
+  def writeSharded(df: DataFrame, path: String, format: String = "parquet",
+      partitionBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      clusterFirst: Boolean = false): Unit = {
+    val src =
+      if (clusterFirst && partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    var w = src.write.mode("overwrite").format(format)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+
   def dropTable(name: String): Unit = {
     catalog.remove(name)
     spark.catalog.dropGlobalTempView(name)

@@ -313,7 +313,11 @@ object Curation {
     QuerySpec(
       "dedup_semantic",
       // SemDeDup replayed end-to-end: deterministic coarse centroids
-      // (every n/8-th vector), argmax assignment (tie → smallest centroid),
+      // (every step-th vector, first nlist in id order — the QUALIFY
+      // replays Spark's ORDER BY id LIMIT nlist; a `vec_id // step <
+      // nlist` clause would silently assume DENSE 0..n-1 ids and pick a
+      // different centroid set on sparse-id corpora like the ScaleData
+      // sf1/sf10 fixtures), argmax assignment (tie → smallest centroid),
       // within-cluster cosine ≥ 0.42 against any smaller id ⇒ dropped
       // (the fixture's top decile of similarity; sf1's perturbed copies sit
       // far above it, so the same query drops true near-dups at scale).
@@ -325,7 +329,8 @@ object Curation {
         |cents AS (
         |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
         |  FROM embeddings, params
-        |  WHERE vec_id % step = 0 AND vec_id // step < nlist),
+        |  WHERE vec_id % step = 0
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= nlist),
         |assigned AS (
         |  SELECT vec_id, v, centroid_id FROM (
         |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,

@@ -276,6 +276,42 @@ class GraftContextSpec extends SparkSuite {
     ctx.cancel(tok)
   }
 
+  test("writeSharded caps file sizes and lays out hive partitions") {
+    val ctx = GraftContext(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    ctx.writeSharded(docs, out, partitionBy = Seq("lang"),
+      maxRecordsPerFile = 100L, clusterFirst = true)
+    // hive layout: one lang=<v> dir per distinct lang
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    val langs = docs.select(col("lang")).distinct().collect().map(_.getString(0))
+    assert(langDirs.map(_.getName).sorted.toSeq ==
+      langs.map(l => s"lang=$l").sorted.toSeq, langDirs.mkString(","))
+    // every shard respects the record cap
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f).count()
+      assert(n <= 100, s"shard $f has $n rows > cap")
+    }
+    // clusterFirst keeps shard counts near ceil(rows/cap), not
+    // numTasks × partitions (the small-file explosion)
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langDirs.foreach { d =>
+      val lang = d.getName.stripPrefix("lang=")
+      val got = d.listFiles().count(_.getName.endsWith(".parquet"))
+      val want = math.ceil(perLang(lang) / 100.0).toInt
+      assert(got <= want + 1, s"$lang: $got shards for ${perLang(lang)} rows (cap 100)")
+    }
+    // and the roundtrip preserves the data
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("sqlAsync returns the same result as sql") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._

@@ -61,7 +61,11 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleData-generated fixtures
+        # (sf1/sf10) are Spark-written DIRECTORIES of part files
+        src = f"{sf_dir}/{t}.parquet"
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
     n_pass = n_fail = n_noop = 0
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(d):
