@@ -102,7 +102,7 @@ object Relational {
     QuerySpec(
       "q3_topk",
       """SELECT l_orderkey,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  CAST(o_orderdate AS DATE) AS orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -121,7 +121,7 @@ object Relational {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -160,8 +160,14 @@ object Relational {
 
     QuerySpec(
       "q10_returns",
+      // revenue is ranked ROUNDED (round-2 money, both engines): raw
+      // float sums of identical-true-revenue groups differ by summation-
+      // order ulps per engine, so a LIMIT boundary between such ties
+      // (exact dupes in the sf10 replica fixtures caught this) selects
+      // different rows. Rounding restores a stable total order with the
+      // custkey tiebreak. Same contract on q3.
       """SELECT c_custkey, c_name,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -180,7 +186,7 @@ object Relational {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
