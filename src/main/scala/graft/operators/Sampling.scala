@@ -116,6 +116,65 @@ object Sampling {
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429,
+    * the static-proxy simplification): domains whose documents the shared
+    * corpus language model fits WORST get UP-weighted by multiplicative
+    * weights, so the training mixture shifts toward underserved domains.
+    *
+    *  - proxy loss: per-domain mean of per-doc avg-NLL under the corpus
+    *    unigram LM ([[TextAnalysis.unigramPerplexity]] — Laplace counts,
+    *    fully replayable);
+    *  - excess loss: max(0, L_d − min_d L_d) (the best-fit domain is the
+    *    reference point; DoReMi's trained reference model is out of scope
+    *    for a relational engine, and the excess stays static across
+    *    rounds — documented divergence from the paper's per-step proxy
+    *    retraining);
+    *  - `iters` rounds of multiplicative weights from uniform α₀:
+    *    raw_d = α_d·exp(η·excess_d), α ← (1−c)·raw/Σraw + c/k.
+    *
+    * Determinism contract: domain means are avg-of-avgs (order-sensitive
+    * at ~1e-14, round-6 output absorbs), the driver iterates in
+    * domain-sorted order, and (1−c) is COMPUTED in IEEE double on both
+    * engines (the oracle writes `1.0 - 0.01`, never a parsed `0.99` —
+    * the two differ in the last ulp).
+    *
+    * Scale shape (100 TB): the LM fit is the perplexity operator's two
+    * hash-aggs; domain stats are one tiny aggregate (k rows ≈ dozens) —
+    * constant-size driver model state like a centroid set; the final
+    * weight assignment is a scan-local broadcast-literal lookup. Nothing
+    * corpus-sized shuffles beyond the perplexity scoring join.
+    */
+  def doremiWeights(docs: DataFrame, eta: Double = 1.0,
+      smoothing: Double = 0.01, iters: Int = 3,
+      domainCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nll = TextAnalysis.unigramPerplexity(docs, textCol, idCol)
+      .select(col(idCol), col("avg_nll"))
+    val domStats = docs.select(col(idCol), col(domainCol))
+      .join(nll, Seq(idCol))
+      .groupBy(col(domainCol))
+      .agg(avg(col("avg_nll")).as("dom_nll"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    require(domStats.nonEmpty, "doremiWeights: no domains")
+    val k = domStats.length
+    val minNll = domStats.map(_._2).min
+    val excess = domStats.map { case (_, l) => math.max(0.0, l - minNll) }
+    var alpha = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(k)(i => alpha(i) * math.exp(eta * excess(i)))
+      val s = raw.sum // domain-sorted order, mirrored by the oracle
+      alpha = raw.map(r => (1.0 - smoothing) * r / s + smoothing / k)
+    }
+    val excessMap = domStats.indices.map(i => domStats(i)._1 -> excess(i)).toMap
+    val alphaMap = domStats.indices.map(i => domStats(i)._1 -> alpha(i)).toMap
+    docs.select(col(idCol), col(domainCol),
+      round(element_at(typedlit(excessMap), col(domainCol)), 6).as("dom_excess"),
+      round(element_at(typedlit(alphaMap), col(domainCol)), 6).as("dom_weight"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
     * each document by how target-like its hashed-bigram distribution is,
     * log w(doc) = Σ_grams [ln p̂(bucket) − ln q̂(bucket)], where p̂/q̂ are

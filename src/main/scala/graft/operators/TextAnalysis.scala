@@ -398,4 +398,94 @@ object TextAnalysis {
         wsTokenCount(col(textCol)).as("ws_tokens"),
         fingerprint(col(textCol)).as("fingerprint")) ++
         qualityColumns(col(textCol)): _*)
+
+  /** Readability signals (Flesch Reading Ease + Flesch-Kincaid grade,
+    * the classic curation heuristics): sentences = maximal `[.!?]+` runs
+    * (min 1), words = whitespace tokens, syllables = per-word vowel-group
+    * count `[aeiouy]+` (min 1 per word — the standard approximation).
+    * All three counts are exact ints in both engines (Java regex and
+    * DuckDB's RE2 agree on these ASCII classes), so only the two final
+    * formula divisions need round-6. Map-side only, one pass.
+    *
+    * The per-word fold reads the let-bound token array (lambda variable),
+    * so the interpreted HOF costs O(tokens), not O(tokens × split).
+    */
+  def readabilityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nSents = greatest(
+      size(call_function("regexp_extract_all", text, lit("[.!?]+"), lit(0))),
+      lit(1)).cast("double")
+    val nWords = size(toks).cast("double")
+    val nSyll = aggregate(toks, lit(0L), (acc, w) =>
+      acc + greatest(
+        size(call_function("regexp_extract_all", w, lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long")).cast("double")
+    val wps = nWords / nSents
+    val spw = when(nWords > 0, nSyll / nWords).otherwise(lit(0.0))
+    Seq(
+      nSents.cast("long").as("n_sents"),
+      nWords.cast("long").as("n_words"),
+      nSyll.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
+  }
+
+  /** Encoding-quality signals (the ftfy-ish mojibake battery): U+FFFD
+    * replacement chars, C0/DEL control chars (tab/newline family excluded
+    * — those are legitimate layout), non-ASCII code-point ratio, and the
+    * two classic UTF-8-read-as-Latin-1 artifacts ('Ã' U+00C3 and the
+    * 'â€' prefix of mangled smart punctuation). Every signal is a
+    * code-point count (Spark `length` and DuckDB `len` both count code
+    * points) or an int/int ratio — hash-exact cross-engine, no rounding
+    * beyond the ratio's round-6.
+    */
+  def encodingColumns(text: Column): Seq[Column] = {
+    val n = length(text)
+    def cnt(pattern: String): Column =
+      n - length(regexp_replace(text, pattern, ""))
+    val nonAscii = cnt("[^\\x00-\\x7F]")
+    // 'â€' occurrences: replacing the 2-char artifact with 1 char shrinks
+    // the string by exactly one code point per occurrence
+    val mangledPunct = n - length(replace(text, lit("â€"), lit("x")))
+    Seq(
+      cnt("�").cast("long").as("n_replacement"),
+      cnt("[\\x01-\\x08\\x0E-\\x1F\\x7F]").cast("long").as("n_control"),
+      when(n > 0, round(nonAscii.cast("double") / n, 6))
+        .otherwise(lit(0.0)).as("non_ascii_ratio"),
+      (cnt("Ã") + mangledPunct).cast("long").as("n_mojibake"))
+  }
+
+  /** Token-window document chunking (the RAG / context-window prep shape):
+    * split each document's token stream into windows of `window` tokens
+    * advancing by `stride` (overlap = window - stride). Chunk i covers
+    * tokens [i*stride, i*stride+window); the last chunk is the first one
+    * reaching the end, so every token lands in ≥1 chunk and no chunk is
+    * empty (requires stride ≤ window). Chunk count = 1 + ⌈max(n-window,0)
+    * / stride⌉ — pure int arithmetic, identical in any engine.
+    *
+    * Scale shape: tokenize + slice are map-side (explode of an int range,
+    * not of the tokens); output rows carry only the chunk text. No
+    * shuffle at all — chunking composes with a downstream repartition or
+    * the sharded sink.
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && stride <= window,
+      s"stride ($stride) must be in [1, window=$window]")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val n = size(col("tk"))
+    // ⌈max(n-window,0)/stride⌉ via (x + stride-1) / stride on exact ints
+    val lastChunk = floor((greatest(n - lit(window), lit(0)) + lit(stride - 1))
+      .cast("double") / lit(stride.toDouble)).cast("int")
+    base
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("tk"), col("chunk_id") * stride + 1, lit(window)).as("ck"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+  }
 }

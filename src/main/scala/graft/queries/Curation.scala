@@ -496,6 +496,108 @@ object Curation {
     },
 
     QuerySpec(
+      "doremi_weights",
+      // DoReMi domain reweighting (arXiv:2305.10429, static-proxy
+      // simplification): corpus unigram-LM per-domain mean NLL → excess
+      // over the best-fit domain → 3 unrolled multiplicative-weights
+      // rounds from uniform α. (1−c) is COMPUTED as 1.0-0.01 on both
+      // engines (parsed 0.99 differs in the last ulp); Σraw is a k-row
+      // float sum whose order drift (~1e-17) round-6 absorbs.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM toks) AS total,
+        |                  (SELECT count(*) FROM cnt) AS vs),
+        |nll AS (
+        |  SELECT t.doc_id,
+        |    -avg(ln((cnt.c + 1.0) / (consts.total + consts.vs))) AS avg_nll
+        |  FROM toks t JOIN cnt USING (token) CROSS JOIN consts
+        |  GROUP BY t.doc_id),
+        |dom AS (
+        |  SELECT d.source, avg(n.avg_nll) AS dom_nll
+        |  FROM documents d JOIN nll n USING (doc_id) GROUP BY 1),
+        |ex AS (SELECT source,
+        |         greatest(0.0, dom_nll - (SELECT min(dom_nll) FROM dom)) AS excess
+        |       FROM dom),
+        |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ex),
+        |a0 AS (SELECT source, excess, 1.0 / (SELECT k FROM kk) AS alpha FROM ex),
+        |i1 AS (SELECT source, excess, alpha * exp(1.0 * excess) AS raw FROM a0),
+        |a1 AS (SELECT source, excess,
+        |         (1.0 - 0.01) * raw / (SELECT sum(raw) FROM i1)
+        |           + 0.01 / (SELECT k FROM kk) AS alpha FROM i1),
+        |i2 AS (SELECT source, excess, alpha * exp(1.0 * excess) AS raw FROM a1),
+        |a2 AS (SELECT source, excess,
+        |         (1.0 - 0.01) * raw / (SELECT sum(raw) FROM i2)
+        |           + 0.01 / (SELECT k FROM kk) AS alpha FROM i2),
+        |i3 AS (SELECT source, excess, alpha * exp(1.0 * excess) AS raw FROM a2),
+        |a3 AS (SELECT source, excess,
+        |         (1.0 - 0.01) * raw / (SELECT sum(raw) FROM i3)
+        |           + 0.01 / (SELECT k FROM kk) AS alpha FROM i3)
+        |SELECT d.doc_id, d.source,
+        |  round(a3.excess, 6) AS dom_excess, round(a3.alpha, 6) AS dom_weight
+        |FROM documents d JOIN a3 USING (source)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.doremiWeights(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "lr_quality",
+      // Trainable logistic-regression quality filter: label = the
+      // text_quality composite > 0.62 (bit-exact int/int arithmetic),
+      // 2 unrolled full-batch GD rounds from w=0 at lr 0.5. Every CTE
+      // mirrors the Spark arithmetic ORDER (left-assoc dot product,
+      // w - 0.5*g updates); drift is avg() summation order + ln/exp
+      // ulps (~1e-13 by the final score), absorbed by round-6.
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |feat0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS ntok,
+        |    CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/len(tk) ELSE 0.0 END AS ml,
+        |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)/len(text) ELSE 0.0 END AS pr,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE)/len(tk) ELSE 0.0 END AS sw,
+        |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)/len(text) ELSE 0.0 END AS ar
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN least(greatest(
+        |        0.25*least(ntok/100.0, 1.0) + 0.25*least(ml/8.0, 1.0)
+        |        + 0.25*(1.0 - least(pr*5.0, 1.0)) + 0.25*least(sw*5.0, 1.0),
+        |        0.0), 1.0) > 0.62 THEN 1.0 ELSE 0.0 END AS y,
+        |    ln(1.0 + ntok) AS x1, ml AS x2, sw AS x3, ar AS x4
+        |  FROM feat0),
+        |s1 AS (SELECT *,
+        |    1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3 + 0.0*x4))) AS p
+        |  FROM f),
+        |g1 AS (SELECT avg(p - y) AS g0, avg((p - y)*x1) AS g1,
+        |    avg((p - y)*x2) AS g2, avg((p - y)*x3) AS g3,
+        |    avg((p - y)*x4) AS g4 FROM s1),
+        |w1 AS (SELECT 0.0 - 0.5*g0 AS w0, 0.0 - 0.5*g1 AS w1,
+        |    0.0 - 0.5*g2 AS w2, 0.0 - 0.5*g3 AS w3, 0.0 - 0.5*g4 AS w4
+        |  FROM g1),
+        |s2 AS (SELECT f.*,
+        |    1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))) AS p
+        |  FROM f CROSS JOIN w1),
+        |g2c AS (SELECT avg(p - y) AS g0, avg((p - y)*x1) AS g1,
+        |    avg((p - y)*x2) AS g2, avg((p - y)*x3) AS g3,
+        |    avg((p - y)*x4) AS g4 FROM s2),
+        |w2 AS (SELECT w1.w0 - 0.5*g2c.g0 AS w0, w1.w1 - 0.5*g2c.g1 AS w1,
+        |    w1.w2 - 0.5*g2c.g2 AS w2, w1.w3 - 0.5*g2c.g3 AS w3,
+        |    w1.w4 - 0.5*g2c.g4 AS w4
+        |  FROM w1 CROSS JOIN g2c)
+        |SELECT f.doc_id, CAST(f.y AS INT) AS label,
+        |  round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4))), 6) AS lr_score
+        |FROM f CROSS JOIN w2 ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Logistic.fitPredict(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "nb_langid",
       // Trainable curation classifier: multinomial Naive Bayes trained on
       // the corpus's (text, lang) pairs, then applied back to every doc.

@@ -1016,6 +1016,78 @@ object Pipeline {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_bytes")).as("frame_len"))
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    QuerySpec(
+      "text_readability",
+      // Flesch ease + FK grade from exact int counts (sentences, words,
+      // per-word vowel-group syllables — Java regex and RE2 agree on the
+      // ASCII classes); only the two formula divisions are round-6. The
+      // fixture is punctuation-free so n_sents floors at 1 everywhere —
+      // sentence-sensitive behavior is asserted on planted docs in
+      // OperatorSpec.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, n_sents, len(tk) AS n_words,
+        |    CAST(list_sum(list_transform(tk,
+        |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+        |  FROM tk WHERE len(tk) > 0)
+        |SELECT doc_id, n_sents, n_words, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch_ease,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+        |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(size(tokens(col("text"))) > 0)
+        .select(col("doc_id") +: TextAnalysis.readabilityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_encoding",
+      // Mojibake/encoding battery: every signal is a code-point count
+      // (Spark length ≡ DuckDB len) or an int/int round-6 ratio. The
+      // ASCII fixture makes most counts 0 — planted mojibake docs in
+      // OperatorSpec carry the discriminative assertions.
+      """SELECT doc_id,
+        |  CAST(len(text) - len(regexp_replace(text, '\x{fffd}', '', 'g')) AS BIGINT) AS n_replacement,
+        |  CAST(len(text) - len(regexp_replace(text, '[\x{01}-\x{08}\x{0e}-\x{1f}\x{7f}]', '', 'g')) AS BIGINT) AS n_control,
+        |  CASE WHEN len(text) > 0 THEN
+        |    round(CAST(len(text) - len(regexp_replace(text, '[^\x{00}-\x{7f}]', '', 'g')) AS DOUBLE) / len(text), 6)
+        |    ELSE 0.0 END AS non_ascii_ratio,
+        |  CAST((len(text) - len(regexp_replace(text, 'Ã', '', 'g')))
+        |    + (len(text) - len(replace(text, 'â€', 'x'))) AS BIGINT) AS n_mojibake
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.encodingColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "chunk_docs",
+      // Token-window chunking (window 64, stride 48): chunk boundaries
+      // are pure int arithmetic and list slicing — DuckDB's 1-based
+      // inclusive tk[a:b] replays Spark's slice(tk, a, len) exactly.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+        |ch AS (
+        |  SELECT doc_id, tk,
+        |    CAST(unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS INT) AS chunk_id
+        |  FROM base)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(tk[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
 }

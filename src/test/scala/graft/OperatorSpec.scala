@@ -934,4 +934,102 @@ class OperatorSpec extends SparkSuite {
     val splits = out.values.map(_._2).toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
+
+  test("readability separates simple prose from polysyllabic text") {
+    // fixture docs are punctuation-free (n_sents floors at 1) — the
+    // sentence- and syllable-sensitive behavior lives here
+    val simple = "the cat sat on the mat . it was fat . it sat all day ."
+    val dense = "extraordinary considerations necessitate unambiguous " +
+      "organizational accountability notwithstanding intergovernmental " +
+      "considerations ."
+    val docs = Seq((1L, simple), (2L, dense)).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        operators.TextAnalysis.readabilityColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_sents") == 3L, s"${out(1L)}")
+    assert(out(2L).getAs[Long]("n_sents") == 1L, s"${out(2L)}")
+    // ~1 syllable/word prose scores far above the polysyllabic block
+    assert(out(1L).getAs[Double]("flesch_ease") >
+      out(2L).getAs[Double]("flesch_ease") + 50.0,
+      s"ease gap too small: ${out(1L)} vs ${out(2L)}")
+    assert(out(2L).getAs[Double]("fk_grade") >
+      out(1L).getAs[Double]("fk_grade"), "grade should rank dense higher")
+  }
+
+  test("encoding battery counts mojibake, control chars and replacement chars") {
+    val clean = "plain ascii text"
+    val mangled = "cafÃ© says â€œhelloâ€"
+    val broken = "abc�def\u0001\u0002"
+    val docs = Seq((1L, clean), (2L, mangled), (3L, broken))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        operators.TextAnalysis.encodingColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_replacement") == 0L &&
+      out(1L).getAs[Long]("n_control") == 0L &&
+      out(1L).getAs[Long]("n_mojibake") == 0L &&
+      out(1L).getAs[Double]("non_ascii_ratio") == 0.0, s"${out(1L)}")
+    // one 'Ã' + two 'â€' artifacts
+    assert(out(2L).getAs[Long]("n_mojibake") == 3L, s"${out(2L)}")
+    assert(out(2L).getAs[Double]("non_ascii_ratio") > 0.1, s"${out(2L)}")
+    assert(out(3L).getAs[Long]("n_replacement") == 1L &&
+      out(3L).getAs[Long]("n_control") == 2L, s"${out(3L)}")
+  }
+
+  test("chunkDocs covers every token with the contracted overlap") {
+    // 10 tokens, window 4, stride 3 → chunks at 0,3,6 plus the final
+    // chunk 9? No: lastChunk = ceil((10-4)/3) = 2 → starts 0,3,6; chunk 2
+    // covers tokens 7..10 — every token in ≥1 chunk, last chunk reaches
+    // the end
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.chunkDocs(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(out.keys.count(_._1 == 1L) == 3, s"chunk count: ${out.keys}")
+    assert(out((1L, 0)).getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(out((1L, 2)).getAs[String]("chunk_text") == "t7 t8 t9 t10")
+    assert(out((1L, 2)).getAs[Long]("n_chunk_tokens") == 4L)
+    // short doc → exactly one chunk; empty doc → no chunks
+    assert(out.keys.count(_._1 == 2L) == 1 && out.keys.count(_._1 == 3L) == 0)
+    val tokensCovered = out.collect { case ((1L, _), r) =>
+      r.getAs[String]("chunk_text").split(" ").toSeq }.flatten.toSet
+    assert(tokensCovered == (1 to 10).map(i => s"t$i").toSet,
+      "every token must land in at least one chunk")
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.chunkDocs(docs, window = 4, stride = 5)
+    }
+  }
+
+  test("doremiWeights upweights the worst-fit domain, sums to 1") {
+    // domain 'rare' uses vocabulary the corpus LM barely sees → highest
+    // excess → highest weight; weights stay a distribution
+    val docs = (1 to 30).map { i =>
+      if (i <= 27) (i.toLong, "the common words repeat here always", "web")
+      else (i.toLong, s"zq$i xv$i qqj$i wkz$i", "rare")
+    }.toDF("doc_id", "text", "source")
+    val out = Sampling.doremiWeights(docs)
+      .select("source", "dom_weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("rare") > out("web"),
+      s"rare domain must be upweighted: $out")
+    val total = out.values.sum
+    assert(math.abs(total - 1.0) < 1e-4, s"weights must sum to ~1: $total")
+  }
+
+  test("logistic fitPredict separates by label and moves from 0.5") {
+    import graft.operators.Logistic
+    val good = (1 to 20).map(i => (i.toLong,
+      ("the a and of to in is that it for data table " * 9).trim))
+    val bad = (21 to 40).map(i => (i.toLong, "zz qq ww"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val out = Logistic.fitPredict(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val posMean = good.map(g => out(g._1)._2).sum / good.size
+    val negMean = bad.map(b => out(b._1)._2).sum / bad.size
+    assert(out(1L)._1 == 1 && out(21L)._1 == 0,
+      s"labels wrong: ${out(1L)} ${out(21L)}")
+    assert(posMean > negMean + 0.01,
+      s"2 GD rounds must already separate the means: $posMean vs $negMean")
+    operators.Dedup.releaseCaches()
+  }
 }
