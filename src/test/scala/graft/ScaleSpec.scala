@@ -285,4 +285,32 @@ class ScaleSpec extends SparkSuite {
       s"expected a fingerprint-keyed resolution exchange:\n$plan")
     operators.Dedup.releaseCaches()
   }
+
+  test("chunkDocs is a pure scan-side pipeline: no exchange anywhere") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.TextAnalysis.chunkDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+  }
+
+  test("doremi weight assignment is a scan-side literal lookup") {
+    // after the (collected, k-row) domain stats, the OUTPUT plan must be
+    // a map-side projection: weights ride as literals, never a join
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.Sampling.doremiWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"doremi output should be a broadcast-literal projection:\n$plan")
+  }
+
+  test("logistic scoring is one pass over the cached features, no shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = operators.Logistic.fitPredict(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"LR scoring must be scan-local (weights are literals):\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"LR scoring should reuse the persisted feature pass:\n$plan")
+    operators.Dedup.releaseCaches()
+  }
 }
