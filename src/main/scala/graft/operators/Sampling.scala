@@ -116,6 +116,41 @@ object Sampling {
         (hash32(col(idCol)) < col("threshold")).as("kept"))
   }
 
+  /** Curriculum bucketing (shortest-first length curriculum, the standard
+    * practical schedule): assign each document a bucket 1..nBuckets by its
+    * token-count quantile, so a trainer can feed buckets in order.
+    *
+    * bucket = 1 + ⌊nBuckets · cumBelow / total⌋ where cumBelow = number of
+    * docs with STRICTLY smaller score — pure integer arithmetic over the
+    * score histogram, so ties share a bucket and any engine replays the
+    * assignment exactly (no ntile, whose remainder spreading depends on a
+    * global row order).
+    *
+    * Scale shape (100 TB): the histogram is one map-side-combined
+    * aggregate (≈ distinct-score rows, bounded by max doc length); the
+    * cumulative window runs over the HISTOGRAM, not the corpus; the
+    * assignment is a broadcast join of histogram thresholds back onto a
+    * scan-side projection. A global-sort ntile would instead range-shuffle
+    * the whole corpus through one window.
+    */
+  def curriculumBuckets(docs: DataFrame, nBuckets: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val scored = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val cum = hist
+      .withColumn("cum_below", coalesce(
+        sum(col("c")).over(w) - col("c"), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("total"))))
+      .select(col("score"), col("cum_below"), col("total"))
+    scored.join(broadcast(cum), Seq("score"))
+      .select(col(idCol), col("score"),
+        (lit(1) + floor(lit(nBuckets) * col("cum_below") / col("total")))
+          .cast("int").as("bucket"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429,
     * the static-proxy simplification): domains whose documents the shared
     * corpus language model fits WORST get UP-weighted by multiplicative

@@ -455,6 +455,64 @@ object TextAnalysis {
       (cnt("Ã") + mangledPunct).cast("long").as("n_mojibake"))
   }
 
+  /** Per-domain dataset-card report (the "what's actually in my training
+    * set" battery): document and token counts, a discrete median token
+    * length, mean composite quality, the exact-duplicate rate
+    * (1 − distinct fingerprints / docs), and the dominant language with
+    * its share.
+    *
+    * Scale shape (100 TB): everything is a keyed partial aggregate —
+    * the token-length median comes from a (domain, n_tokens) HISTOGRAM
+    * (map-side combined; ~domains × distinct-lengths rows), never a
+    * per-domain value list (exact `percentile` would buffer whole
+    * groups); the dup rate shuffles (domain, 16-byte fp) pairs; the
+    * language mode shuffles (domain, lang) pairs. The final join glues
+    * k-row aggregates (broadcast). Median contract: smallest value whose
+    * cumulative count reaches half the domain (2·cum ≥ n) — pure int
+    * arithmetic, engine-stable, no interpolation.
+    */
+  def corpusReport(docs: DataFrame, domainCol: String = "source",
+      langCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val quality = qualityColumns(col(textCol)).last
+    val base = Caches.register(docs.select(col(domainCol), col(langCol),
+        wsTokenCount(col(textCol)).as("n_tokens"), quality.as("q"),
+        fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val agg = base.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("q")), 6).as("mean_quality"),
+      countDistinct(col("fp")).as("n_fp"))
+    val hist = base.groupBy(col(domainCol), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("n_tokens"))
+    val p50 = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col(domainCol)).agg(min(col("n_tokens")).as("p50_tokens"))
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("lc").desc, col(langCol))
+    val topLang = base.groupBy(col(domainCol), col(langCol))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col(domainCol), col(langCol).as("top_lang"), col("lc"))
+    agg.join(broadcast(p50), Seq(domainCol))
+      .join(broadcast(topLang), Seq(domainCol))
+      .select(col(domainCol), col("n_docs"), col("total_tokens"),
+        col("p50_tokens"),
+        col("mean_quality"),
+        round(lit(1.0) - col("n_fp").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("top_lang"),
+        round(col("lc").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"))
+  }
+
   /** Token-window document chunking (the RAG / context-window prep shape):
     * split each document's token stream into windows of `window` tokens
     * advancing by `stride` (overlap = window - stride). Chunk i covers

@@ -465,6 +465,29 @@ object Curation {
     },
 
     QuerySpec(
+      "curriculum_buckets",
+      // Length-curriculum bucketing: bucket = 1 + floor(n·cumBelow/total)
+      // over the token-count histogram — all-int inputs, so the only
+      // float op is one exact-ratio division whose floor cannot straddle
+      // (distance to an integer is ≥ 1/total ≫ double ulp).
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS score
+        |  FROM documents),
+        |hist AS (SELECT score, count(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT score,
+        |    CAST(sum(c) OVER (ORDER BY score) - c AS BIGINT) AS cum_below,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS total
+        |  FROM hist)
+        |SELECT s.doc_id, s.score,
+        |  CAST(1 + floor(10 * cum_below / total) AS INT) AS bucket
+        |FROM scored s JOIN cum USING (score)
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.curriculumBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "dsir_weights",
       // DSIR importance resampling (arXiv:2302.03169) toward an English
       // target: hashed-bigram bucket counts (exact ints) → add-1-smoothed

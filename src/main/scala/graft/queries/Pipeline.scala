@@ -1088,6 +1088,56 @@ object Pipeline {
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
       TextAnalysis.chunkDocs(t(s, dir, "documents"), window = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    QuerySpec(
+      "corpus_report",
+      // Per-domain dataset card: counts, histogram-derived discrete
+      // median (2·cum ≥ n — no interpolation), mean quality (round-6
+      // absorbs avg order drift), fingerprint dup rate, language mode
+      // (count desc, lang asc tiebreak). Every stage is a keyed partial
+      // aggregate — the same plan shape at any corpus size.
+      """WITH tkc AS (
+        |  SELECT source, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, lang,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp,
+        |    least(greatest(
+        |      0.25*least(CAST(len(tk) AS DOUBLE)/100.0, 1.0)
+        |      + 0.25*least((CASE WHEN len(tk) > 0
+        |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)/len(tk) ELSE 0.0 END)/8.0, 1.0)
+        |      + 0.25*(1.0 - least((CASE WHEN len(text) > 0
+        |          THEN CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)/len(text) ELSE 0.0 END)*5.0, 1.0))
+        |      + 0.25*least((CASE WHEN len(tk) > 0
+        |          THEN CAST(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE)/len(tk) ELSE 0.0 END)*5.0, 1.0),
+        |      0.0), 1.0) AS q
+        |  FROM tkc),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    round(avg(q), 6) AS mean_quality, count(DISTINCT fp) AS n_fp
+        |  FROM base GROUP BY 1),
+        |hist AS (SELECT source, n_tokens, count(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (SELECT source, n_tokens,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS tot FROM hist),
+        |p50 AS (SELECT source, min(n_tokens) AS p50_tokens FROM cum
+        |  WHERE cum*2 >= tot GROUP BY 1),
+        |lcnt AS (SELECT source, lang, count(*) AS lc FROM base GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang, lc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn
+        |    FROM lcnt) WHERE rn = 1)
+        |SELECT a.source, a.n_docs, a.total_tokens, p.p50_tokens,
+        |  a.mean_quality,
+        |  round(1.0 - CAST(a.n_fp AS DOUBLE)/a.n_docs, 6) AS dup_rate,
+        |  top.top_lang,
+        |  round(CAST(top.lc AS DOUBLE)/a.n_docs, 6) AS top_lang_share
+        |FROM agg a JOIN p50 p USING (source) JOIN top USING (source)
+        |ORDER BY a.source""".stripMargin) { (s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -28,9 +28,15 @@ object ScaleData {
   private val DocOff = 10000000L
   private val VecOff = 10000000L
 
+  /** Copies per written batch: factor 1000 as one plan would be a
+    * 1000-way union (analysis cost + plan depth); appending batches of
+    * 50 keeps every plan small and the output identical. */
+  private val BatchCopies = 50
+
   private def copies(df: DataFrame, factor: Int)(
-      shift: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until factor).map(i => shift(df, i)).reduce(_ unionAll _)
+      shift: (DataFrame, Int) => DataFrame): Seq[DataFrame] =
+    (0 until factor).grouped(BatchCopies).toSeq
+      .map(is => is.map(i => shift(df, i)).reduce(_ unionAll _))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleData <srcDir> <outDir> [factor]")
@@ -46,14 +52,17 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame = Tables.load(spark, src, name)
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    def write(batches: Seq[DataFrame], name: String): Unit = {
+      batches.zipWithIndex.foreach { case (df, gi) =>
+        df.write.mode(if (gi == 0) SaveMode.Overwrite else SaveMode.Append)
+          .parquet(s"$out/$name.parquet")
+      }
       println(s"[scaledata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
     // dimensions stay fixed, like TPC-H
-    write(t("region"), "region")
-    write(t("nation"), "nation")
+    write(Seq(t("region")), "region")
+    write(Seq(t("nation")), "nation")
 
     write(copies(t("customer"), factor) { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * CustOff))

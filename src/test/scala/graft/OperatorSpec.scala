@@ -1016,6 +1016,46 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(total - 1.0) < 1e-4, s"weights must sum to ~1: $total")
   }
 
+  test("curriculumBuckets is monotone in score, ties share a bucket") {
+    // 20 docs with 1..20 tokens → nBuckets 4 gives exactly 5 docs per
+    // bucket (cumBelow multiples of total/4); two planted ties must land
+    // together
+    val docs = ((1 to 20).map(i => (i.toLong, ("w " * i).trim)) ++
+      Seq((21L, ("w " * 7).trim), (22L, ("w " * 7).trim)))
+      .toDF("doc_id", "text")
+    val out = operators.Sampling.curriculumBuckets(docs, nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.values.map(_._2).min == 1 && out.values.map(_._2).max == 4)
+    // monotone: higher score never gets a lower bucket
+    val byScore = out.values.toSeq.sortBy(_._1)
+    assert(byScore.zip(byScore.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 },
+      s"buckets must be monotone in score: $byScore")
+    assert(out(7L)._2 == out(21L)._2 && out(21L)._2 == out(22L)._2,
+      "equal scores must share a bucket")
+  }
+
+  test("corpusReport computes counts, discrete median, dup rate, lang mode") {
+    // domain A: 3 docs (two exact dups after tokenization), langs en,en,de
+    // → dup_rate 1/3, top_lang en (2/3); token counts 2,2,4 → p50 = 2
+    // (smallest value with 2*cum >= 3). domain B: one doc.
+    val docs = Seq(
+      (1L, "alpha beta", "en", "A"), (2L, "beta  alpha", "en", "A"),
+      (3L, "one two three four", "de", "A"),
+      (4L, "solo doc here", "fr", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = operators.TextAnalysis.corpusReport(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("total_tokens") == 8L)
+    assert(a.getAs[Long]("p50_tokens") == 2L, s"discrete median: $a")
+    assert(math.abs(a.getAs[Double]("dup_rate") - 1.0 / 3) < 1e-5, s"$a")
+    assert(a.getAs[String]("top_lang") == "en" &&
+      math.abs(a.getAs[Double]("top_lang_share") - 2.0 / 3) < 1e-5, s"$a")
+    assert(out("B").getAs[Double]("dup_rate") == 0.0 &&
+      out("B").getAs[String]("top_lang") == "fr")
+    operators.Dedup.releaseCaches()
+  }
+
   test("logistic fitPredict separates by label and moves from 0.5") {
     import graft.operators.Logistic
     val good = (1 to 20).map(i => (i.toLong,

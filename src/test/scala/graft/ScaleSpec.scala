@@ -303,6 +303,17 @@ class ScaleSpec extends SparkSuite {
       s"doremi output should be a broadcast-literal projection:\n$plan")
   }
 
+  test("corpusReport median comes from the histogram, not a value buffer") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = operators.TextAnalysis.corpusReport(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"median must derive from the (domain, n_tokens) histogram:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the three aggregates should share one cached scan pass:\n$plan")
+    operators.Dedup.releaseCaches()
+  }
+
   test("logistic scoring is one pass over the cached features, no shuffle") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = operators.Logistic.fitPredict(docs)
