@@ -290,6 +290,226 @@ object VectorOps {
 
   /** Canonical stopword sets for the langId heuristic (shared with
     * `TextAnalysis.stopwords` — one definition, two surfaces). */
+  private val enStopBytes: Array[Array[Byte]] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  /** Fused quality battery: one pass over the raw bytes for the
+    * punct/alpha/char counts plus one pass over the lowered bytes for the
+    * token stats, result-identical to the declarative
+    * `TextAnalysis.qualityColumnsDeclarative` composition (asserted in
+    * RegressionSpec), including its null-text semantics: Spark's
+    * `size(null)` is null, `when(null > 0, …).otherwise(0)` takes the
+    * otherwise branch, and `least`/`greatest` SKIP null children — so a
+    * null document yields (null, 0, 0, 0, 0, 0.5), which this kernel
+    * hard-codes.
+    *
+    * Exact-arithmetic argument: every count is an exact int; every ratio
+    * is one int/int double division; the composite is the same
+    * left-associated 0.25-weighted sum with min/max clamps (math.min ≡
+    * `least` for non-NaN operands, and no operand here can be NaN).
+    * Fields: n_tokens, mean_tok_len, punct_ratio, alpha_ratio,
+    * stopword_ratio, quality — all double.
+    */
+  def qualityStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, 0.0, 0.0, 0.0, 0.0, 0.5))
+    // pass 1: ORIGINAL text — code points, \p{Punct} (ASCII-only class)
+    // and [A-Za-z] counts; ASCII bytes are never UTF-8 continuations
+    val ob = text.getBytes
+    var nChars = 0L; var punct = 0L; var alpha = 0L
+    var i = 0
+    while (i < ob.length) {
+      val b = ob(i) & 0xFF
+      if ((b & 0xC0) != 0x80) nChars += 1
+      if (b >= 33 && b <= 126 &&
+        !((b >= 48 && b <= 57) || (b >= 65 && b <= 90) || (b >= 97 && b <= 122)))
+        punct += 1
+      if ((b >= 65 && b <= 90) || (b >= 97 && b <= 122)) alpha += 1
+      i += 1
+    }
+    // pass 2: LOWERED text — `\s+`-token count, summed code-point token
+    // lengths, en-stopword hits (whitespace = [ \t\n\f\r], RE2's \s)
+    val lb = text.toLowerCase.getBytes
+    var nTok = 0L; var sumLen = 0L; var sw = 0L
+    i = 0
+    val len = lb.length
+    while (i < len) {
+      val b = lb(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val st = i
+        var cps = 0L
+        while (i < len && {
+          val c = lb(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) {
+          if ((lb(i) & 0xC0) != 0x80) cps += 1
+          i += 1
+        }
+        nTok += 1; sumLen += cps
+        val tl = i - st
+        var j = 0
+        var hit = false
+        while (!hit && j < enStopBytes.length) {
+          val s = enStopBytes(j)
+          if (s.length == tl) {
+            var k = 0
+            while (k < tl && s(k) == lb(st + k)) k += 1
+            hit = k == tl
+          }
+          j += 1
+        }
+        if (hit) sw += 1
+      } else i += 1
+    }
+    val nTokD = nTok.toDouble
+    val meanLen = if (nTok > 0) sumLen.toDouble / nTokD else 0.0
+    val punctR = if (nChars > 0) punct.toDouble / nChars else 0.0
+    val alphaR = if (nChars > 0) alpha.toDouble / nChars else 0.0
+    val swR = if (nTok > 0) sw.toDouble / nTokD else 0.0
+    val comp0 = 0.25 * math.min(nTokD / 100.0, 1.0) +
+      0.25 * math.min(meanLen / 8.0, 1.0) +
+      0.25 * (1.0 - math.min(punctR * 5.0, 1.0)) +
+      0.25 * math.min(swR * 5.0, 1.0)
+    val comp = math.min(math.max(comp0, 0.0), 1.0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokD, meanLen, punctR, alphaR, swR, comp))
+  }
+
+  private val gopherStopBytes: Array[Array[Byte]] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  /** Fused Gopher rule battery, result-identical to the declarative
+    * `TextAnalysis.gopherQualityColumnsDeclarative` composition
+    * (RegressionSpec), including null-text semantics: `filter` drops
+    * null-predicate elements so stop_hits is 0 (not null) for a null doc,
+    * the `when(n>0,…).otherwise(0)` ratios are 0.0, the line fractions
+    * (no guard in the declarative form) stay null, and the keep flag is
+    * null.
+    *
+    * Exact-arithmetic notes mirroring the declarative ops:
+    *  - tokens come from LOWERED text on the `[ \t\n\f\r]+` class; token
+    *    lengths count code points;
+    *  - '#' and leftmost non-overlapping '...' are counted on the
+    *    ORIGINAL text; ellipsisCount is (3·matches)/3 via Spark's double
+    *    division — an integer-valued double, reproduced as a double here;
+    *  - lines split the ORIGINAL text on '\n' KEEPING empty segments
+    *    (Spark split has limit -1);
+    *  - bullet test: ltrim strips 0x20 only, then the first CODE POINT ∈
+    *    {'-','*','•'}; ellipsis-line test: rtrim strips 0x20, then the
+    *    last three bytes are "...";
+    *  - stop_hits counts DISTINCT Gopher stopwords present (0..8).
+    */
+  def gopherStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null)
+      // keep is FALSE, not null: mean_word_len is 0.0 (otherwise-branch),
+      // its between(3,10) is false, and null && false = false in SQL
+      // three-valued logic
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, 0.0, 0.0, 0.0, 0.0, 0, null, null, false))
+    // ---- original-text pass: '#' count, '...' count, line structure ----
+    val ob = text.getBytes
+    var hashC = 0L
+    var ellC = 0L
+    var i = 0
+    while (i < ob.length) {
+      if (ob(i) == '#') hashC += 1
+      i += 1
+    }
+    i = 0
+    while (i < ob.length) {
+      if (ob(i) == '.' && i + 2 < ob.length && ob(i + 1) == '.' && ob(i + 2) == '.') {
+        ellC += 1; i += 3
+      } else i += 1
+    }
+    // lines: segments between '\n' bytes, empties kept
+    var nLines = 0L; var bulletLines = 0L; var ellLines = 0L
+    var ls = 0
+    i = 0
+    while (i <= ob.length) {
+      if (i == ob.length || ob(i) == '\n') {
+        nLines += 1
+        // ltrim spaces, then first code point in {'-','*','•'}
+        var a = ls
+        while (a < i && ob(a) == ' ') a += 1
+        if (a < i) {
+          val b0 = ob(a) & 0xFF
+          // '-', '*', or '•' (U+2022 = E2 80 A2) as the first code point
+          if (b0 == '-' || b0 == '*' ||
+            (b0 == 0xE2 && a + 2 < i &&
+              (ob(a + 1) & 0xFF) == 0x80 && (ob(a + 2) & 0xFF) == 0xA2))
+            bulletLines += 1
+        }
+        // rtrim spaces, then endswith "..."
+        var e = i
+        while (e > ls && ob(e - 1) == ' ') e -= 1
+        if (e - ls >= 3 && ob(e - 1) == '.' && ob(e - 2) == '.' && ob(e - 3) == '.')
+          ellLines += 1
+        ls = i + 1
+      }
+      i += 1
+    }
+    // ---- lowered-text pass: token count, summed lengths, alpha tokens,
+    // distinct Gopher stopword presence ----
+    val lb = text.toLowerCase.getBytes
+    var nTok = 0L; var sumLen = 0L; var alphaTok = 0L
+    val stopSeen = new Array[Boolean](gopherStopBytes.length)
+    i = 0
+    val len = lb.length
+    while (i < len) {
+      val b = lb(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val st = i
+        var cps = 0L
+        var hasAlpha = false
+        while (i < len && {
+          val c = lb(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) {
+          if ((lb(i) & 0xC0) != 0x80) cps += 1
+          if (lb(i) >= 'a' && lb(i) <= 'z') hasAlpha = true
+          i += 1
+        }
+        nTok += 1; sumLen += cps
+        if (hasAlpha) alphaTok += 1
+        val tl = i - st
+        var j = 0
+        while (j < gopherStopBytes.length) {
+          if (!stopSeen(j)) {
+            val s = gopherStopBytes(j)
+            if (s.length == tl) {
+              var k = 0
+              while (k < tl && s(k) == lb(st + k)) k += 1
+              if (k == tl) stopSeen(j) = true
+            }
+          }
+          j += 1
+        }
+      } else i += 1
+    }
+    var stopHits = 0
+    var j = 0
+    while (j < stopSeen.length) { if (stopSeen(j)) stopHits += 1; j += 1 }
+    val nD = nTok.toDouble
+    val meanWordLen = if (nTok > 0) sumLen.toDouble / nD else 0.0
+    val ellCountD = (3.0 * ellC) / 3.0 // Spark: (int diff) / 3 in double
+    val hashRatio = if (nTok > 0) hashC.toDouble / nD else 0.0
+    val ellRatio = if (nTok > 0) ellCountD / nD else 0.0
+    val alphaFrac = if (nTok > 0) alphaTok.toDouble / nD else 0.0
+    val bulletFrac = bulletLines.toDouble / nLines.toDouble
+    val ellLineFrac = ellLines.toDouble / nLines.toDouble
+    val keep = nTok >= 50 && nTok <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      hashRatio < 0.1 && ellRatio < 0.1 &&
+      bulletFrac < 0.9 && ellLineFrac < 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, meanWordLen, hashRatio, ellRatio, alphaFrac,
+        stopHits, bulletFrac, ellLineFrac, keep))
+  }
+
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),

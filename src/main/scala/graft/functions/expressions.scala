@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -202,6 +203,98 @@ case class ArgmaxCosineExpr(child: Expression, cents: Array[Float],
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused quality battery over a raw text column → struct of six doubles
+  * (n_tokens, mean_tok_len, punct_ratio, alpha_ratio, stopword_ratio,
+  * quality). Result-identical to TextAnalysis.qualityColumnsDeclarative
+  * (RegressionSpec), INCLUDING its null-text semantics — a null doc
+  * yields (null, 0, 0, 0, 0, 0.5), not a null struct, so this expression
+  * is non-nullable and handles null input itself (no nullSafeEval
+  * short-circuit).
+  */
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = QualityStatsExpr.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.qualityStats(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |$jt ${ev.value} = graft.functions.VectorOps.qualityStats(
+        |  ${c.isNull} ? null : ${c.value});""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QualityStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", DoubleType, nullable = true),
+    StructField("mean_tok_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+}
+
+/** Fused Gopher rule battery over a raw text column → struct of nine
+  * fields (n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+  * alpha_word_frac, stop_hits, bullet_line_frac, ellipsis_line_frac,
+  * gopher_keep). Result-identical to
+  * TextAnalysis.gopherQualityColumnsDeclarative (RegressionSpec),
+  * including null-text semantics (stop_hits 0, ratios 0.0, line
+  * fractions and keep flag null) — so the expression is non-nullable and
+  * handles null input itself.
+  */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GopherStatsExpr.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.gopherStats(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |$jt ${ev.value} = graft.functions.VectorOps.gopherStats(
+        |  ${c.isNull} ? null : ${c.value});""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GopherStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = true),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("hash_ratio", DoubleType, nullable = false),
+    StructField("ellipsis_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_frac", DoubleType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = true),
+    StructField("ellipsis_line_frac", DoubleType, nullable = true),
+    StructField("gopher_keep", BooleanType, nullable = true)))
 }
 
 /** 64-bit SimHash of an array<string> of tokens. */

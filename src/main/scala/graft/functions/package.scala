@@ -79,6 +79,19 @@ package object functions {
   def char_entropy(text: Column): Column =
     col0(CharEntropyExpr(expr0(text)))
 
+  /** Fused quality battery: struct(n_tokens, mean_tok_len, punct_ratio,
+    * alpha_ratio, stopword_ratio, quality) — result-identical to the
+    * declarative composition incl. null-text semantics (RegressionSpec);
+    * see VectorOps.qualityStats. */
+  def quality_stats(text: Column): Column =
+    col0(QualityStatsExpr(expr0(text)))
+
+  /** Fused Gopher rule battery: struct of the nine §A1.1.2 signals —
+    * result-identical to the declarative composition incl. null-text
+    * semantics (RegressionSpec); see VectorOps.gopherStats. */
+  def gopher_stats(text: Column): Column =
+    col0(GopherStatsExpr(expr0(text)))
+
   /** Fused PQ encode: per-subspace argmin-L2 codeword bytes over
     * flat-packed codebooks (bit-identical to the declarative
     * slice/zip_with/array_min form; see [[PqEncodeExpr]]). */

@@ -49,8 +49,26 @@ object TextAnalysis {
   /** Quality feature columns for a text column (all in [0,1]-ish ranges):
     * n_tokens, mean token length, punctuation ratio, stopword ratio (en),
     * alpha ratio, and a clamped composite score.
+    *
+    * Runs as the fused one-pass `quality_stats` kernel (the six field
+    * references share ONE evaluation via subexpression elimination);
+    * the composed-builtins specification it must match bit-for-bit stays
+    * below (RegressionSpec asserts identity, including null-text
+    * semantics).
     */
   def qualityColumns(text: Column): Seq[Column] = {
+    val q = quality_stats(text)
+    Seq(q.getField("n_tokens").as("n_tokens"),
+      q.getField("mean_tok_len").as("mean_tok_len"),
+      q.getField("punct_ratio").as("punct_ratio"),
+      q.getField("alpha_ratio").as("alpha_ratio"),
+      q.getField("stopword_ratio").as("stopword_ratio"),
+      q.getField("quality").as("quality"))
+  }
+
+  /** The composed-builtins form of [[qualityColumns]] — the kernel's
+    * semantic specification, asserted bit-identical in RegressionSpec. */
+  private[graft] def qualityColumnsDeclarative(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val meanLen = when(nTok > 0,
@@ -80,10 +98,25 @@ object TextAnalysis {
     * same bits — the whole rule battery is oracle-checkable.
     *
     * Scale: pure per-row projection over the scan — no shuffle, no UDFs.
-    * The repetition signals ([[gopherRepetition]]) are separate
-    * because their cost model differs (quadratic in distinct grams).
+    * Runs as the fused one-pass `gopher_stats` kernel (the interpreted
+    * HOF folds of the declarative form cost ~14× more at sf10); the
+    * composed-builtins specification stays below for the RegressionSpec
+    * bit-identity assert. The repetition signals ([[gopherRepetition]])
+    * are separate because their cost model differs (quadratic in
+    * distinct grams).
     */
   def gopherQualityColumns(text: Column): Seq[Column] = {
+    val g = gopher_stats(text)
+    Seq("n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+      "alpha_word_frac", "stop_hits", "bullet_line_frac",
+      "ellipsis_line_frac", "gopher_keep")
+      .map(f => g.getField(f).as(f))
+  }
+
+  /** The composed-builtins form of [[gopherQualityColumns]] — the
+    * kernel's semantic specification, asserted bit-identical in
+    * RegressionSpec. */
+  private[graft] def gopherQualityColumnsDeclarative(text: Column): Seq[Column] = {
     val tk = tokens(text)
     val n = size(tk)
     val nD = n.cast("double")

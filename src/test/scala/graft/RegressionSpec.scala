@@ -174,6 +174,71 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs where fused char_entropy differs bit-for-bit")
   }
 
+  test("fused quality_stats is bit-identical to the declarative battery") {
+    // fixture docs + adversarial edges: null text, empty text, whitespace
+    // only, unicode incl. Turkish İ (whose lowering ADDS a code point),
+    // punctuation-heavy, stopword-only, and CJK
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (940001L, null.asInstanceOf[String]),
+        (940002L, ""),
+        (940003L, " \t\n "),
+        (940004L, "İstanbul İİ deniz"),
+        (940005L, "!!! ??? ,,, ;;; ### $$$"),
+        (940006L, "the a and of to in is that it for"),
+        (940007L, "的人在有我他 mixed 的"),
+        (940008L, "touché naïve café"))
+        .toDF("doc_id", "text"))
+    val fields = Seq("n_tokens", "mean_tok_len", "punct_ratio",
+      "alpha_ratio", "stopword_ratio", "quality")
+    val fused = operators.TextAnalysis.qualityColumns($"text")
+    val composed = operators.TextAnalysis.qualityColumnsDeclarative($"text")
+    val both = docs.select(
+      $"doc_id" +:
+        (fused.zip(fields).map { case (c, f) => c.as(s"f_$f") } ++
+          composed.zip(fields).map { case (c, f) => c.as(s"c_$f") }): _*)
+    fields.foreach { f =>
+      val bad = both.filter(not(col(s"f_$f") <=> col(s"c_$f")))
+      assert(bad.count() == 0,
+        s"$f differs: ${bad.select("doc_id", s"f_$f", s"c_$f").head(3).mkString(", ")}")
+    }
+  }
+
+  test("fused gopher_stats is bit-identical to the declarative battery") {
+    // fixture docs + line-structure and boundary edges: bullets (ascii +
+    // '•'), indented bullets, trailing-space ellipsis lines, '....' runs
+    // (non-overlapping '...' count), '#' spam, null/empty/ws-only text,
+    // trailing newline (split keeps the empty segment)
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (950001L, null.asInstanceOf[String]),
+        (950002L, ""),
+        (950003L, " \t "),
+        (950004L, "- item one\n  * item two\n• bullet three\nplain"),
+        (950005L, "to be continued...   \nnext line....\nend"),
+        (950006L, "#tag #tag #tag the of and that"),
+        (950007L, "line with trailing newline\n"),
+        (950008L, "the be to of and that have with all eight stops"),
+        (950009L, "naïve café 的人在有 mixed…"))
+        .toDF("doc_id", "text"))
+    val fields = Seq("n_words", "mean_word_len", "hash_ratio",
+      "ellipsis_ratio", "alpha_word_frac", "stop_hits",
+      "bullet_line_frac", "ellipsis_line_frac", "gopher_keep")
+    val fused = operators.TextAnalysis.gopherQualityColumns($"text")
+    val composed = operators.TextAnalysis.gopherQualityColumnsDeclarative($"text")
+    val both = docs.select(
+      $"doc_id" +:
+        (fused.zip(fields).map { case (c, f) => c.as(s"f_$f") } ++
+          composed.zip(fields).map { case (c, f) => c.as(s"c_$f") }): _*)
+    fields.foreach { f =>
+      val bad = both.filter(not(col(s"f_$f") <=> col(s"c_$f")))
+      assert(bad.count() == 0,
+        s"$f differs: ${bad.select("doc_id", s"f_$f", s"c_$f").head(3).mkString(", ")}")
+    }
+  }
+
   test("shingle_hashes jaccard equals string-set jaccard") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
       .select($"doc_id", $"text")
