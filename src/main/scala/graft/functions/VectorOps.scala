@@ -290,9 +290,22 @@ object VectorOps {
 
   /** Canonical stopword sets for the langId heuristic (shared with
     * `TextAnalysis.stopwords` — one definition, two surfaces). */
-  private val enStopBytes: Array[Array[Byte]] =
-    Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
-      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "por", "con"),
+    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "con", "non"))
+
+  /** Canonical Gopher stopword list (arXiv:2112.11446 §A1.1.2 — shared
+    * with the declarative battery in TextAnalysis; one definition). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def toBytes(ws: Seq[String]): Array[Array[Byte]] =
+    ws.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  private val enStopBytes: Array[Array[Byte]] = toBytes(stopwords("en"))
 
   /** Fused quality battery: one pass over the raw bytes for the
     * punct/alpha/char counts plus one pass over the lowered bytes for the
@@ -377,9 +390,7 @@ object VectorOps {
       Array[Any](nTokD, meanLen, punctR, alphaR, swR, comp))
   }
 
-  private val gopherStopBytes: Array[Array[Byte]] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private val gopherStopBytes: Array[Array[Byte]] = toBytes(gopherStops)
 
   /** Fused Gopher rule battery, result-identical to the declarative
     * `TextAnalysis.gopherQualityColumnsDeclarative` composition
@@ -509,13 +520,6 @@ object VectorOps {
       Array[Any](nTok, meanWordLen, hashRatio, ellRatio, alphaFrac,
         stopHits, bulletFrac, ellLineFrac, keep))
   }
-
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
-    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "por", "con"),
-    "it" -> Seq("il", "la", "gli", "e", "che", "un", "una", "per", "con", "non"))
 
   private val langIdLangs: Array[String] = stopwords.keys.toArray.sorted
   private val langIdMaxSwLen = stopwords.valuesIterator.flatten.map(_.length).max

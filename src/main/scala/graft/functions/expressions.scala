@@ -255,8 +255,8 @@ object QualityStatsExpr {
   * gopher_keep). Result-identical to
   * TextAnalysis.gopherQualityColumnsDeclarative (RegressionSpec),
   * including null-text semantics (stop_hits 0, ratios 0.0, line
-  * fractions and keep flag null) — so the expression is non-nullable and
-  * handles null input itself.
+  * fractions null, and gopher_keep FALSE — null && false is false) — so
+  * the expression is non-nullable and handles null input itself.
   */
 case class GopherStatsExpr(child: Expression) extends UnaryExpression {
 

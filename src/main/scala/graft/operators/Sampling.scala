@@ -138,7 +138,12 @@ object Sampling {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val scored = docs.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("score"))
-    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    // null scores (null-text docs) stay OUT of the histogram: they can't
+    // be bucketed (the equi-join below drops them on both engines), and a
+    // null histogram row would sit at opposite window ends cross-engine
+    // (Spark orders nulls first, DuckDB last), shifting every cum_below
+    val hist = scored.filter(col("score").isNotNull)
+      .groupBy(col("score")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
     val cum = hist
       .withColumn("cum_below", coalesce(
@@ -186,10 +191,17 @@ object Sampling {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nll = TextAnalysis.unigramPerplexity(docs, textCol, idCol)
       .select(col(idCol), col("avg_nll"))
+    // NULL domains never survive the oracle's inner `JOIN ... USING
+    // (source)`, and a null map key would NPE the sort below — drop them
+    // here so both engines see the same domain set. avg() skips null
+    // avg_nll (token-free docs), and a domain with NO scored docs gets a
+    // null mean, which must also drop (the oracle's a3 has no such row).
     val domStats = docs.select(col(idCol), col(domainCol))
+      .filter(col(domainCol).isNotNull)
       .join(nll, Seq(idCol))
       .groupBy(col(domainCol))
       .agg(avg(col("avg_nll")).as("dom_nll"))
+      .filter(col("dom_nll").isNotNull)
       .collect()
       .map(r => r.getString(0) -> r.getDouble(1))
       .sortBy(_._1)
@@ -205,9 +217,13 @@ object Sampling {
     }
     val excessMap = domStats.indices.map(i => domStats(i)._1 -> excess(i)).toMap
     val alphaMap = domStats.indices.map(i => domStats(i)._1 -> alpha(i)).toMap
-    docs.select(col(idCol), col(domainCol),
-      round(element_at(typedlit(excessMap), col(domainCol)), 6).as("dom_excess"),
-      round(element_at(typedlit(alphaMap), col(domainCol)), 6).as("dom_weight"))
+    // emit exactly the docs the oracle's inner join keeps: known domains
+    // only (null domains and all-token-free domains have no weight row)
+    docs.select(col(idCol), col(domainCol))
+      .filter(col(domainCol).isInCollection(alphaMap.keys.toSeq))
+      .select(col(idCol), col(domainCol),
+        round(element_at(typedlit(excessMap), col(domainCol)), 6).as("dom_excess"),
+        round(element_at(typedlit(alphaMap), col(domainCol)), 6).as("dom_weight"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score

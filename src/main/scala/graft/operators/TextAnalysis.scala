@@ -130,7 +130,7 @@ object TextAnalysis {
     val ellipsisRatio = when(n > 0, ellipsisCount.cast("double") / nD).otherwise(lit(0.0))
     val alphaFrac = when(n > 0,
       size(filter(tk, t => t.rlike("[a-z]"))).cast("double") / nD).otherwise(lit(0.0))
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val gopherStops = VectorOps.gopherStops
     val stopHits = size(filter(
       array(gopherStops.map(lit): _*), w => array_contains(tk, w)))
     val lines = split(text, "\n")
@@ -357,7 +357,13 @@ object TextAnalysis {
     */
   def unigramPerplexity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", alpha: Double = 1.0): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    // the exploded token projection feeds the model fit, BOTH driver-side
+    // scalars, and the scoring join — persist it so the scan+tokenize
+    // pipeline runs once (released via Dedup.releaseCaches, same contract
+    // as the signature caches)
+    val toks = Caches.register(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val vocab = cnt.count()
     val total = toks.count()
@@ -517,7 +523,13 @@ object TextAnalysis {
       sum(col("n_tokens")).as("total_tokens"),
       round(avg(col("q")), 6).as("mean_quality"),
       countDistinct(col("fp")).as("n_fp"))
-    val hist = base.groupBy(col(domainCol), col("n_tokens"))
+    // null n_tokens (null-text docs) stays out of the median histogram:
+    // a null row would sit at opposite window ends cross-engine (Spark
+    // orders nulls first, DuckDB last) and shift every cum; the median is
+    // over docs WITH tokens (a domain of only null docs drops from the
+    // report via the inner join, on both engines)
+    val hist = base.filter(col("n_tokens").isNotNull)
+      .groupBy(col(domainCol), col("n_tokens"))
       .agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("n_tokens"))
@@ -527,8 +539,12 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col(domainCol)).agg(min(col("n_tokens")).as("p50_tokens"))
+    // asc_nulls_last pins the tiebreak to DuckDB's default (nulls LAST in
+    // ASC) — Spark's nulls-first default would let a null lang WIN a
+    // count tie that the oracle resolves to the real language
     val wLang = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol)).orderBy(col("lc").desc, col(langCol))
+      .partitionBy(col(domainCol))
+      .orderBy(col("lc").desc, col(langCol).asc_nulls_last)
     val topLang = base.groupBy(col(domainCol), col(langCol))
       .agg(count(lit(1)).as("lc"))
       .withColumn("rn", row_number().over(wLang))

@@ -474,7 +474,8 @@ object Curation {
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS score
         |  FROM documents),
-        |hist AS (SELECT score, count(*) AS c FROM scored GROUP BY 1),
+        |hist AS (SELECT score, count(*) AS c FROM scored
+        |  WHERE score IS NOT NULL GROUP BY 1),
         |cum AS (SELECT score,
         |    CAST(sum(c) OVER (ORDER BY score) - c AS BIGINT) AS cum_below,
         |    (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS total
@@ -539,8 +540,12 @@ object Curation {
         |  FROM toks t JOIN cnt USING (token) CROSS JOIN consts
         |  GROUP BY t.doc_id),
         |dom AS (
+        |  -- NULL sources are excluded HERE, not just at the final join:
+        |  -- a null-domain row would otherwise inflate k and shift the
+        |  -- min-NLL reference, changing every weight
         |  SELECT d.source, avg(n.avg_nll) AS dom_nll
-        |  FROM documents d JOIN nll n USING (doc_id) GROUP BY 1),
+        |  FROM documents d JOIN nll n USING (doc_id)
+        |  WHERE d.source IS NOT NULL GROUP BY 1),
         |ex AS (SELECT source,
         |         greatest(0.0, dom_nll - (SELECT min(dom_nll) FROM dom)) AS excess
         |       FROM dom),

@@ -1119,7 +1119,8 @@ object Pipeline {
         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |    round(avg(q), 6) AS mean_quality, count(DISTINCT fp) AS n_fp
         |  FROM base GROUP BY 1),
-        |hist AS (SELECT source, n_tokens, count(*) AS c FROM base GROUP BY 1, 2),
+        |hist AS (SELECT source, n_tokens, count(*) AS c FROM base
+        |  WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT source, n_tokens,
         |    sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
         |    sum(c) OVER (PARTITION BY source) AS tot FROM hist),
