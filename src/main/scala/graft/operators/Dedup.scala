@@ -452,6 +452,74 @@ object Dedup {
           size(col("gh")).cast("double")).as("dup_frac"))
   }
 
+  /** Winnowing fingerprint selection + cross-doc overlap (Schleimer et
+    * al. 2003, the MOSS algorithm): hash every k-token gram, then in each
+    * sliding window of `w` consecutive gram positions select the MINIMUM
+    * hash (ties → the RIGHTMOST occurrence, the paper's density
+    * optimization), dedupe the selected (hash, pos) pairs across
+    * overlapping windows. Guarantees every shared substring of length ≥
+    * w+k-1 tokens contributes at least one shared fingerprint while
+    * storing only ~2/(w+1) of the grams — the classic robust alternative
+    * to fixed-stride span sampling ([[crossDocSpans]] keeps ALL grams).
+    *
+    * Replayability: hashes are md5 hex strings (lexicographic min is
+    * engine-stable); the rightmost-min position comes from the reversed
+    * window slice via first-position arithmetic — the IDENTICAL
+    * formulation in Spark and SQL. Docs with fewer than w grams winnow
+    * over one short window (global min), matching the truncating slice on
+    * both engines. All output ratios are single int/int divisions.
+    *
+    * Scale shape: selection is map-side (per-row array fold, O(grams·w));
+    * only the selected ~2/(w+1) fraction of (id, 16-byte hash) pairs ever
+    * shuffles for the cross-doc pass (same min!=max shape as
+    * crossDocSpans) — winnowing cuts the exchange volume by the same
+    * factor it cuts storage.
+    */
+  def winnowStats(docs: DataFrame, k: Int = 5, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val gh = transform(word_shingles(tokens(col(textCol)), k), g => md5(g))
+    // let-bind the hash array; per window j (1-based): slice of w hashes,
+    // rightmost min via reverse + first-position
+    // fingerprints encode as "md5hex:pos" STRINGS (md5 is fixed 32 hex
+    // chars, so the hash recovers via substring) — DuckDB's list_distinct
+    // has no struct support, and string dedup is engine-identical
+    val fps = element_at(transform(array(gh), hs => {
+      val nW = greatest(size(hs) - (w - 1), lit(1))
+      array_distinct(transform(sequence(lit(1), nW), j => {
+        val win = slice(hs, j, lit(w))
+        val mv = array_min(win)
+        val pos = j + (size(win) - array_position(reverse(win), mv)).cast("int")
+        concat(mv, lit(":"), pos.cast("string"))
+      }))
+    }), 1)
+    val base = Caches.register(
+      Par.ensure(docs, col(idCol)).select(col(idCol).as("id"),
+          size(gh).as("n_grams"), fps.as("fps"))
+        // filter on the GRAM count: a null text yields a NULL gram array,
+        // which word_shingles preserves and the window fold turns into a
+        // phantom [null] fingerprint list — size(fps) > 0 would keep it
+        .filter(col("n_grams") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = base.select(col("id"), explode(col("fps")).as("f"))
+      .select(col("id"), substring(col("f"), 1, 32).as("h")).distinct()
+    val crossDup = ex.groupBy(col("h"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val perDoc = ex.join(crossDup, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_grams").cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        round(size(col("fps")).cast("double") / col("n_grams"), 6)
+          .as("density"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          size(col("fps")), 6).as("shared_frac"))
+  }
+
   /** C4-style corpus-level segment dedup WITH REWRITE (Raffel et al. 2020,
     * arXiv:1910.10683 §2.2 "we discarded all but one of any three-sentence
     * span occurring more than once"): where [[crossDocSpans]] only measures

@@ -140,6 +140,43 @@ object Pipeline {
     },
 
     QuerySpec(
+      "dedup_winnow",
+      // Winnowing fingerprints (Schleimer et al. 2003): per window of 4
+      // gram positions, the minimum md5 (lexicographic — engine-stable)
+      // at its RIGHTMOST position via the identical reverse+first-pos
+      // arithmetic on both sides; (hash,pos) pairs dedupe across
+      // overlapping windows. Ratios round-6.
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+        |        list_transform(generate_series(1, len(tk)-4), i ->
+        |          md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))
+        |      ELSE [] END AS gh FROM toks),
+        |gnz AS (SELECT * FROM g WHERE len(gh) > 0),
+        |fp AS (SELECT doc_id, len(gh) AS n_grams,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(gh)-3, 1)), j ->
+        |      list_aggregate(gh[j:j+3], 'min') || ':' ||
+        |      CAST(CAST(j + len(gh[j:j+3])
+        |        - list_position(list_reverse(gh[j:j+3]), list_aggregate(gh[j:j+3], 'min')) AS INT) AS VARCHAR)
+        |    )) AS fps
+        |  FROM gnz),
+        |fnz AS (SELECT * FROM fp WHERE len(fps) > 0),
+        |ex AS (SELECT DISTINCT doc_id, substr(f, 1, 32) AS h
+        |       FROM (SELECT doc_id, unnest(fps) AS f FROM fnz)),
+        |cd AS (SELECT h FROM ex GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |pd AS (SELECT e.doc_id, count(*) AS n_shared
+        |       FROM ex e JOIN cd USING (h) GROUP BY 1)
+        |SELECT f.doc_id, CAST(f.n_grams AS BIGINT) AS n_grams,
+        |  CAST(len(f.fps) AS BIGINT) AS n_fp,
+        |  round(CAST(len(f.fps) AS DOUBLE) / f.n_grams, 6) AS density,
+        |  CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(pd.n_shared, 0) AS DOUBLE) / len(f.fps), 6) AS shared_frac
+        |FROM fnz f LEFT JOIN pd USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.winnowStats(t(s, dir, "documents"), k = 5, w = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "dedup_lines",
       // C4-style segment dedup WITH REWRITE (arXiv:1910.10683 §2.2):
       // duplicated 15-token segments are dropped from all but their first

@@ -1016,6 +1016,27 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(total - 1.0) < 1e-4, s"weights must sum to ~1: $total")
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared spans") {
+    // docs 1 and 2 share a 12-token span; with k=5, w=4 any shared
+    // substring of >= w+k-1 = 8 tokens MUST yield >= 1 shared
+    // fingerprint (the winnowing guarantee). doc 3 is disjoint. Density
+    // must be well under 1 (that's the point of winnowing).
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve"),
+      (3L, "completely different words nothing here matches at all today ok"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.winnowStats(docs, k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_shared") >= 1L, s"guarantee violated: ${out(1L)}")
+    assert(out(2L).getAs[Long]("n_shared") >= 1L, s"guarantee violated: ${out(2L)}")
+    assert(out(3L).getAs[Long]("n_shared") == 0L, s"false positive: ${out(3L)}")
+    val density = out(1L).getAs[Double]("density")
+    assert(density < 0.9 && density > 0.0, s"density not thinning: $density")
+    operators.Dedup.releaseCaches()
+  }
+
   test("curriculumBuckets is monotone in score, ties share a bucket") {
     // 20 docs with 1..20 tokens → nBuckets 4 gives exactly 5 docs per
     // bucket (cumBelow multiples of total/4); two planted ties must land
