@@ -392,6 +392,60 @@ object VectorOps {
 
   private val gopherStopBytes: Array[Array[Byte]] = toBytes(gopherStops)
 
+  /** Fused readability COUNTS (the expensive part of the Flesch/FK
+    * battery — the formulas stay declarative): sentence runs `[.!?]+` on
+    * the ORIGINAL text, `\s+` tokens of the LOWERED text, and per-token
+    * vowel-group runs `[aeiouy]+` (min 1 per token). Result-identical to
+    * the regexp_extract_all composition (RegressionSpec): the ASCII
+    * classes never match UTF-8 continuation bytes, and lowercasing maps
+    * non-whitespace to non-whitespace so the token walk segments exactly
+    * like `split(lower(text), ws)`.
+    *
+    * Null-text semantics mirror the declarative forms: `greatest` skips
+    * the null regexp count so n_sents is 1; n_words/n_syllables are null.
+    */
+  def readCounts(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](1L, null, null))
+    val ob = text.getBytes
+    var sentRuns = 0L
+    var inRun = false
+    var i = 0
+    while (i < ob.length) {
+      val s = ob(i) == '.' || ob(i) == '!' || ob(i) == '?'
+      if (s && !inRun) sentRuns += 1
+      inRun = s
+      i += 1
+    }
+    val nSents = math.max(sentRuns, 1L)
+    val lb = text.toLowerCase.getBytes
+    var nTok = 0L; var nSyll = 0L
+    i = 0
+    val len = lb.length
+    while (i < len) {
+      val b = lb(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        var runs = 0L
+        var inV = false
+        while (i < len && {
+          val c = lb(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) {
+          val v = lb(i) == 'a' || lb(i) == 'e' || lb(i) == 'i' ||
+            lb(i) == 'o' || lb(i) == 'u' || lb(i) == 'y'
+          if (v && !inV) runs += 1
+          inV = v
+          i += 1
+        }
+        nTok += 1
+        nSyll += math.max(runs, 1L)
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nSents, nTok, nSyll))
+  }
+
   /** Fused Gopher rule battery, result-identical to the declarative
     * `TextAnalysis.gopherQualityColumnsDeclarative` composition
     * (RegressionSpec), including null-text semantics: `filter` drops

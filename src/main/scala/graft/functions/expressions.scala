@@ -297,6 +297,46 @@ object GopherStatsExpr {
     StructField("gopher_keep", BooleanType, nullable = true)))
 }
 
+/** Fused readability counts over a raw text column → struct(n_sents,
+  * n_words, n_syllables) as longs. Result-identical to the
+  * regexp_extract_all composition (RegressionSpec) incl. null-text
+  * semantics (n_sents 1 — greatest skips the null count — and null
+  * word/syllable counts), so the expression is non-nullable and handles
+  * null input itself.
+  */
+case class ReadCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ReadCountsExpr.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.readCounts(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |$jt ${ev.value} = graft.functions.VectorOps.readCounts(
+        |  ${c.isNull} ? null : ${c.value});""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ReadCountsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_sents", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = true),
+    StructField("n_syllables", LongType, nullable = true)))
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -86,6 +86,12 @@ package object functions {
   def quality_stats(text: Column): Column =
     col0(QualityStatsExpr(expr0(text)))
 
+  /** Fused readability counts: struct(n_sents, n_words, n_syllables) —
+    * result-identical to the regexp_extract_all composition incl.
+    * null-text semantics (RegressionSpec); see VectorOps.readCounts. */
+  def read_counts(text: Column): Column =
+    col0(ReadCountsExpr(expr0(text)))
+
   /** Fused Gopher rule battery: struct of the nine §A1.1.2 signals —
     * result-identical to the declarative composition incl. null-text
     * semantics (RegressionSpec); see VectorOps.gopherStats. */

@@ -446,10 +446,32 @@ object TextAnalysis {
     * DuckDB's RE2 agree on these ASCII classes), so only the two final
     * formula divisions need round-6. Map-side only, one pass.
     *
-    * The per-word fold reads the let-bound token array (lambda variable),
-    * so the interpreted HOF costs O(tokens), not O(tokens × split).
+    * The three COUNTS run as the fused one-pass `read_counts` kernel
+    * (the per-word regexp_extract_all of the declarative form was the
+    * battery's whole cost); the formulas stay declarative, so
+    * bit-identity with the spec below reduces to the counts
+    * (RegressionSpec asserts the full battery anyway).
     */
   def readabilityColumns(text: Column): Seq[Column] = {
+    val r = read_counts(text)
+    val nSents = r.getField("n_sents").cast("double")
+    val nWords = r.getField("n_words").cast("double")
+    val nSyll = r.getField("n_syllables").cast("double")
+    val wps = nWords / nSents
+    val spw = when(nWords > 0, nSyll / nWords).otherwise(lit(0.0))
+    Seq(
+      nSents.cast("long").as("n_sents"),
+      nWords.cast("long").as("n_words"),
+      nSyll.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
+  }
+
+  /** The composed-builtins form of [[readabilityColumns]] — the kernel's
+    * semantic specification, asserted bit-identical in RegressionSpec.
+    * The per-word fold reads the let-bound token array (lambda variable),
+    * so the interpreted HOF costs O(tokens), not O(tokens × split). */
+  private[graft] def readabilityColumnsDeclarative(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val nSents = greatest(
       size(call_function("regexp_extract_all", text, lit("[.!?]+"), lit(0))),

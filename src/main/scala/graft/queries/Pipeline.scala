@@ -1079,9 +1079,12 @@ object Pipeline {
         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // the token-presence filter reads the KERNEL's word count — a
+      // size(tokens(...)) predicate would re-tokenize through the
+      // interpreted HOF filter and cost more than the whole battery
       t(s, dir, "documents")
-        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id") +: TextAnalysis.readabilityColumns(col("text")): _*)
+        .filter(col("n_words") > 0)
         .orderBy(col("doc_id"))
     },
 

@@ -239,6 +239,32 @@ class RegressionSpec extends SparkSuite {
     }
   }
 
+  test("fused read_counts battery is bit-identical to the declarative form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (960001L, null.asInstanceOf[String]),
+        (960002L, ""),
+        (960003L, "no sentence marks here"),
+        (960004L, "one. two! three? runs!?. collapse"),
+        (960005L, "rhythm gym fly by"), // zero-vowel-ish words floor at 1
+        (960006L, "Queueing AEIOU yyy naïve"),
+        (960007L, "的人在有 mixed vowels aeiou"))
+        .toDF("doc_id", "text"))
+    val fields = Seq("n_sents", "n_words", "n_syllables", "flesch_ease", "fk_grade")
+    val fused = operators.TextAnalysis.readabilityColumns($"text")
+    val composed = operators.TextAnalysis.readabilityColumnsDeclarative($"text")
+    val both = docs.select(
+      $"doc_id" +:
+        (fused.zip(fields).map { case (c, f) => c.as(s"f_$f") } ++
+          composed.zip(fields).map { case (c, f) => c.as(s"c_$f") }): _*)
+    fields.foreach { f =>
+      val bad = both.filter(not(col(s"f_$f") <=> col(s"c_$f")))
+      assert(bad.count() == 0,
+        s"$f differs: ${bad.select("doc_id", s"f_$f", s"c_$f").head(3).mkString(", ")}")
+    }
+  }
+
   test("shingle_hashes jaccard equals string-set jaccard") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
       .select($"doc_id", $"text")
