@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashText, NormalizeText, SimHash64}
+import graft.functions.{CharEntropyExpr, CosineSimilarity, GopherStatsExpr, LangIdExpr, MinHashSignature, MinHashText, NormalizeText, QualityStatsExpr, ReadCountsExpr, SimHash64}
 
 /** SparkSessionExtensions entry point — the idiomatic injection path for
   * the custom expressions, so any session (including spark-sql / thrift /
@@ -78,5 +78,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("normalize_text", exprs, 1, 1)
         NormalizeText(exprs(0))
       }))
+    // the one-pass text kernels, SQL-callable like their Column twins
+    Seq[(String, Class[_], Expression => Expression)](
+      ("lang_id", classOf[LangIdExpr], LangIdExpr(_)),
+      ("char_entropy", classOf[CharEntropyExpr], CharEntropyExpr(_)),
+      ("quality_stats", classOf[QualityStatsExpr], QualityStatsExpr(_)),
+      ("gopher_stats", classOf[GopherStatsExpr], GopherStatsExpr(_)),
+      ("read_counts", classOf[ReadCountsExpr], ReadCountsExpr(_))
+    ).foreach { case (name, cls, mk) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => {
+          arity(name, exprs, 1, 1)
+          mk(exprs(0))
+        }))
+    }
   }
 }

@@ -174,6 +174,20 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs where fused char_entropy differs bit-for-bit")
   }
 
+  test("SQL surface exposes the one-pass text kernels") {
+    Seq((1L, "the cat sat. it was flat!"))
+      .toDF("id", "text").createOrReplaceTempView("kern_docs")
+    val row = spark.sql(
+      """SELECT lang_id(text) AS l, char_entropy(text) AS e,
+        |  quality_stats(text).quality AS q,
+        |  gopher_stats(text).stop_hits AS g,
+        |  read_counts(text).n_sents AS s
+        |FROM kern_docs""".stripMargin).collect().head
+    assert(row.getString(0) == "en", s"lang_id via SQL: $row")
+    assert(row.getDouble(1) > 0.0 && row.getDouble(2) > 0.0, s"$row")
+    assert(row.getInt(3) >= 1 && row.getLong(4) == 2L, s"$row")
+  }
+
   test("fused quality_stats is bit-identical to the declarative battery") {
     // fixture docs + adversarial edges: null text, empty text, whitespace
     // only, unicode incl. Turkish İ (whose lowering ADDS a code point),
