@@ -116,23 +116,60 @@ object Tables {
     * ns-since-epoch and truncated to µs TimestampType — the same values
     * DuckDB sees at µs resolution. Footer inspection happens once on the
     * driver; the scan itself stays vectorized.
+    *
+    * Timestamps are normalized to TimestampType regardless of the writer's
+    * isAdjustedToUTC flag: fixtures written with naive (NTZ) µs timestamps
+    * would otherwise surface as TIMESTAMP_NTZ (inferTimestampNTZ is on by
+    * default), flipping collect() to LocalDateTime and splitting the
+    * engine's event-time semantics by fixture flavor. Every session here
+    * pins spark.sql.session.timeZone=UTC, so the cast is value-identical
+    * (same µs since epoch) — only the logical type is unified.
     */
   def readParquet(spark: SparkSession, p: String): DataFrame =
     sessionCache(spark).getOrElseUpdate(p, {
       val nsCols = nanoTimestampColumns(spark, p)
-      if (nsCols.isEmpty) spark.read.parquet(p)
-      else {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        nsCols.foldLeft(spark.read.parquet(p)) { (df, c) =>
-          df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      val raw =
+        if (nsCols.isEmpty) spark.read.parquet(p)
+        else {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          nsCols.foldLeft(spark.read.parquet(p)) { (df, c) =>
+            df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+          }
         }
-      }
+      normalizeNtz(raw)
     })
+
+  /** Cast every top-level TIMESTAMP_NTZ column to TimestampType (UTC
+    * session ⇒ identical µs values). No-op (same plan object) when the
+    * schema has no NTZ columns. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, d.col(s"`$c`").cast(TimestampType)))
+  }
 
   /** Names of top-level TIMESTAMP(NANOS) columns, from the first file
     * footer under `p`. */
-  private def nanoTimestampColumns(spark: SparkSession, p: String): Seq[String] = {
+  private[graft] def nanoTimestampColumns(spark: SparkSession, p: String): Seq[String] =
+    timestampColumns(spark, p) { t =>
+      t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+    }
+
+  /** Names of top-level naive (isAdjustedToUTC=false) non-NANOS timestamp
+    * columns — the flavor Spark surfaces as TIMESTAMP_NTZ. */
+  private[graft] def naiveTimestampColumns(spark: SparkSession, p: String): Seq[String] =
+    timestampColumns(spark, p) { t =>
+      t.getUnit != org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS &&
+        !t.isAdjustedToUTC
+    }
+
+  private def timestampColumns(spark: SparkSession, p: String)(
+      pred: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Boolean): Seq[String] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
@@ -150,8 +187,7 @@ object Tables {
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
         case f if f.isPrimitive &&
           (f.getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => pred(t)
             case _ => false
           }) => f.getName
       }

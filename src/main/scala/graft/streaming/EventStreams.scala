@@ -28,15 +28,38 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of event batches from a directory of parquet files. */
+  /** File-source stream of event batches from a directory of parquet files.
+    *
+    * Structured Streaming needs the schema declared up front, and the
+    * fixture's ts flavor varies by writer generation — TIMESTAMP(NANOS)
+    * (read as long ns + truncated, Spark rejects ns natively), naive µs
+    * (TIMESTAMP_NTZ), or UTC-adjusted µs. One footer read picks the
+    * matching declared schema; every flavor lands on TimestampType with
+    * identical µs values (sessions pin UTC), so downstream watermarks and
+    * window arithmetic are flavor-independent — the same contract as the
+    * batch loader (`Tables.readParquet`).
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nsSchema = StructType(eventSchema.fields.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
-    spark.readStream.schema(nsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val nanoTs = graft.Tables.nanoTimestampColumns(spark, dir).contains("ts")
+    if (nanoTs) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nsSchema = StructType(eventSchema.fields.map {
+        case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
+        case f => f
+      })
+      spark.readStream.schema(nsSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      // declare ts as NTZ when the file is naive (declaring TimestampType
+      // over an NTZ column is a parquet conversion error), then unify
+      val naive = graft.Tables.naiveTimestampColumns(spark, dir).contains("ts")
+      val tsType: DataType = if (naive) TimestampNTZType else TimestampType
+      val s = StructType(eventSchema.fields.map {
+        case StructField("ts", _, n, m) => StructField("ts", tsType, n, m)
+        case f => f
+      })
+      graft.Tables.normalizeNtz(spark.readStream.schema(s).parquet(dir))
+    }
   }
 
   /** Watermarked sliding-window aggregation per event type. */
