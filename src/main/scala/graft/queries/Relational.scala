@@ -887,6 +887,39 @@ object Relational {
     },
 
     QuerySpec(
+      "agg_corr",
+      // corr / covar / linear-regression aggregate family (SQL:2003
+      // bivariate aggregates; superset of the reference's stat kernels,
+      // SURVEY §2.4). round(_, k) on both sides — two-engine accumulation
+      // order differs in the last float bits (agg_stats pattern); ranks
+      // and filters stay on raw values. regr_count is exact (BIGINT).
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS r,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+        |  round(covar_pop(l_extendedprice, l_quantity), 2) AS cov_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS ax,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 2) AS ay
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("r"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_s"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 2).as("cov_p"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("ax"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 2).as("ay"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QuerySpec(
       "agg_having",
       // HAVING → Filter-above-Aggregate (reference: Calcite rewrite,
       // docsrc aggregating.rst:55-71).
