@@ -341,7 +341,7 @@ class GraftContext(val spark: SparkSession) {
     val snapshot = logState.rows.synchronized { logState.rows.toSeq }
     spark.createDataset(snapshot)
       .toDF("log_id", "log_time", "root_op", "plan_head", "duration_ms",
-        "success", "error")
+        "success", "error", "metrics")
       .createOrReplaceTempView("graft_logs")
     spark.sql(query)
   }
@@ -415,7 +415,7 @@ object GraftContext {
 
   final case class LogRow(logId: Long, logTime: java.sql.Timestamp,
       rootOp: String, planHead: String, durationMs: Double,
-      success: Boolean, error: String)
+      success: Boolean, error: String, metrics: String)
 
   /** Per-session query-log state: rows, id counter, memory peaks, and the
     * single listener feeding them. Weak session keys so sessions can GC.
@@ -452,11 +452,21 @@ object GraftContext {
 
     spark.listenerManager.register(new QueryExecutionListener {
       private def append(qe: QueryExecution, durationNs: Long, err: Option[String]): Unit = {
+        // observed metrics (Dataset.observe) — how operator-internal
+        // telemetry like the LSH hot-bucket guard surfaces without an
+        // extra job: e.g. lsh_bucket_guard_3={star_pairs:9999,...}
+        val metrics =
+          try qe.observedMetrics.map { case (name, row) =>
+            val kv = row.schema.fieldNames.zip(row.toSeq)
+              .map { case (f, v) => s"$f:$v" }.mkString(",")
+            s"$name={$kv}"
+          }.mkString("; ").take(1000)
+          catch { case _: Throwable => "" }
         val row = LogRow(nextLogId.getAndIncrement(),
           new java.sql.Timestamp(System.currentTimeMillis()),
           qe.optimizedPlan.nodeName,
           qe.logical.treeString.linesIterator.take(1).mkString.take(500),
-          durationNs / 1e6, err.isEmpty, err.getOrElse(""))
+          durationNs / 1e6, err.isEmpty, err.getOrElse(""), metrics)
         rows.synchronized {
           rows += row
           while (rows.size > maxRows) rows.removeHead()

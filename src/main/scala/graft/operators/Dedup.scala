@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -33,6 +34,94 @@ object Dedup {
     * with queries in flight.
     */
   def releaseAllCaches(): Unit = Caches.releaseAll()
+
+  /** Default per-(band, key) occupancy cap for LSH candidate generation —
+    * see [[guardedBandPairs]]. 1024 bounds worst-case within-bucket pair
+    * work at ~0.5M per bucket while sitting far above the expected
+    * occupancy of every banding scheme here at its design scale (minhash
+    * band hashes are near-unique; simhash 4×16 occupancy is n/2¹⁶;
+    * hyperplane buckets are sized to `targetBucketSize`).
+    */
+  val DefaultBucketCap: Int = 1024
+
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Within-bucket candidate pairs from a banded table, with a HOT-BUCKET
+    * GUARD bounding the per-bucket work.
+    *
+    * An unguarded LSH band self-join is quadratic in bucket occupancy: a
+    * replica-heavy corpus (mirrors, templated boilerplate) concentrates
+    * ids into few band keys and the candidate count explodes — measured
+    * 11.9× cost for 10× data at the sf100 decade on exactly this join.
+    * The guard bounds each bucket:
+    *
+    *  - occupancy <= `cap`: the normal pairwise self-join — output is
+    *    IDENTICAL to the unguarded join;
+    *  - occupancy  > `cap`: STAR topology — every member pairs with the
+    *    bucket's min-id representative only: (occ-1) pairs instead of
+    *    C(occ,2). Downstream verify still scores every emitted pair, and
+    *    pair→cluster resolution ([[Components]]) still groups the whole
+    *    bucket through the representative, so dedup RESOLUTION keeps its
+    *    recall; only pairwise-similarity ENUMERATION inside a hot bucket
+    *    is capped (a member similar to another member but not to the
+    *    representative can be missed — the standard production tradeoff).
+    *
+    * Never silent: the star branch carries an `observe` node
+    * (`lsh_bucket_guard_<i>`: star_pairs, pairs_dropped = Σ C(occ-1,2),
+    * max_occupancy) and [[GraftContext]]'s query-log listener records
+    * observed metrics, so a fired guard shows up in the `log()` table.
+    *
+    * Plan shape: occupancy and representative come from ONE window over
+    * the band keys (no second aggregation path); the cold self-join sides
+    * and the star branch all reuse that keyed exchange. Input columns:
+    * keyCols ++ (id [, payload]); output (id_a, id_b [, payload_a,
+    * payload_b]), distinct on (id_a, id_b) when `dedupe` (callers whose
+    * verify step kills ~all candidates dedupe AFTER filtering instead, so
+    * the dedup exchange only shuffles survivors).
+    */
+  private[graft] def guardedBandPairs(banded: DataFrame, keyCols: Seq[String],
+      cap: Int, payloadCol: Option[String] = None,
+      dedupe: Boolean = true): DataFrame = {
+    require(cap >= 2, s"bucket cap must be >= 2, got $cap")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    val repS = payloadCol match {
+      case Some(p) => struct(col("id").as("id"), col(p).as("p"))
+      case None    => struct(col("id").as("id"))
+    }
+    val bn = banded
+      .withColumn("occ", count(lit(1)).over(w))
+      .withColumn("rep", min(repS).over(w))
+    def side(suffix: String) = {
+      val base = keys :+ col("id").as(s"id_$suffix")
+      val cols = payloadCol match {
+        case Some(p) => base :+ col(p).as(s"${p}_$suffix")
+        case None    => base
+      }
+      bn.filter(col("occ") <= cap).select(cols: _*)
+    }
+    val coldPairs = side("a").join(side("b"), keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .drop(keyCols: _*)
+    // per hot bucket: (occ-1) star rows, each "foregoes" (occ-2)/2 pairs —
+    // summing occ-2 over star rows and halving gives C(occ,2)-(occ-1)
+    val hot = bn.filter(col("occ") > cap && col("id") =!= col("rep.id"))
+      .observe(s"lsh_bucket_guard_${guardSeq.incrementAndGet()}",
+        count(lit(1)).as("star_pairs"),
+        (sum(col("occ") - lit(2)) / 2).cast("long").as("pairs_dropped"),
+        max(col("occ")).as("max_occupancy"))
+    val hotPairs = {
+      val base = Seq(col("rep.id").as("id_a"), col("id").as("id_b"))
+      val cols = payloadCol match {
+        case Some(p) =>
+          base ++ Seq(col("rep.p").as(s"${p}_a"), col(p).as(s"${p}_b"))
+        case None => base
+      }
+      hot.select(cols: _*)
+    }
+    val all = coldPairs.unionByName(hotPairs)
+    if (dedupe) all.dropDuplicates("id_a", "id_b") else all
+  }
 
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
     * Returns one row per duplicate group (n_dups >= 2) with the kept id.
@@ -83,7 +172,8 @@ object Dedup {
   def minHashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 128, bands: Int = 32,
       shingle: Int = 3, threshold: Double = 0.5, seed: Long = 42L,
-      persistSignatures: Boolean = true): DataFrame = {
+      persistSignatures: Boolean = true,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
 
@@ -100,7 +190,7 @@ object Dedup {
       p
     } else sigs0
 
-    val candidates = bandCandidates(sigs, bands, r)
+    val candidates = bandCandidates(sigs, bands, r, bucketCap)
 
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -137,7 +227,8 @@ object Dedup {
     */
   def minHashPairsReplayable(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 16, bands: Int = 8,
-      shingle: Int = 3, threshold: Double = 0.3): DataFrame = {
+      shingle: Int = 3, threshold: Double = 0.3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(k == 16 && bands == 8,
       "the replayable family is fixed at k=16 (4 md5 salts × 4 chunks), bands=8 " +
         "— the published oracle SQL hard-codes this shape")
@@ -164,12 +255,11 @@ object Dedup {
           struct(b.as("band"),
             concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).as("bkey")))).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cands = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
-        Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // the hot-bucket guard is part of the REPLAYED contract: the oracle
+    // SQL mirrors the same occ/rep window and star fallback with the same
+    // cap literal, so a fired guard stays hash-exact (Pipeline.scala,
+    // dedup_minhash_oracle)
+    val cands = guardedBandPairs(banded, Seq("band", "bkey"), bucketCap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
@@ -182,21 +272,17 @@ object Dedup {
 
   /** LSH band-collision candidate pairs over a signature table
     * (id, sig). Band keys shuffle id-only payloads (~20 bytes/row), never
-    * the signature array; the self-join reuses ONE exchange for both sides
-    * and stays inside whole-stage codegen. (A groupBy+collect_list
-    * formulation was benchmarked ~40% slower: 1.6M near-unique groups push
-    * ObjectHashAggregate into sort-based fallback, and exchange reuse
-    * already makes the join single-shuffle over the banded rows.)
+    * the signature array; occupancy window + self-join sides reuse ONE
+    * keyed exchange. (A groupBy+collect_list formulation was benchmarked
+    * ~40% slower: 1.6M near-unique groups push ObjectHashAggregate into
+    * sort-based fallback.) Hot buckets fall back to star pairs — see
+    * [[guardedBandPairs]].
     */
-  private def bandCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+  private def bandCandidates(sigs: DataFrame, bands: Int, r: Int,
+      cap: Int = DefaultBucketCap): DataFrame = {
     val banded = sigs.select(col("id"), bandKeys(col("sig"), bands, r).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    guardedBandPairs(banded, Seq("band", "bh"), cap)
   }
 
   /** Exact n-gram Jaccard for candidate pairs: MinHash-LSH banding
@@ -208,14 +294,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingle: Int = 3, threshold: Double = 0.5,
-      k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs0 = docs.select(col(idCol).as("id"),
       minHashSig(col(textCol), k, shingle, seed).as("sig"))
       .filter(hasShingles(col("sig")))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Caches.register(sigs)
-    val cands0 = bandCandidates(sigs, bands, k / bands)
+    val cands0 = bandCandidates(sigs, bands, k / bands, bucketCap)
     // Candidates feed two consumers (the id prune below + the verify join)
     // — persist so banding/join runs once; released via releaseCaches.
     val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -298,7 +385,8 @@ object Dedup {
     * hamming ≤ 3 recall.
     */
   def simHashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 8): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(3)), i =>
@@ -307,12 +395,7 @@ object Dedup {
               .bitwiseAND(lit(0xffffL)).as("bh"))))
           .as("bk"))
       .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val left = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    guardedBandPairs(banded, Seq("band", "bh"), bucketCap, Some("sh"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -325,9 +408,14 @@ object Dedup {
     * combination key EXACTLY — every such combination is a banding table.
     * Exposed for the guarantee property test; [[simHashPairsBlocked]]
     * verifies candidates by true Hamming distance.
+    *
+    * The pairwise guarantee holds per bucket up to `cap` occupancy; a
+    * hotter bucket degrades to star pairs around its min-id member
+    * ([[guardedBandPairs]]) — resolution-level recall via the
+    * representative, with the drop count observed/logged.
     */
   private[graft] def blockedCandidates(sigs: DataFrame, maxHamming: Int,
-      blocks: Int): DataFrame = {
+      blocks: Int, cap: Int = DefaultBucketCap): DataFrame = {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     require(maxHamming >= 1 && maxHamming < blocks,
       s"need 1 <= maxHamming < blocks, got h=$maxHamming b=$blocks")
@@ -346,11 +434,7 @@ object Dedup {
         explode(array(keys.toIndexedSeq: _*)).as("bk"))
       .select(col("id"), col("sh"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    guardedBandPairs(banded, Seq("band", "bkey"), cap, Some("sh"))
   }
 
   /** Near-duplicate pairs via 64-bit SimHash with the GUARANTEED-recall,
@@ -368,11 +452,11 @@ object Dedup {
     */
   def simHashPairsBlocked(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 8, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sigs = Caches.register(
       docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    blockedCandidates(sigs, maxHamming, blocks)
+    blockedCandidates(sigs, maxHamming, blocks, bucketCap)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -707,19 +791,24 @@ object Dedup {
   def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64, planes: Int = 0,
       threshold: Double = 0.95, seed: Long = 42L,
-      targetBucketSize: Long = 1024L): DataFrame = {
+      targetBucketSize: Long = 1024L, bucketCap: Int = 0): DataFrame = {
     val nPlanes =
       if (planes > 0) planes else derivePlanes(embs.count(), targetBucketSize)
+    // derived planes bound occupancy in EXPECTATION; the guard cap covers
+    // the replica-heavy tail (identical vectors land in one bucket no
+    // matter how many planes). Default: 8× the target bucket size.
+    val cap = if (bucketCap > 0) bucketCap
+      else math.max(DefaultBucketCap.toLong, 8L * targetBucketSize)
+        .min(Int.MaxValue).toInt
     val tagged = hyperplaneBuckets(embs, vecCol, idCol, dim, nPlanes, seed)
-    val left = tagged.select(col("probe"), col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = tagged.select(col("probe"), col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
-    // verify BEFORE de-duplicating across probe sets: the threshold filter
-    // runs inside the join's codegen stage and kills ~all candidates, so
-    // the dropDuplicates exchange shuffles only (id, id, cos) survivors —
-    // dedup-first would shuffle full vector payloads for every candidate
-    // pair (2×dim×4 bytes each), the dominant cost at corpus scale.
-    left.join(right, Seq("probe", "bkt"))
-      .filter(col("id_a") < col("id_b"))
+    // verify BEFORE de-duplicating across probe sets (dedupe = false): the
+    // threshold filter runs inside the join's codegen stage and kills ~all
+    // candidates, so the dropDuplicates exchange shuffles only
+    // (id, id, cos) survivors — dedup-first would shuffle full vector
+    // payloads for every candidate pair (2×dim×4 bytes each), the
+    // dominant cost at corpus scale.
+    guardedBandPairs(tagged, Seq("probe", "bkt"), cap, Some("v"),
+        dedupe = false)
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -75,6 +75,10 @@ object Pipeline {
       // permutations). est_jaccard is a count/16 ⇒ exactly representable,
       // so the driver's hash compare is bit-exact. (minHashPairs' fused
       // 64-bit kernel stays the 100-TB path; this is its oracle twin.)
+      // The hot-bucket guard is PART of the replayed contract: the bn CTE
+      // mirrors Dedup.guardedBandPairs' occupancy/representative window
+      // and the star fallback above the same cap literal (1024), so the
+      // comparison stays hash-exact even when the guard fires.
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
         |  FROM documents),
@@ -100,9 +104,19 @@ object Pipeline {
         |banded AS (
         |  SELECT doc_id, b, sig[2*b+1] || ',' || sig[2*b+2] AS bkey
         |  FROM sigs, generate_series(0, 7) AS t(b)),
+        |bn AS (
+        |  SELECT doc_id, b, bkey,
+        |         count(*) OVER (PARTITION BY b, bkey) AS occ,
+        |         min(doc_id) OVER (PARTITION BY b, bkey) AS rep
+        |  FROM banded),
         |cands AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-        |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |    FROM bn a JOIN bn b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+        |    WHERE a.occ <= 1024
+        |    UNION ALL
+        |    SELECT rep AS id_a, doc_id AS id_b FROM bn
+        |    WHERE occ > 1024 AND doc_id <> rep) u),
         |est AS (
         |  SELECT c.id_a, c.id_b,
         |    CAST(len(list_filter(generate_series(1,16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)/16 AS est_jaccard
