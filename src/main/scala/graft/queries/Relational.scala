@@ -481,24 +481,29 @@ object Relational {
       "q21_waiting",
       // Q21 variant (no l_commitdate/l_receiptdate in fixtures): a lineitem
       // is "late" when it ships >60 days after the order date. Suppliers
-      // who were the SOLE late supplier on a multi-supplier finished order.
-      // Implemented as the group-rewrite (per-order supplier counts joined
-      // back) instead of TPC-H's EXISTS + NOT EXISTS double self-join: one
-      // aggregate over (orderkey) replaces two extra shuffles of lineitem,
-      // which is the difference between 2 and 4 fact-table exchanges at
-      // 100 TB. Oracle SQL uses the identical rewrite so DuckDB agrees
-      // bit-for-bit. Ref: /root/reference engine q21 coverage via
-      // algebra/src/.../LogicalFilter + BatchJoinProcessing.cpp semi/anti.
+      // counted once per multi-supplier finished order on which they were
+      // the SOLE late supplier (the TPC-H per-order numwait granularity).
+      // Plan shape: ONE pre-aggregate to (l_orderkey, l_suppkey,
+      // max(is_late)) collapses the fact join before anything else — the
+      // per-order supplier/late counts are then a plain count/sum (no
+      // countDistinct, so no Expand doubling rows through the aggregate),
+      // and the SAME pre-aggregate is the probe side, so the
+      // lineitem⋈orders shuffle is built once and reused (its (orderkey,
+      // suppkey) exchange feeds both consumers). Replaces TPC-H's
+      // EXISTS + NOT EXISTS double self-join: 2 keyed fact exchanges
+      // instead of 4 at 100 TB. Oracle SQL uses the identical rewrite so
+      // DuckDB agrees bit-for-bit. Ref: /root/reference engine q21
+      // coverage via algebra/src/.../LogicalFilter +
+      // BatchJoinProcessing.cpp semi/anti.
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey,
-        |         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |              THEN 1 ELSE 0 END AS is_late
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                  THEN 1 ELSE 0 END) AS is_late
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey
         |), per_order AS (
-        |  SELECT l_orderkey,
-        |         count(DISTINCT l_suppkey) AS nsupp,
-        |         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nlate
+        |  SELECT l_orderkey, count(*) AS nsupp, sum(is_late) AS nlate
         |  FROM late GROUP BY l_orderkey
         |)
         |SELECT s_name, count(*) AS numwait
@@ -515,13 +520,11 @@ object Relational {
           t(s, dir, "orders").filter(col("o_orderstatus") === "F")
             .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(
-          col("l_orderkey"), col("l_suppkey"),
-          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-            .cast("int").as("is_late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .cast("int")).as("is_late"))
       val perOrder = late.groupBy(col("l_orderkey")).agg(
-        countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("is_late") === 1, col("l_suppkey"))).as("nlate"))
+        count(lit(1)).as("nsupp"), sum(col("is_late")).as("nlate"))
       late.filter(col("is_late") === 1)
         .join(perOrder, Seq("l_orderkey"))
         .filter(col("nsupp") > 1 && col("nlate") === 1)

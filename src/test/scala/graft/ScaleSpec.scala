@@ -85,12 +85,21 @@ class ScaleSpec extends SparkSuite {
     // supplier/nation stay broadcast, and every lineitem exchange carries
     // only the 3-column (orderkey, suppkey, is_late) projection — never
     // the full row.
-    val plan = SparkEntry.queries("q21_waiting")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val df = SparkEntry.queries("q21_waiting")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"supplier not broadcast:\n$plan")
     val wide = "Exchange hashpartitioning[^\n]*l_extendedprice".r.findFirstIn(plan)
     assert(wide.isEmpty,
       s"lineitem shuffled with full payload:\n${wide.getOrElse("")}")
+    // the (orderkey, suppkey, max(is_late)) pre-aggregate replaced the two
+    // countDistincts — no Expand may double the rows through the aggregate
+    assert(!plan.contains("Expand"), s"countDistinct Expand reappeared:\n$plan")
+    // and the pre-aggregate feeds both the per-order counts and the probe
+    // side, so at runtime AQE must materialize its exchange ONCE
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("Reused"),
+      s"late pre-aggregate exchange not reused between consumers:\n$finalPlan")
   }
 
   test("semDedup's only exchanges are the centroid-keyed pair join") {
