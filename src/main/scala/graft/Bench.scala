@@ -120,7 +120,16 @@ object Bench {
         s""""rows_match":${seqRows == concRows}}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$conc,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$conc,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line overflows log-tail captures (the driver's BENCH_r*
+    // 'parsed' field has been null every round) — also write the JSON to a
+    // stable file so the per-query history stays machine-readable
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -29,26 +29,60 @@ class GraftContext(val spark: SparkSession) {
   // ---- table management (context.py:2079 create_table dispatch) --------
 
   /** Create a table from files. Format inferred from the path extension
-    * unless given. Options map 1:1 onto `spark.read` options (the
-    * reference's CSV kwargs list, context.py:890-940).
+    * unless given. Options accept BOTH native `spark.read` option names
+    * and the reference's pandas-style create_table kwargs
+    * (context.py:890-940): kwargs are translated per
+    * [[GraftContext.csvKwargDispositions]] — `delimiter`→`sep`,
+    * `quotechar`→`quote`, `names`/`dtype` become the schema, … —
+    * and a kwarg with no Spark equivalent throws with the documented
+    * reason instead of being silently dropped.
     */
   def createTable(name: String, path: String, format: String = "",
       options: Map[String, String] = Map.empty): DataFrame = {
     val fmt = if (format.nonEmpty) format else inferFormat(path)
-    val reader = spark.read.options(options)
     val df = fmt match {
       case "parquet" => Tables.readParquet(spark, path) // handles TIMESTAMP(NANOS)
-      case "orc" => reader.orc(path)
-      case "csv" | "psv" =>
-        reader.option("header", options.getOrElse("header", "true"))
-          .option("sep", if (fmt == "psv") "|" else options.getOrElse("sep", ","))
-          .option("inferSchema", options.getOrElse("inferSchema", "true"))
-          .csv(path)
-      case "json" => reader.json(path) // JSON-lines, like the reference's cudf read_json
-      case "jdbc" => reader.format("jdbc").load() // url/dbtable/... via options
-      case other => reader.format(other).load(path)
+      case "orc" => spark.read.options(options).orc(path)
+      case "csv" | "psv" => readCsvWithKwargs(path, fmt, options)
+      case "json" => // JSON-lines, like the reference's cudf read_json
+        spark.read.options(options).json(path)
+      case "jdbc" => // url/dbtable/... via options
+        spark.read.options(options).format("jdbc").load()
+      case other => spark.read.options(options).format(other).load(path)
     }
     register(name, df, Some(path), fmt)
+  }
+
+  /** The CSV read path with pandas-kwarg support (see createTable). */
+  private def readCsvWithKwargs(path: String, fmt: String,
+      options: Map[String, String]): DataFrame = {
+    val translated = GraftContext.translateCsvKwargs(options)
+    val names = options.get("names").map(_.split(',').map(_.trim).toSeq)
+    val dtype = options.get("dtype").map(_.split(',').map(_.trim).toSeq)
+    val base = spark.read.options(translated)
+      .option("header", translated.getOrElse("header", "true"))
+      .option("sep", if (fmt == "psv") "|" else translated.getOrElse("sep", ","))
+    val reader = (names, dtype) match {
+      // names+dtype pin the schema positionally (pandas semantics);
+      // names alone renames after an inferred read
+      case (Some(ns), Some(ts)) =>
+        require(ns.length == ts.length,
+          s"names (${ns.length}) and dtype (${ts.length}) lengths differ")
+        base.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          ns.zip(ts).map { case (n, t) => s"`$n` $t" }.mkString(", ")))
+      case _ => base.option("inferSchema", translated.getOrElse("inferSchema", "true"))
+    }
+    var df = reader.csv(path)
+    if (dtype.isEmpty) names.foreach(ns => df = df.toDF(ns: _*))
+    // pandas usecols: by name or by 0-based index
+    options.get("use_cols_names").foreach { cs =>
+      df = df.select(cs.split(',').map(c => df.col(c.trim)).toIndexedSeq: _*)
+    }
+    options.get("use_cols_indexes").foreach { is =>
+      val all = df.columns
+      df = df.select(is.split(',').map(i => df.col(all(i.trim.toInt))).toIndexedSeq: _*)
+    }
+    df
   }
 
   /** Create a table from an existing DataFrame (the reference's
@@ -488,6 +522,93 @@ object GraftContext {
       var st = logStates.get(spark)
       if (st == null) { st = new LogState(spark); logStates.put(spark, st) }
       st
+    }
+
+  /** The reference's validated create_table kwargs (context.py:890-940),
+    * each mapped to its Spark disposition — the option-by-option parity
+    * table SourcesSpec asserts exhaustively. Value syntax:
+    *  - a bare name: translated to that `spark.read` csv option;
+    *  - "handled: …": implemented by createTable logic or already
+    *    Spark's default behavior (consumed, not forwarded);
+    *  - "skipped: …": GPU-reader / dask-distribution internals whose
+    *    role a Spark-native mechanism replaces — accepted and ignored;
+    *  - "unsupported: …": no Spark equivalent — createTable THROWS with
+    *    the reason (never a silent drop).
+    */
+  val csvKwargDispositions: Map[String, String] = Map(
+    // pandas/cudf CSV parsing kwargs
+    "delimiter" -> "sep",
+    "lineterminator" -> "lineSep",
+    "quotechar" -> "quote",
+    "comment" -> "comment",
+    "skipinitialspace" -> "ignoreLeadingWhiteSpace",
+    "compression" -> "handled: Spark decompresses by file extension",
+    "header" -> "header", // pandas row index → boolean (0 ⇒ true, None ⇒ false)
+    "names" -> "handled: positional rename (with dtype: pinned schema)",
+    "dtype" -> "handled: positional schema with names",
+    "use_cols_indexes" -> "handled: post-read positional projection",
+    "use_cols_names" -> "handled: post-read projection",
+    "na_values" -> "nullValue",
+    "skip_blank_lines" -> "handled: Spark csv always skips blank lines",
+    "doublequote" -> "handled: Spark csv parses doubled quotes by default",
+    "true_values" -> "unsupported: no Spark csv boolean-token list; cast with CASE after read",
+    "false_values" -> "unsupported: no Spark csv boolean-token list; cast with CASE after read",
+    "decimal" -> "unsupported: Spark csv fixes '.' as the decimal mark; use locale-aware to_number after read",
+    "delim_whitespace" -> "unsupported: pass a regex-free single-char sep instead",
+    "skiprows" -> "unsupported: no row-skip in Spark csv; pre-slice the file or filter after read",
+    "skipfooter" -> "unsupported: no footer-skip in Spark csv (splits read in parallel); pre-slice the file",
+    "nrows" -> "unsupported: bound rows with .limit(n) after read (pushes into the scan)",
+    "keep_default_na" -> "skipped: pandas NA-token list semantics; nullValue/nanValue cover the engine contract",
+    "na_filter" -> "skipped: disabling NA parsing is a pandas micro-optimization; Spark's parser has no analogue",
+    "quoting" -> "skipped: python csv-module enum; quote/escape options cover the engine contract",
+    "byte_range_offset" -> "skipped: GPU-reader chunking internal; Spark input splits (files.maxPartitionBytes) replace it",
+    "byte_range_size" -> "skipped: GPU-reader chunking internal; Spark input splits replace it",
+    "max_bytes_chunk_read" -> "skipped: GPU-reader chunking internal; Spark input splits replace it",
+    // non-CSV members of the same validated list
+    "lines" -> "handled: Spark json is JSON-lines by default (multiLine=false)",
+    "stripes" -> "skipped: ORC stripe selection is the reader's internal unit; predicate pushdown replaces it",
+    "num_rows" -> "unsupported: bound rows with .limit(n) after read",
+    "use_index" -> "skipped: pandas index column concept; Spark tables have no index",
+    "get_metadata" -> "skipped: rowgroup metadata collection is automatic in Spark's parquet scan",
+    "local_files" -> "skipped: dask worker-locality hint; Spark locality scheduling replaces it",
+    "file_format" -> "handled: the createTable format parameter",
+    "partitions" -> "handled: hive-partitioned dirs via createTableFromCatalog / partition discovery",
+    "partitions_schema" -> "handled: partition discovery infers partition column types",
+    "hive_table_name" -> "handled: createTableFromCatalog",
+    "hive_database_name" -> "handled: createTableFromCatalog",
+    // SQL-engine arguments (the JDBC path: createTable(..., "jdbc", options))
+    "from_sql" -> "handled: format=jdbc",
+    "hostname" -> "handled: folded into the jdbc url option",
+    "port" -> "handled: folded into the jdbc url option",
+    "username" -> "user",
+    "password" -> "password",
+    "database" -> "handled: folded into the jdbc url option",
+    "table_filter" -> "unsupported: filter tables at createTable granularity (one name per call)",
+    "table_batch_size" -> "fetchsize")
+
+  /** Translate a createTable options map through
+    * [[csvKwargDispositions]]: reference kwargs become Spark csv
+    * options, handled/skipped kwargs are consumed (createTable logic
+    * reads them from the original map), unsupported kwargs throw, and
+    * unknown keys pass through untouched (assumed native Spark options).
+    */
+  private[graft] def translateCsvKwargs(opts: Map[String, String]): Map[String, String] =
+    opts.flatMap { case (k, v) =>
+      csvKwargDispositions.get(k) match {
+        case None => Some(k -> v) // native spark.read option
+        case Some(d) if d.startsWith("unsupported:") =>
+          throw new IllegalArgumentException(
+            s"create_table kwarg '$k' is ${d}")
+        case Some(d) if d.startsWith("handled:") || d.startsWith("skipped:") =>
+          None
+        case Some("header") => // pandas: header row INDEX (or None)
+          val b = v.trim.toLowerCase match {
+            case "none" | "-1" | "false" => "false"
+            case _ => "true"
+          }
+          Some("header" -> b)
+        case Some(sparkOpt) => Some(sparkOpt -> v)
+      }
     }
 
   /** Reference config_options → Spark conf (see [[GraftContext.configure]]). */

@@ -142,7 +142,14 @@ object Tables {
 
   /** Cast every top-level TIMESTAMP_NTZ column to TimestampType (UTC
     * session ⇒ identical µs values). No-op (same plan object) when the
-    * schema has no NTZ columns. */
+    * schema has no NTZ columns.
+    *
+    * TOP-LEVEL-ONLY by design: the fixture schemas (TESTDATA.md) carry
+    * timestamps only as top-level columns, and the oracle comparison is
+    * over top-level columns — an NTZ field nested in a struct/array is
+    * out of the normalization contract and passes through unchanged (it
+    * would surface as LocalDateTime on collect; recurse here if a future
+    * fixture nests timestamps). */
   def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val ntz = df.schema.fields.collect {
@@ -153,44 +160,72 @@ object Tables {
       d.withColumn(c, d.col(s"`$c`").cast(TimestampType)))
   }
 
-  /** Names of top-level TIMESTAMP(NANOS) columns, from the first file
-    * footer under `p`. */
+  /** Names of top-level TIMESTAMP(NANOS) columns. Batch path: `p` is a
+    * concrete existing file/dir read once, so the FIRST footer decides
+    * (single-flavor-per-path is the batch contract; streaming dirs — where
+    * files of mixed writer generations accrete — go through the
+    * all-footer [[timestampFlavors]] instead). Missing paths return
+    * empty: the subsequent spark.read is the right place to fail. */
   private[graft] def nanoTimestampColumns(spark: SparkSession, p: String): Seq[String] =
-    timestampColumns(spark, p) { t =>
-      t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
-    }
+    footerFiles(spark, p).take(1).flatMap(f =>
+      footerTimestamps(spark, f).collect { case (c, "nanos") => c })
 
-  /** Names of top-level naive (isAdjustedToUTC=false) non-NANOS timestamp
-    * columns — the flavor Spark surfaces as TIMESTAMP_NTZ. */
-  private[graft] def naiveTimestampColumns(spark: SparkSession, p: String): Seq[String] =
-    timestampColumns(spark, p) { t =>
-      t.getUnit != org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS &&
-        !t.isAdjustedToUTC
+  /** Per-column flavor of every top-level parquet timestamp under `p`:
+    * "nanos", "naive" (µs/ms with isAdjustedToUTC=false — surfaces as
+    * TIMESTAMP_NTZ), or "adjusted". Inspects EVERY file footer — the
+    * stream-definition caller reads directories where writer generations
+    * mix — and throws on a column whose flavor differs across files
+    * (mixed flavors under one stream dir would otherwise fail mid-stream
+    * with an opaque conversion error). Missing or parquet-less
+    * directories return empty: callers state their own default. */
+  private[graft] def timestampFlavors(spark: SparkSession, p: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, (String, String)]
+    footerFiles(spark, p).foreach { f =>
+      footerTimestamps(spark, f).foreach { case (c, fl) =>
+        out.get(c) match {
+          case Some((prev, prevFile)) if prev != fl =>
+            throw new IllegalStateException(
+              s"mixed parquet timestamp flavors for column '$c' under $p: " +
+                s"$prev ($prevFile) vs $fl ($f) — one flavor per directory")
+          case _ => out(c) = (fl, f)
+        }
+      }
     }
+    out.view.mapValues(_._1).toMap
+  }
 
-  private def timestampColumns(spark: SparkSession, p: String)(
-      pred: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Boolean): Seq[String] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import scala.jdk.CollectionConverters._
+  /** Parquet files under `p` (itself, if a file); empty when missing. */
+  private def footerFiles(spark: SparkSession, p: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(p)
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(return Seq.empty)
-      else root
+    if (!fs.exists(root)) Seq.empty
+    else if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    else Seq(p)
+  }
+
+  /** (column, flavor) for each top-level timestamp column in one footer. */
+  private def footerTimestamps(spark: SparkSession, file: String): Seq[(String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
     try {
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
-        case f if f.isPrimitive &&
-          (f.getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => pred(t)
-            case _ => false
-          }) => f.getName
-      }
+        case f if f.isPrimitive => f.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val fl =
+              if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) "nanos"
+              else if (!t.isAdjustedToUTC) "naive"
+              else "adjusted"
+            Some(f.getName -> fl)
+          case _ => None
+        }
+      }.flatten
     } finally reader.close()
   }
 

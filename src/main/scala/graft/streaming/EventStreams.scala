@@ -40,8 +40,18 @@ object EventStreams {
     * batch loader (`Tables.readParquet`).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val nanoTs = graft.Tables.nanoTimestampColumns(spark, dir).contains("ts")
-    if (nanoTs) {
+    // ONE inspection pass over ALL footers under dir (Tables
+    // .timestampFlavors): a stream dir accretes files from different
+    // writer generations, so a first-file sniff could pick a schema that
+    // a later file violates mid-stream — mixed flavors throw AT
+    // DEFINITION TIME instead (one-flavor-per-directory contract). An
+    // EMPTY dir carries no flavor evidence and DEFAULTS to UTC-adjusted
+    // µs (TimestampType) — start the stream after the first file lands
+    // if the source is nanos/naive. A MISSING dir passes footer
+    // inspection silently; Spark's file source then rejects it at
+    // definition with its own PATH_NOT_FOUND (create the dir first).
+    val flavor = graft.Tables.timestampFlavors(spark, dir).getOrElse("ts", "adjusted")
+    if (flavor == "nanos") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val nsSchema = StructType(eventSchema.fields.map {
         case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
@@ -52,8 +62,8 @@ object EventStreams {
     } else {
       // declare ts as NTZ when the file is naive (declaring TimestampType
       // over an NTZ column is a parquet conversion error), then unify
-      val naive = graft.Tables.naiveTimestampColumns(spark, dir).contains("ts")
-      val tsType: DataType = if (naive) TimestampNTZType else TimestampType
+      val tsType: DataType =
+        if (flavor == "naive") TimestampNTZType else TimestampType
       val s = StructType(eventSchema.fields.map {
         case StructField("ts", _, n, m) => StructField("ts", tsType, n, m)
         case f => f

@@ -221,4 +221,81 @@ class SourcesSpec extends SparkSuite {
     assert(ctx.sql("SELECT * FROM gc_txt").count() == 3)
     ctx.dropTable("gc_txt")
   }
+
+  // ---- reference create_table kwarg parity (context.py:890-940) ---------
+
+  /** The reference's full validated kwarg list, verbatim (duplicates in
+    * the original — local_files, skiprows — collapsed by Set). */
+  private val referenceKwargs: Set[String] = Set(
+    "local_files", "file_format", "partitions", "partitions_schema",
+    "hive_table_name", "hive_database_name", "names", "dtype", "delimiter",
+    "skiprows", "skipfooter", "lineterminator", "header", "nrows",
+    "skip_blank_lines", "decimal", "true_values", "false_values",
+    "na_values", "keep_default_na", "na_filter", "quotechar", "quoting",
+    "doublequote", "comment", "delim_whitespace", "skipinitialspace",
+    "use_cols_indexes", "use_cols_names", "byte_range_offset",
+    "byte_range_size", "compression", "lines", "stripes", "num_rows",
+    "use_index", "max_bytes_chunk_read", "get_metadata", "from_sql",
+    "hostname", "port", "username", "password", "database",
+    "table_filter", "table_batch_size")
+
+  test("every reference create_table kwarg has an explicit disposition") {
+    val missing = referenceKwargs -- GraftContext.csvKwargDispositions.keySet
+    assert(missing.isEmpty, s"kwargs with no disposition: $missing")
+    val stale = GraftContext.csvKwargDispositions.keySet -- referenceKwargs
+    assert(stale.isEmpty, s"dispositions for non-reference kwargs: $stale")
+    // every non-translated disposition must carry its reason
+    GraftContext.csvKwargDispositions.foreach { case (k, d) =>
+      if (d.contains(":"))
+        assert(d.matches("(handled|skipped|unsupported): .+"),
+          s"$k: malformed disposition '$d'")
+    }
+  }
+
+  test("pandas kwargs translate: delimiter, quotechar, comment, na_values, header") {
+    val dir = java.nio.file.Files.createTempDirectory("gc_kwargs")
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      ("# a comment line\n" +
+        "k;'has; semi';7\n" +
+        "x;NULLTOK;8\n").getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    val df = ctx.createTable("gc_kw", s"$dir/t.csv", format = "csv", options = Map(
+      "delimiter" -> ";", "quotechar" -> "'", "comment" -> "#",
+      "na_values" -> "NULLTOK", "header" -> "None",
+      "names" -> "k,v,n", "dtype" -> "string,string,int"))
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("k")).collect()
+    assert(df.columns.toSeq == Seq("k", "v", "n"))
+    assert(df.schema("n").dataType.typeName == "integer", "dtype not applied")
+    assert(rows.length == 2, "comment line not skipped / header mis-read")
+    assert(rows(0).getString(1) == "has; semi", "quotechar not applied")
+    assert(rows(1).isNullAt(1), "na_values token not nulled")
+    ctx.dropTable("gc_kw")
+  }
+
+  test("pandas usecols kwargs project by name and by index") {
+    val dir = java.nio.file.Files.createTempDirectory("gc_usecols")
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      "a,b,c\n1,2,3\n".getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    val byName = ctx.createTable("gc_ucn", s"$dir/t.csv", format = "csv",
+      options = Map("use_cols_names" -> "c,a"))
+    assert(byName.columns.toSeq == Seq("c", "a"))
+    val byIdx = ctx.createTable("gc_uci", s"$dir/t.csv", format = "csv",
+      options = Map("use_cols_indexes" -> "1,2"))
+    assert(byIdx.columns.toSeq == Seq("b", "c"))
+    ctx.dropTable("gc_ucn"); ctx.dropTable("gc_uci")
+  }
+
+  test("unsupported reference kwargs throw with the documented reason") {
+    val ctx = GraftContext(spark)
+    Seq("skiprows" -> "2", "nrows" -> "5", "decimal" -> ",",
+      "true_values" -> "yes").foreach { case (k, v) =>
+      val e = intercept[IllegalArgumentException] {
+        ctx.createTable("gc_bad_kw", "/tmp/nonexistent.csv", format = "csv",
+          options = Map(k -> v))
+      }
+      assert(e.getMessage.contains(k) && e.getMessage.contains("unsupported"),
+        s"$k: wrong error ${e.getMessage}")
+    }
+  }
 }

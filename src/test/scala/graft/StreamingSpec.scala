@@ -242,4 +242,79 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() == totalSessions - nUsers,
       s"closed=${got.count()} total=$totalSessions users=$nUsers")
   }
+
+  test("naive (NTZ) µs parquet surfaces as TimestampType in batch AND stream") {
+    // the motivating flavor for the read-boundary normalization: a writer
+    // that emits isAdjustedToUTC=false µs timestamps (Spark's own NTZ
+    // output) must land on TimestampType with identical epoch micros in
+    // both loaders — the session pins UTC so the cast is value-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_events")
+    val src = Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    src.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    Tables.invalidateCache(spark)
+    try {
+      assert(Tables.timestampFlavors(spark, dir.toString).get("ts")
+        === Some("naive"), "fixture must actually be naive µs")
+
+      val batch = Tables.readParquet(spark, dir.toString)
+      assert(batch.schema("ts").dataType.typeName === "timestamp",
+        s"batch loader surfaced ${batch.schema("ts").dataType}")
+
+      val stream = EventStreams.readEventStream(spark, dir.toString)
+      assert(stream.schema("ts").dataType.typeName === "timestamp",
+        s"stream loader surfaced ${stream.schema("ts").dataType}")
+
+      val expected = Tables.load(spark, sfDir, "events")
+        .select(sum(unix_micros(col("ts"))), count(lit(1))).collect()(0)
+      val gotBatch = batch
+        .select(sum(unix_micros(col("ts"))), count(lit(1))).collect()(0)
+      assert(gotBatch === expected, "batch µs values drifted")
+      val gotStream = EventStreams.runToMemory(spark,
+          stream.select(col("ts")), "ntz_stream")
+        .select(sum(unix_micros(col("ts"))), count(lit(1))).collect()(0)
+      assert(gotStream === expected, "stream µs values drifted")
+    } finally Tables.invalidateCache(spark)
+  }
+
+  test("mixed timestamp flavors in one stream dir fail at definition time") {
+    // one naive (NTZ-written) file + one UTC-adjusted file under the same
+    // stream dir — the writer-generation drift that would otherwise fail
+    // mid-stream with an opaque conversion error
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_events")
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try ev.coalesce(1).write.mode("append").parquet(dir.toString)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val flavors = Set("naive", "adjusted")
+    val e = intercept[IllegalStateException] {
+      EventStreams.readEventStream(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("mixed parquet timestamp flavors"),
+      s"wrong error: ${e.getMessage}")
+    assert(flavors.forall(e.getMessage.contains),
+      s"error should name both flavors: ${e.getMessage}")
+  }
+
+  test("empty and missing stream dirs: documented default / Spark's own error") {
+    // empty dir: no flavor evidence → UTC-adjusted µs schema, no throw
+    // from footer inspection (files may arrive after the stream starts)
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_events")
+    val s1 = EventStreams.readEventStream(spark, empty.toString)
+    assert(s1.schema("ts").dataType.typeName === "timestamp")
+    // missing dir: footer inspection stays silent; Spark's file source
+    // itself rejects the path at definition with PATH_NOT_FOUND — the
+    // actionable error, not a FileNotFoundException from getFileStatus
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      EventStreams.readEventStream(spark, s"$empty/not_yet_created")
+    }
+    assert(e.getMessage.contains("PATH_NOT_FOUND") ||
+      e.getMessage.contains("Path does not exist"), s"wrong error: ${e.getMessage}")
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The window null-ordering contract, made explicit: Spark's default
+  * ascending sort is NULLS FIRST (descending: NULLS LAST), while
+  * DuckDB's default is NULLS LAST — which is why every window oracle in
+  * [[graft.queries.Windows]] spells `NULLS FIRST` (or `DESC NULLS
+  * LAST`) explicitly. The battery fixtures keep nulls out of ordering
+  * keys "by construction"; this spec PLANTS a null in an ordering key
+  * of each window family and asserts the documented Spark placement, so
+  * a regression (or an engine default change) surfaces here instead of
+  * as an unexplained oracle hash mismatch.
+  */
+class WindowNullsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // one partition 'a' with a null ts between real values; 'b' control
+  private def df = Seq(
+    ("a", Some(3L), 30.0), ("a", None, 99.0), ("a", Some(1L), 10.0),
+    ("a", Some(2L), 20.0), ("b", Some(1L), 5.0), ("b", None, 6.0)
+  ).toDF("k", "ts", "v")
+
+  private val asc = Window.partitionBy($"k").orderBy($"ts", $"v")
+
+  test("ranking family: default asc ordering puts the null row FIRST") {
+    val got = df.withColumn("rn", row_number().over(asc))
+      .withColumn("rk", rank().over(asc))
+      .filter($"k" === "a").orderBy($"rn")
+      .select($"ts", $"rn", $"rk").collect()
+    assert(got.head.isNullAt(0), s"null ts must take rn=1: ${got.mkString(",")}")
+    assert(got.map(r => Option(r.get(0))).toSeq ===
+      Seq(None, Some(1L), Some(2L), Some(3L)))
+    // DESC flips to NULLS LAST — the other documented default
+    val desc = df.withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"ts".desc, $"v")))
+      .filter($"k" === "a").orderBy($"rn").select($"ts").collect()
+    assert(desc.last.isNullAt(0), "desc ordering must put the null row last")
+  }
+
+  test("lag/lead family: the null-key row is the frame's first row") {
+    val got = df.withColumn("prev", lag($"v", 1).over(asc))
+      .filter($"k" === "a")
+      .withColumn("rn", row_number().over(asc)).orderBy($"rn")
+      .select($"ts", $"v", $"prev").collect()
+    // null-ts row sorts first => its lag is null; the ts=1 row's lag is
+    // the null-row's value (99.0) — the exact cross-engine trap
+    assert(got(0).isNullAt(2), "first (null-ts) row has no predecessor")
+    assert(got(1).getDouble(2) === 99.0,
+      "ts=1 must see the null-ts row as predecessor under NULLS FIRST")
+  }
+
+  test("frame-agg family: running sum starts at the null-key row") {
+    val got = df.withColumn("run",
+        sum($"v").over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"k" === "a")
+      .withColumn("rn", row_number().over(asc)).orderBy($"rn")
+      .select($"run").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(99.0, 109.0, 129.0, 159.0),
+      s"running sum must accumulate the null-ts row first: $got")
+  }
+
+  test("first/last family: first_value is the null-key row under asc") {
+    val got = df.withColumn("fv",
+        first($"v").over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"k" === "a").select($"fv").distinct().collect()
+    assert(got.map(_.getDouble(0)).toSet === Set(99.0),
+      "first_value must be the null-ts row's value everywhere in the partition")
+  }
+
+  test("spelled NULLS LAST matches the DuckDB default placement") {
+    // the normalization oracles would need if fixtures ever carried nulls
+    val explicit = Window.partitionBy($"k").orderBy($"ts".asc_nulls_last, $"v")
+    val got = df.withColumn("rn", row_number().over(explicit))
+      .filter($"k" === "a").orderBy($"rn").select($"ts").collect()
+    assert(got.last.isNullAt(0), "asc_nulls_last must sink the null row")
+  }
+}
