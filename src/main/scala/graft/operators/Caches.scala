@@ -34,6 +34,11 @@ private[graft] object Caches {
 
   def register(df: DataFrame): DataFrame = { local.get += df; all.add(df); df }
 
+  /** Snapshot of THIS thread's live registrations — test introspection
+    * (lets specs assert on the exact DataFrames a job persisted instead
+    * of racy global persistent-RDD counts). */
+  private[graft] def registeredHere: Seq[DataFrame] = local.get.toList
+
   /** Unpersist every DataFrame registered BY THIS THREAD. Contract: call
     * AFTER materializing (count/collect/write) the consuming plan —
     * earlier just makes the job recompute the intermediate.

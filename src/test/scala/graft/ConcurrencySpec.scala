@@ -13,59 +13,59 @@ import graft.operators.Dedup
 class ConcurrencySpec extends SparkSuite {
   import spark.implicits._
 
-  private def persistedCount = spark.sparkContext.getPersistentRDDs.size
-
-  private def awaitDrainTo(target: Int, ms: Long = 10000): Int = {
-    val deadline = System.currentTimeMillis() + ms
-    while (persistedCount > target && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    persistedCount
-  }
-
   test("thread-scoped caches: a concurrent job's release leaves ours persisted") {
+    // Assertions track the EXACT DataFrames each thread registered, via
+    // Dataset.storageLevel (CacheManager metadata — updated synchronously
+    // by persist/unpersist, unlike block eviction). A global
+    // getPersistentRDDs count here is flaky under a full-suite run: an
+    // earlier suite's unpersist(blocking = false) can drain its blocks
+    // asynchronously MID-TEST, silently shifting any count baseline.
     import java.util.concurrent.CountDownLatch
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Caches
     val docsA = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
     val docsB = Seq((11L, "one two three four five six"),
       (12L, "one two three four five seven")).toDF("doc_id", "text")
 
-    val baseline = persistedCount
     val aMaterialized = new CountDownLatch(1)
     val bReleased = new CountDownLatch(1)
-    @volatile var afterBRelease = -1
+    @volatile var aSurvivedBRelease = false
+    @volatile var aClearedAfterOwnRelease = false
+    @volatile var bClearedAfterOwnRelease = false
     @volatile var failure: Option[Throwable] = None
 
     val a = new Thread(() => {
       try {
         Dedup.minHashPairs(docsA, threshold = 0.9).count()
+        val mine = Caches.registeredHere
+        assert(mine.nonEmpty, "A registered no caches")
         aMaterialized.countDown()
         // hold our caches while B runs its full build+release cycle
         assert(bReleased.await(60, java.util.concurrent.TimeUnit.SECONDS))
-        afterBRelease = persistedCount
+        aSurvivedBRelease = mine.forall(_.storageLevel != StorageLevel.NONE)
         Dedup.releaseCaches() // releases ONLY thread A's registrations
+        aClearedAfterOwnRelease = mine.forall(_.storageLevel == StorageLevel.NONE)
       } catch { case t: Throwable => failure = Some(t); aMaterialized.countDown() }
     }, "caches-job-a")
     val b = new Thread(() => {
       try {
         assert(aMaterialized.await(60, java.util.concurrent.TimeUnit.SECONDS))
         Dedup.minHashPairs(docsB, threshold = 0.9).count()
+        val mine = Caches.registeredHere
+        assert(mine.nonEmpty, "B registered no caches")
         Dedup.releaseCaches() // must not touch A's persisted signatures
-        // allow the async unpersist of B's own blocks to settle before
-        // A samples the registry
-        Thread.sleep(1500)
+        bClearedAfterOwnRelease = mine.forall(_.storageLevel == StorageLevel.NONE)
         bReleased.countDown()
       } catch { case t: Throwable => failure = Some(t); bReleased.countDown() }
     }, "caches-job-b")
     a.start(); b.start(); a.join(120000); b.join(120000)
 
     failure.foreach(throw _)
-    // A's intermediates must have survived B's release — with the old
-    // process-global registry afterBRelease would equal the baseline
-    assert(afterBRelease > baseline,
-      s"A's caches were released by B (count $afterBRelease, baseline $baseline)")
-    val drained = awaitDrainTo(baseline)
-    assert(drained == baseline,
-      s"persisted RDDs leaked after both releases: $drained vs $baseline")
+    assert(aSurvivedBRelease,
+      "A's caches were released by B (process-global registry regression)")
+    assert(bClearedAfterOwnRelease, "B's own release left B's caches persisted")
+    assert(aClearedAfterOwnRelease, "A's own release left A's caches persisted")
   }
 
   test("sqlToken battery: 18 queries, 6 in flight, results match sequential") {
