@@ -38,19 +38,31 @@ object Bpe {
     * pairs with the current element.
     */
   private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
-      r: String): org.apache.spark.sql.Column =
+      r: String): org.apache.spark.sql.Column = applyMerges(syms, Seq((l, r)))
+
+  /** One greedy left-to-right pass applying a SET of merge rules
+    * simultaneously. Sound ONLY for rules whose triple sets
+    * {l, r, l+r} are MUTUALLY DISJOINT (the [[trainBatched]] selection
+    * invariant): then no rule's match can create, destroy, or overlap
+    * another's (inputs are never another rule's inputs OR output, and
+    * outputs are never another rule's inputs), so one combined pass is
+    * provably equal to applying the rules sequentially in any order —
+    * which is what the DuckDB oracle does, one rewrite per rule.
+    */
+  private def applyMerges(syms: org.apache.spark.sql.Column,
+      rules: Seq[(String, String)]): org.apache.spark.sql.Column =
     aggregate(
       syms,
       expr("named_struct('out', CAST(array() AS ARRAY<STRING>), 'carry', CAST(NULL AS STRING))"),
       (st, x) => {
         val out = st.getField("out"); val carry = st.getField("carry")
-        when(carry.isNull,
-          struct(out.as("out"), x.as("carry")))
-          .when(carry === lit(l) && x === lit(r),
+        val start = when(carry.isNull, struct(out.as("out"), x.as("carry")))
+        rules.foldLeft(start) { case (acc, (l, r)) =>
+          acc.when(carry === lit(l) && x === lit(r),
             struct(concat(out, array(lit(l + r))).as("out"),
               lit(null).cast("string").as("carry")))
-          .otherwise(
-            struct(concat(out, array(carry)).as("out"), x.as("carry")))
+        }.otherwise(
+          struct(concat(out, array(carry)).as("out"), x.as("carry")))
       },
       st => when(st.getField("carry").isNull, st.getField("out"))
         .otherwise(concat(st.getField("out"), array(st.getField("carry")))))
@@ -118,6 +130,91 @@ object Bpe {
       round += 1
     }
     // hand any still-persisted round caches to the harness-released registry
+    if (older != null) Caches.register(older)
+    if (!(cur eq vocab)) Caches.register(cur)
+    learned.toSeq.toDF("merge_round", "lsym", "rsym", "cnt")
+  }
+
+  /** Batched BPE training — the production-scale variant of [[train]].
+    *
+    * Strict Sennrich training is one Spark job PER MERGE (pair count +
+    * top-1 collect): a 32k-merge vocabulary is 32k sequential
+    * scheduler round-trips — hours of driver overhead regardless of
+    * cluster size. This variant learns up to `batch` rules per corpus
+    * pass: the pass's pair counts are snapshotted once, the top
+    * `batch × candidateFactor` ranked pairs come to the driver (bounded
+    * model state, like k-means centroids), and rules are selected
+    * greedily in rank order subject to TRIPLE-SET DISJOINTNESS — a
+    * candidate is skipped if its {l, r, l+r} intersects any already
+    * selected rule's triple set. Disjointness makes the selection
+    * EXACT: an earlier selection cannot change a later one's true count
+    * (no shared symbols to merge away, no output feeding another's
+    * input), so every emitted (rule, cnt) row is the count strict BPE
+    * would have seen. The approximation vs strict Sennrich ordering:
+    * a pair whose count would RISE from an earlier merge in the same
+    * pass (it contains that merge's output) is deferred to the next
+    * pass, where strict BPE might rank it earlier. This is the standard
+    * parallel-BPE tradeoff; batch=1 reproduces [[train]] exactly.
+    *
+    * Runs ceil(merges/batch) passes (driver rounds drop by the batch
+    * factor) and trims to `merges` rules; a pathological corpus whose
+    * top candidates all conflict may yield fewer rules per pass — the
+    * DuckDB oracle replays the IDENTICAL M-bounded greedy selection, so
+    * the two engines agree row-for-row either way.
+    */
+  def trainBatched(docs: DataFrame, merges: Int = 64, batch: Int = 16,
+      candidateFactor: Int = 8, textCol: String = "text"): DataFrame = {
+    require(merges >= 1 && batch >= 1 && candidateFactor >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = Caches.register(
+      this.vocab(docs, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var cur = vocab
+    var older: DataFrame = null
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    val passes = (merges + batch - 1) / batch
+    var pass = 0
+    var exhausted = false
+    while (pass < passes && !exhausted && learned.size < merges) {
+      val want = math.min(batch, merges - learned.size)
+      val cands = cur
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+        .limit(batch * candidateFactor)
+        .collect()
+      if (older != null) { older.unpersist(blocking = false); older = null }
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val it = cands.iterator
+        while (sel.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            sel += ((l, r, c)); used ++= Seq(l, r, l + r)
+          }
+        }
+        if (sel.isEmpty) exhausted = true
+        else {
+          sel.foreach { case (l, r, c) =>
+            learned += ((learned.size + 1, l, r, c))
+          }
+          val next = cur.select(col("word"), col("freq"),
+              applyMerges(col("syms"), sel.map(s => (s._1, s._2)).toSeq).as("syms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (!(cur eq vocab)) older = cur
+          cur = next
+        }
+      }
+      pass += 1
+    }
     if (older != null) Caches.register(older)
     if (!(cur eq vocab)) Caches.register(cur)
     learned.toSeq.toDF("merge_round", "lsym", "rsym", "cnt")

@@ -35,6 +35,89 @@ object Curation {
     exact.unionAll(jac).distinct()
   }
 
+  /** Generated DuckDB oracle for `bpe_train_batched` — replays
+    * [[graft.operators.Bpe.trainBatched]] exactly: per pass, pair counts
+    * over the current symbol table, the top `batch × candidateFactor`
+    * ranked candidates (the same M bound the Spark side collects), a
+    * greedy selection of up to `batch` rules whose {l, r, l+r} triple
+    * sets are mutually disjoint (b/u CTE pairs: u accumulates used
+    * symbols, b picks the best non-conflicting candidate), then one
+    * recursive leftmost-first rewrite per selected rule — sequential
+    * rewrites equal Spark's combined fold because the rules are
+    * disjoint. Empty selections no-op via a sentinel pattern that can
+    * never occur (symbols are [a-z]+ and `</w>`). The last pass skips
+    * rewrites (nothing consumes them). Every non-recursive CTE is
+    * MATERIALIZED: the b/u chains reference each other ~3× through
+    * scalar subqueries, and DuckDB's default inlining duplicates the
+    * subtree per reference — ~10× expansion per selection step, which
+    * compounds to an exponential plan (observed as "Too many open
+    * files" from thousands of duplicated parquet scans).
+    */
+  private def bpeBatchedOracleSql(merges: Int, batch: Int,
+      candidateFactor: Int): String = {
+    val passes = (merges + batch - 1) / batch
+    val m = batch * candidateFactor
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE tk AS MATERIALIZED (
+      |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |wf AS MATERIALIZED (SELECT unnest(tk) AS word FROM tk),
+      |vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM wf GROUP BY 1),
+      |s0_$batch AS MATERIALIZED (SELECT word, freq,
+      |        ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' </w> ' AS s
+      |       FROM vocab)""".stripMargin
+    for (p <- 1 to passes) {
+      val src = s"s${p - 1}_$batch"
+      sb ++= s""",
+        |p$p AS MATERIALIZED (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM $src),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |r$p AS MATERIALIZED (SELECT lsym, rsym, cnt FROM p$p ORDER BY cnt DESC, lsym, rsym LIMIT $m)""".stripMargin
+      for (k <- 1 to batch) {
+        val conflict =
+          if (k == 1) ""
+          else s"""
+            |  WHERE lsym NOT IN (SELECT s FROM u${p}_${k - 1})
+            |    AND rsym NOT IN (SELECT s FROM u${p}_${k - 1})
+            |    AND (lsym || rsym) NOT IN (SELECT s FROM u${p}_${k - 1})""".stripMargin
+        val carry =
+          if (k == 1) "" else s"SELECT s FROM u${p}_${k - 1} UNION ALL "
+        sb ++= s""",
+          |b${p}_$k AS MATERIALIZED (SELECT lsym, rsym, cnt FROM r$p$conflict
+          |  ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+          |u${p}_$k AS MATERIALIZED (${carry}SELECT lsym AS s FROM b${p}_$k
+          |  UNION ALL SELECT rsym FROM b${p}_$k
+          |  UNION ALL SELECT lsym || rsym FROM b${p}_$k)""".stripMargin
+        if (p < passes) {
+          val prev = if (k == 1) src else s"s${p}_${k - 1}"
+          sb ++= s""",
+            |pr${p}_$k AS MATERIALIZED (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat,
+            |              ' ' || lsym || rsym || ' ' AS rep FROM b${p}_$k),
+            |a${p}_$k AS (
+            |  SELECT word, freq, s FROM $prev
+            |  UNION ALL
+            |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM pr${p}_$k), (SELECT rep FROM pr${p}_$k))
+            |  FROM a${p}_$k WHERE contains(s, coalesce((SELECT pat FROM pr${p}_$k), ' NOMATCH '))),
+            |s${p}_$k AS MATERIALIZED (SELECT word, freq, s FROM a${p}_$k
+            |  WHERE NOT contains(s, coalesce((SELECT pat FROM pr${p}_$k), ' NOMATCH ')))""".stripMargin
+        }
+      }
+    }
+    val unions = (for (p <- 1 to passes; k <- 1 to batch) yield
+      s"SELECT $p AS pass, $k AS sel, lsym, rsym, cnt FROM b${p}_$k")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"""
+      |SELECT merge_round, lsym, rsym, cnt FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY pass, sel) AS INT) AS merge_round,
+      |         lsym, rsym, cnt
+      |  FROM ($unions))
+      |WHERE merge_round <= $merges
+      |ORDER BY merge_round""".stripMargin
+    sb.toString
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- pair→cluster resolution ----------------------------------------
@@ -925,6 +1008,24 @@ object Curation {
           size(col("syms")).as("n_pieces"),
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
+    },
+
+    QuerySpec(
+      "bpe_train_batched",
+      // Batched BPE (Bpe.trainBatched): 64 rules in 4 corpus passes of 16
+      // — the production path that cuts driver rounds by the batch factor
+      // (strict Sennrich is one Spark job per rule; 32k rules = 32k
+      // scheduler round-trips). DuckDB replays the IDENTICAL algorithm,
+      // generated below: per pass the M-bounded ranked candidate list,
+      // the greedy triple-set-disjoint selection (one b/u CTE pair per
+      // rule; disjointness keeps every selected count exact), and one
+      // recursive leftmost-first rewrite per selected rule (sequential
+      // rewrite ≡ Spark's combined single pass BECAUSE the rules are
+      // disjoint — see Bpe.applyMerges).
+      bpeBatchedOracleSql(merges = 64, batch = 16, candidateFactor = 8)) { (s, dir) =>
+      graft.operators.Bpe.trainBatched(t(s, dir, "documents"),
+          merges = 64, batch = 16, candidateFactor = 8)
+        .orderBy(col("merge_round"))
     },
 
     QuerySpec(

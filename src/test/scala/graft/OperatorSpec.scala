@@ -646,6 +646,29 @@ class OperatorSpec extends SparkSuite {
     Dedup.releaseCaches()
   }
 
+  test("batched BPE: batch=1 reproduces strict Sennrich; batch>1 counts exact") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    val strict = Bpe.train(docs, merges = 6)
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseCaches()
+    val b1 = Bpe.trainBatched(docs, merges = 6, batch = 1)
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseCaches()
+    assert(b1 == strict, s"batch=1 diverged from strict:\n$b1\nvs\n$strict")
+    // batch>1: rules fill to the requested count, triple sets disjoint
+    // within each pass (the invariant that keeps selected counts exact
+    // and the combined rewrite equal to sequential application)
+    val b4 = Bpe.trainBatched(docs, merges = 8, batch = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    Dedup.releaseCaches()
+    assert(b4.length == 8, s"expected 8 rules, got ${b4.length}")
+    b4.grouped(4).foreach { pass =>
+      val syms = pass.flatMap { case (_, l, r) => Seq(l, r, l + r) }
+      assert(syms.distinct.length == syms.length,
+        s"triple sets overlap within a pass: $pass")
+    }
+  }
+
   test("dsirWeights upweights the target domain") {
     val docs = Tables.load(spark, sfDir, "documents")
     val selected = operators.Sampling.dsirWeights(docs, col("lang") === "en",
