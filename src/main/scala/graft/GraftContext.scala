@@ -397,28 +397,100 @@ class GraftContext(val spark: SparkSession) {
   }
 
   // ---- filesystem registration (context.py:1695-1827) --------------------
-  // In Spark these are Hadoop FS configs; each helper is config-only.
+  // Spark-side these are Hadoop FS configs. Connector selection: the
+  // standard hadoop-aws / gcs-connector classes win when present on the
+  // classpath; otherwise the built-in read-only lite connectors
+  // (sources/S3Lite.scala — real S3 REST protocol, SigV4) serve the
+  // scan path through the SAME fs.s3a.* / fs.gs.* keys, so upgrading to
+  // the full connector is a jar change, not a config change.
 
-  def registerS3(bucket: String, accessKeyId: String, secretKey: String,
-      endpointOverride: String = ""): Unit = {
+  /** Register an S3 bucket (reference `bc.s3(...)`, context.py:1744-1792:
+    * access_key_id/secret_key "not required for public buckets",
+    * session_token, encryption_type AES_256|AWS_KMS + kms key ARN).
+    */
+  def registerS3(bucket: String, accessKeyId: String = "",
+      secretKey: String = "", endpointOverride: String = "",
+      sessionToken: String = "", encryptionType: String = "",
+      kmsKeyAmazonResourceName: String = ""): Unit = {
     val c = spark.sparkContext.hadoopConfiguration
-    c.set("fs.s3a.access.key", accessKeyId)
-    c.set("fs.s3a.secret.key", secretKey)
-    if (endpointOverride.nonEmpty) c.set("fs.s3a.endpoint", endpointOverride)
+    if (accessKeyId.nonEmpty) c.set("fs.s3a.access.key", accessKeyId)
+    if (secretKey.nonEmpty) c.set("fs.s3a.secret.key", secretKey)
+    if (sessionToken.nonEmpty) c.set("fs.s3a.session.token", sessionToken)
+    if (endpointOverride.nonEmpty) {
+      c.set("fs.s3a.endpoint", endpointOverride)
+      // custom endpoints (mocks, MinIO, on-prem gateways) can't assume
+      // the DNS wildcards virtual-host addressing needs
+      c.set("fs.s3a.path.style.access", "true")
+    }
+    encryptionType match {
+      case "" => ()
+      case "AES_256" =>
+        c.set("fs.s3a.server-side-encryption-algorithm", "AES256")
+      case "AWS_KMS" =>
+        c.set("fs.s3a.server-side-encryption-algorithm", "SSE-KMS")
+        if (kmsKeyAmazonResourceName.nonEmpty)
+          c.set("fs.s3a.server-side-encryption.key", kmsKeyAmazonResourceName)
+      case other => throw new IllegalArgumentException(
+        s"encryptionType must be AES_256 or AWS_KMS, got $other")
+    }
+    GraftContext.ensureFsImpl(c, "s3a",
+      standard = "org.apache.hadoop.fs.s3a.S3AFileSystem",
+      lite = classOf[graft.sources.S3LiteFileSystem].getName)
   }
 
   def registerHdfs(host: String, port: Int = 8020): Unit =
     spark.sparkContext.hadoopConfiguration
       .set("fs.defaultFS", s"hdfs://$host:$port")
 
-  def registerGcs(projectId: String): Unit =
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.gs.project.id", projectId)
+  /** Register a GCS bucket (reference `bc.gs(...)`, context.py:1794-1827).
+    * The reference authenticates via ADC JSON; that OAuth token exchange
+    * needs Google's token endpoint, so the lite fallback uses GCS's XML
+    * interoperability surface with HMAC credentials instead
+    * (`hmacKeyId`/`hmacSecret`). With the real gcs-connector on the
+    * classpath the ADC file is passed through untouched.
+    */
+  def registerGcs(projectId: String, adcJsonFile: String = "",
+      hmacKeyId: String = "", hmacSecret: String = "",
+      endpointOverride: String = ""): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.gs.project.id", projectId)
+    if (adcJsonFile.nonEmpty) {
+      c.set("fs.gs.auth.type", "SERVICE_ACCOUNT_JSON_KEYFILE")
+      c.set("fs.gs.auth.service.account.json.keyfile", adcJsonFile)
+    }
+    if (hmacKeyId.nonEmpty) c.set("fs.gs.access.key", hmacKeyId)
+    if (hmacSecret.nonEmpty) c.set("fs.gs.secret.key", hmacSecret)
+    if (endpointOverride.nonEmpty) c.set("fs.gs.endpoint", endpointOverride)
+    GraftContext.ensureFsImpl(c, "gs",
+      standard = "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+      lite = classOf[graft.sources.GsLiteFileSystem].getName)
+  }
 }
 
 object GraftContext {
   final case class TableEntry(name: String, df: DataFrame,
       path: Option[String], format: String)
+
+  /** Pick the filesystem impl for `scheme`: an explicit custom
+    * fs.<scheme>.impl wins; the standard connector wins when its class is
+    * loadable; otherwise the lite built-in. The subtlety: Hadoop's
+    * core-default.xml PRE-DEFINES fs.s3a.impl = S3AFileSystem even when
+    * hadoop-aws is not on the classpath, so "unset" cannot be detected by
+    * a null check — the rule is "configured class not loadable AND equal
+    * to the standard name ⇒ substitute lite". A user-set custom impl that
+    * fails to load is left alone to fail loudly.
+    */
+  private[graft] def ensureFsImpl(c: org.apache.hadoop.conf.Configuration,
+      scheme: String, standard: String, lite: String): Unit = {
+    def loadable(cn: String): Boolean =
+      try { Class.forName(cn); true }
+      catch { case _: ClassNotFoundException => false }
+    val configured = c.get(s"fs.$scheme.impl")
+    if (configured == null)
+      c.set(s"fs.$scheme.impl", if (loadable(standard)) standard else lite)
+    else if (configured == standard && !loadable(standard))
+      c.set(s"fs.$scheme.impl", lite)
+  }
 
   /** Lifecycle of one [[GraftContext.sqlToken]] submission. Transitions
     * RUNNING → {DONE, FAILED, CANCELLED} exactly once; a cancel that races

@@ -1,0 +1,481 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException, InputStream}
+import java.net.{HttpURLConnection, URI, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+import javax.xml.parsers.DocumentBuilderFactory
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.w3c.dom.Element
+
+/** AWS Signature Version 4 request signing (the published protocol:
+  * docs.aws.amazon.com/AmazonS3/latest/API/sig-v4-header-based-auth.html).
+  *
+  * Kept independent of the filesystem so the algorithm can be pinned
+  * against the public AWS documentation example request
+  * (S3LiteSpec."signer reproduces the AWS documentation test vector") —
+  * an external ground truth rather than a round-trip against our own
+  * mock's verifier.
+  */
+object SigV4 {
+  val EmptyPayloadSha256 =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  private val AmzDate =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val ShortDate =
+    DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+
+  /** RFC 3986 encoding with AWS's rules: unreserved chars pass, space is
+    * %20 (never '+'), hex is uppercase. `keepSlash` for canonical paths.
+    */
+  def uriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    for (b <- s.getBytes(UTF_8)) {
+      val c = b.toChar
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (keepSlash && c == '/')) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  private[graft] def sha256Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** Canonical request → hex signature. Public to the test mock so the
+    * server VERIFIES from what is actually on the wire (raw path, raw
+    * query, received header values) rather than round-tripping the
+    * client's own inputs. */
+  private[graft] def signatureOf(canonicalRequest: String, amzDate: String,
+      shortDate: String, region: String, service: String,
+      secretKey: String): String = {
+    val scope = s"$shortDate/$region/$service/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val signingKey = hmac(hmac(hmac(hmac(
+      ("AWS4" + secretKey).getBytes(UTF_8), shortDate), region), service),
+      "aws4_request")
+    hmac(signingKey, stringToSign).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  def canonicalQuery(query: Seq[(String, String)]): String =
+    query.map { case (k, v) => (uriEncode(k, keepSlash = false),
+        uriEncode(v, keepSlash = false)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** Build the headers (x-amz-date, x-amz-content-sha256, optional
+    * session token, Authorization) for one request. `headers` are the
+    * extra to-be-sent headers that must also be signed (e.g. Range);
+    * `host` must be exactly the Host header the HTTP client will emit.
+    */
+  def sign(method: String, host: String, canonicalPath: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      accessKey: String, secretKey: String, sessionToken: Option[String],
+      region: String, service: String, at: Instant): Seq[(String, String)] = {
+    val amzDate = AmzDate.format(at)
+    val shortDate = ShortDate.format(at)
+    val allHeaders = (headers ++ Seq(
+      "host" -> host,
+      "x-amz-content-sha256" -> EmptyPayloadSha256,
+      "x-amz-date" -> amzDate) ++
+      sessionToken.map("x-amz-security-token" -> _))
+      .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v.trim) }
+      .sortBy(_._1)
+    val signedHeaderNames = allHeaders.map(_._1).mkString(";")
+    val canonicalRequest = Seq(
+      method,
+      uriEncode(canonicalPath, keepSlash = true),
+      canonicalQuery(query),
+      allHeaders.map { case (k, v) => s"$k:$v\n" }.mkString,
+      signedHeaderNames,
+      EmptyPayloadSha256).mkString("\n")
+    val scope = s"$shortDate/$region/$service/aws4_request"
+    val signature =
+      signatureOf(canonicalRequest, amzDate, shortDate, region, service,
+        secretKey)
+    val auth = s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaderNames, Signature=$signature"
+    Seq("x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> EmptyPayloadSha256) ++
+      sessionToken.map("x-amz-security-token" -> _) ++
+      Seq("Authorization" -> auth)
+  }
+}
+
+/** Minimal read-only S3 connector: a Hadoop [[FileSystem]] speaking the
+  * real S3 REST protocol — SigV4-signed HEAD Object / ListObjectsV2 /
+  * ranged GET Object — with S3's emulated-directory semantics.
+  *
+  * The reference ships its own S3 filesystem rather than depending on an
+  * external connector (io/src/FileSystem/private/S3FileSystem_p.cpp,
+  * registered via FileSystemManager); this is the Spark-side analogue
+  * for deployments where hadoop-aws's S3AFileSystem is not on the
+  * classpath. GraftContext.registerS3 prefers the standard S3A connector
+  * when present and falls back to this class, reading the SAME
+  * `fs.s3a.*` configuration keys, so moving to a full hadoop-aws
+  * deployment is a jar change, not a config change.
+  *
+  * Scope: read path only (open/list/stat — everything a table scan
+  * needs). Writes throw: the engine's sinks target posix/HDFS paths, and
+  * a silent half-working multipart-upload would be worse than an honest
+  * error. Multipart READS need nothing special — ranged GETs serve
+  * parquet footer seeks and column-chunk positioned reads directly.
+  */
+class S3LiteFileSystem extends FileSystem {
+  /** Config prefix; subclasses re-point (e.g. `fs.gs` for the GCS XML
+    * interop twin). */
+  protected def confPrefix: String = "fs.s3a"
+  protected def defaultEndpoint: String = "https://s3.amazonaws.com"
+  protected def defaultScheme: String = "s3a"
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: URI = _
+  private var region: String = _
+  private var accessKey: String = ""
+  private var secretKey: String = ""
+  private var sessionToken: Option[String] = None
+  private var workingDir: Path = _
+  private var listPageSize: Int = 1000
+
+  override def getScheme: String =
+    if (fsUri != null) fsUri.getScheme else defaultScheme
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = name.getHost
+    require(bucket != null && bucket.nonEmpty, s"no bucket in URI $name")
+    fsUri = URI.create(s"${name.getScheme}://$bucket")
+    val ep = conf.get(s"$confPrefix.endpoint", defaultEndpoint)
+    endpoint = URI.create(if (ep.contains("://")) ep else s"https://$ep")
+    region = conf.get(s"$confPrefix.endpoint.region", "us-east-1")
+    accessKey = conf.get(s"$confPrefix.access.key", "")
+    secretKey = conf.get(s"$confPrefix.secret.key", "")
+    sessionToken = Option(conf.get(s"$confPrefix.session.token"))
+      .filter(_.nonEmpty)
+    // small pages in tests force the ListObjectsV2 continuation loop
+    listPageSize = conf.getInt(s"$confPrefix.paging.maximum", 1000)
+    workingDir = new Path(fsUri.toString + "/")
+  }
+
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  // S3 objects have no intrinsic block size; advertise a split-friendly
+  // one (Spark's own partitioning is governed by files.maxPartitionBytes)
+  override def getDefaultBlockSize(f: Path): Long = 32L * 1024 * 1024
+
+  private def pathKey(f: Path): String = {
+    val raw = f.toUri.getPath
+    val k = if (raw == null) "" else raw.stripPrefix("/")
+    k.stripSuffix("/")
+  }
+
+  // ---- HTTP -----------------------------------------------------------
+
+  /** Host header exactly as java.net.HttpURLConnection will emit it
+    * (port omitted when default for the scheme) — SigV4 signs it. */
+  private def hostHeader: String = {
+    val p = endpoint.getPort
+    val defaultPort =
+      if (endpoint.getScheme == "https") 443 else 80
+    if (p == -1 || p == defaultPort) endpoint.getHost
+    else s"${endpoint.getHost}:$p"
+  }
+
+  /** Path-style addressing: /bucket/key. Virtual-host style needs DNS
+    * wildcards the endpoint override case can't assume. */
+  private def canonicalPath(key: String): String =
+    if (key.isEmpty) s"/$bucket" else s"/$bucket/$key"
+
+  private def connect(method: String, key: String,
+      query: Seq[(String, String)],
+      range: Option[String]): HttpURLConnection = {
+    val cp = canonicalPath(key)
+    val qs = SigV4.canonicalQuery(query)
+    val url = new URL(endpoint.toString.stripSuffix("/") +
+      SigV4.uriEncode(cp, keepSlash = true) +
+      (if (qs.nonEmpty) s"?$qs" else ""))
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val extra = range.map("range" -> _).toSeq
+    extra.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (accessKey.nonEmpty) {
+      // anonymous (public-bucket) access sends no Authorization at all —
+      // the reference documents access_key_id as "not required for
+      // public buckets" (context.py:1755)
+      SigV4.sign(method, hostHeader, cp, query, extra,
+        accessKey, secretKey, sessionToken, region, "s3", Instant.now())
+        .foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    }
+    conn
+  }
+
+  private def errorBody(conn: HttpURLConnection): String = {
+    val es = conn.getErrorStream
+    if (es == null) "" else try new String(es.readAllBytes(), UTF_8)
+    finally es.close()
+  }
+
+  // ---- object metadata ------------------------------------------------
+
+  private def head(key: String): Option[(Long, Long)] = {
+    val conn = connect("HEAD", key, Nil, None)
+    conn.getResponseCode match {
+      case 200 =>
+        val len = conn.getContentLengthLong
+        val mtime = math.max(conn.getLastModified, 0L)
+        conn.disconnect()
+        Some((len, mtime))
+      case 404 => conn.disconnect(); None
+      case code =>
+        val msg = errorBody(conn); conn.disconnect()
+        throw new IOException(s"S3 HEAD $key failed: HTTP $code $msg")
+    }
+  }
+
+  private case class ListPage(files: Seq[(String, Long, Long)],
+      dirs: Seq[String], nextToken: Option[String])
+
+  private def listPage(prefix: String, delimiter: Option[String],
+      maxKeys: Int, token: Option[String]): ListPage = {
+    val query = Seq("list-type" -> "2", "prefix" -> prefix,
+        "max-keys" -> maxKeys.toString) ++
+      delimiter.map("delimiter" -> _) ++
+      token.map("continuation-token" -> _)
+    val conn = connect("GET", "", query, None)
+    if (conn.getResponseCode != 200) {
+      val code = conn.getResponseCode; val msg = errorBody(conn)
+      conn.disconnect()
+      throw new IOException(s"S3 ListObjectsV2 $prefix failed: HTTP $code $msg")
+    }
+    val doc = try {
+      val f = DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.newDocumentBuilder().parse(conn.getInputStream)
+    } finally conn.disconnect()
+
+    def texts(parent: Element, tag: String): Seq[String] = {
+      val nl = parent.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item(_).getTextContent)
+    }
+    val root = doc.getDocumentElement
+    val contents = root.getElementsByTagName("Contents")
+    val files = (0 until contents.getLength).map { i =>
+      val e = contents.item(i).asInstanceOf[Element]
+      val key = texts(e, "Key").head
+      val size = texts(e, "Size").headOption.map(_.toLong).getOrElse(0L)
+      val mtime = texts(e, "LastModified").headOption
+        .map(t => Instant.parse(t).toEpochMilli).getOrElse(0L)
+      (key, size, mtime)
+    }
+    val cps = root.getElementsByTagName("CommonPrefixes")
+    val dirs = (0 until cps.getLength).flatMap { i =>
+      texts(cps.item(i).asInstanceOf[Element], "Prefix")
+    }
+    val truncated = texts(root, "IsTruncated").headOption.contains("true")
+    val next = if (truncated)
+      texts(root, "NextContinuationToken").headOption else None
+    ListPage(files, dirs, next)
+  }
+
+  private def fileStatus(f: Path, len: Long, mtime: Long): FileStatus =
+    new FileStatus(len, false, 1, getDefaultBlockSize(f), mtime,
+      f.makeQualified(fsUri, workingDir))
+
+  private def dirStatus(f: Path): FileStatus =
+    new FileStatus(0, true, 1, 0, 0,
+      f.makeQualified(fsUri, workingDir))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = pathKey(f)
+    if (key.isEmpty) return dirStatus(f)
+    head(key) match {
+      case Some((len, mtime)) => fileStatus(f, len, mtime)
+      case None =>
+        // S3 has no directories: a "directory" exists iff some object
+        // lives under the prefix
+        val page = listPage(key + "/", None, 1, None)
+        if (page.files.nonEmpty || page.dirs.nonEmpty) dirStatus(f)
+        else throw new FileNotFoundException(s"$f (bucket $bucket)")
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = pathKey(f)
+    if (key.nonEmpty) head(key) match {
+      case Some((len, mtime)) => return Array(fileStatus(f, len, mtime))
+      case None => ()
+    }
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val out = Array.newBuilder[FileStatus]
+    var token: Option[String] = None
+    var seen = false
+    var done = false
+    while (!done) {
+      val page = listPage(prefix, Some("/"), listPageSize, token)
+      seen |= page.files.nonEmpty || page.dirs.nonEmpty
+      for ((k, size, mtime) <- page.files if k != prefix) {
+        // skip the zero-byte "directory marker" object consoles create
+        out += fileStatus(new Path(s"${fsUri}/$k"), size, mtime)
+      }
+      for (d <- page.dirs)
+        out += dirStatus(new Path(s"${fsUri}/${d.stripSuffix("/")}"))
+      token = page.nextToken
+      done = token.isEmpty
+    }
+    if (!seen && key.nonEmpty) throw new FileNotFoundException(s"$f")
+    out.result()
+  }
+
+  // ---- read path ------------------------------------------------------
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f)
+    if (st.isDirectory)
+      throw new IOException(s"cannot open directory $f")
+    new FSDataInputStream(new S3LiteInputStream(pathKey(f), st.getLen))
+  }
+
+  /** Seekable ranged-GET stream. Sequential reads ride one open ranged
+    * GET (`bytes=pos-`); seek closes it so the parquet footer-seek /
+    * column-chunk pattern costs one HTTP request per contiguous region,
+    * not per read() call. Positioned reads use bounded ranges and leave
+    * the sequential stream alone.
+    */
+  private final class S3LiteInputStream(key: String, len: Long)
+      extends FSInputStream {
+    private var pos = 0L
+    private var in: InputStream = _
+    private var streamPos = -1L
+
+    private def ensureStream(): Unit = {
+      if (in == null || streamPos != pos) {
+        closeStream()
+        if (pos < len) {
+          val conn = connect("GET", key, Nil, Some(s"bytes=$pos-"))
+          val code = conn.getResponseCode
+          if (code != 200 && code != 206) {
+            val msg = errorBody(conn); conn.disconnect()
+            throw new IOException(s"S3 GET $key @$pos failed: HTTP $code $msg")
+          }
+          in = conn.getInputStream
+          streamPos = pos
+        }
+      }
+    }
+
+    private def closeStream(): Unit = {
+      if (in != null) { try in.close() catch { case _: IOException => () } }
+      in = null; streamPos = -1L
+    }
+
+    override def seek(newPos: Long): Unit = {
+      if (newPos < 0 || newPos > len)
+        throw new java.io.EOFException(s"seek $newPos outside 0..$len")
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(): Int = {
+      if (pos >= len) return -1
+      ensureStream()
+      val b = in.read()
+      if (b >= 0) { pos += 1; streamPos += 1 }
+      b
+    }
+
+    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      if (pos >= len) return -1
+      ensureStream()
+      val r = in.read(buf, off, n)
+      if (r > 0) { pos += r; streamPos += r }
+      r
+    }
+
+    override def read(position: Long, buf: Array[Byte], off: Int,
+        n: Int): Int = {
+      if (position >= len) return -1
+      if (n <= 0) return 0
+      val last = math.min(len - 1, position + n - 1)
+      val conn = connect("GET", key, Nil, Some(s"bytes=$position-$last"))
+      val code = conn.getResponseCode
+      if (code != 200 && code != 206) {
+        val msg = errorBody(conn); conn.disconnect()
+        throw new IOException(s"S3 pread $key @$position failed: HTTP $code $msg")
+      }
+      val s = conn.getInputStream
+      try {
+        var total = 0
+        val want = (last - position + 1).toInt
+        var r = 0
+        while (total < want && r >= 0) {
+          r = s.read(buf, off + total, want - total)
+          if (r > 0) total += r
+        }
+        total
+      } finally s.close()
+    }
+
+    override def close(): Unit = { closeStream(); super.close() }
+  }
+
+  // ---- mutations: honestly unsupported -------------------------------
+
+  private def readOnly(op: String): Nothing =
+    throw new IOException(
+      s"$op: ${getScheme}:// is read-only in the built-in lite connector" +
+        " — deploy hadoop-aws (S3AFileSystem) for a writable S3")
+
+  override def create(f: Path, permission: FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable): FSDataOutputStream =
+    readOnly(s"create($f)")
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = readOnly(s"append($f)")
+  override def rename(src: Path, dst: Path): Boolean =
+    readOnly(s"rename($src)")
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    readOnly(s"delete($f)")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    readOnly(s"mkdirs($f)")
+}
+
+/** GCS twin over the XML interoperability API: Google Cloud Storage
+  * serves the same ListObjectsV2 / HEAD / ranged-GET surface at
+  * storage.googleapis.com with HMAC interop credentials and SigV4
+  * (cloud.google.com/storage/docs/interoperability; the reference's
+  * dedicated GCS provider is
+  * io/src/FileSystem/private/GoogleCloudStorage_p.cpp). The OAuth/ADC
+  * JSON flow (reference context.py:1806-1808) needs a token exchange no
+  * zero-egress sandbox can perform; HMAC interop is the tested path and
+  * is what GraftContext.registerGcs configures.
+  */
+class GsLiteFileSystem extends S3LiteFileSystem {
+  override protected def confPrefix: String = "fs.gs"
+  override protected def defaultEndpoint: String =
+    "https://storage.googleapis.com"
+  override protected def defaultScheme: String = "gs"
+}
