@@ -58,26 +58,53 @@ object Bench {
     // local profiling hook: run a subset (comma-separated names). The
     // driver never sets this — the contract stays "run every query".
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // Repeat-sampled timings: a single sample can absorb a transient
+    // stall (GC pause, page-cache miss) and mis-record a query by 4×
+    // (r6: bm25_search 17.5 s recorded, 3.9 s on re-run) — enough to
+    // manufacture or mask a 2× gate violation. Scheme: min-of-2 for
+    // everything; when both samples exceed 1 s (the family where one
+    // stall can still dominate the min), take a third and record the
+    // median. All samples are emitted so regressions stay auditable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // materialize through the query's OWN plan (toRdd): a plain count()
-      // lets the optimizer prune every unreferenced column — a
-      // projection/window query would bench its scan, not its compute
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case t: Throwable =>
-          System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
-      // capture BEFORE cache release/cleanup so only the query is measured
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.operators.Dedup.releaseCaches()
-      // failed queries record -1.0 so they can't masquerade as fast runs
-      (name, if (ok) elapsed else -1.0, ok)
+      // one timed execution through the query's OWN plan (toRdd): a
+      // plain count() lets the optimizer prune every unreferenced
+      // column — a projection/window query would bench its scan, not
+      // its compute. Caches released between samples so every sample
+      // pays the query's true repeated cost.
+      def sample(): Option[Double] = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releaseCaches()
+        if (ok) Some(elapsed) else None
+      }
+      val samples = sample() match {
+        case None => Nil
+        case Some(s1) => sample() match {
+          case None => Nil // flaky failure is still a failure
+          case Some(s2) if math.min(s1, s2) > 1.0 =>
+            sample().map(s3 => List(s1, s2, s3)).getOrElse(Nil)
+          case Some(s2) => List(s1, s2)
+        }
+      }
+      val value = samples match {
+        case Nil => -1.0 // failures record -1.0, never a fast-looking time
+        case two if two.size == 2 => two.min
+        case three => three.sorted.apply(1) // median-of-3
+      }
+      (name, value, samples)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val sampleJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":" + ss.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errs = results.filter(_._3.isEmpty).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3.nonEmpty).map(_._2).sum
 
     // Concurrency axis (the reference runs suites with queries in flight
     // concurrently — TPCHSuite.yaml:5-7): the same SQL battery sequential
@@ -121,7 +148,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$conc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,$conc,"sf":"$sfDir"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a

@@ -413,23 +413,30 @@ class GraftContext(val spark: SparkSession) {
       sessionToken: String = "", encryptionType: String = "",
       kmsKeyAmazonResourceName: String = ""): Unit = {
     val c = spark.sparkContext.hadoopConfiguration
-    if (accessKeyId.nonEmpty) c.set("fs.s3a.access.key", accessKeyId)
-    if (secretKey.nonEmpty) c.set("fs.s3a.secret.key", secretKey)
-    if (sessionToken.nonEmpty) c.set("fs.s3a.session.token", sessionToken)
+    // per-bucket keys (S3A's documented `fs.s3a.bucket.<b>.<opt>` form,
+    // honored by both the standard S3AFileSystem and the lite connector):
+    // registering two buckets with different credentials must not have
+    // the second call's keys apply to both — the reference's bc.s3 is
+    // per-authority (context.py:1744)
+    def set(opt: String, v: String): Unit =
+      c.set(s"fs.s3a.bucket.$bucket.$opt", v)
+    if (accessKeyId.nonEmpty) set("access.key", accessKeyId)
+    if (secretKey.nonEmpty) set("secret.key", secretKey)
+    if (sessionToken.nonEmpty) set("session.token", sessionToken)
     if (endpointOverride.nonEmpty) {
-      c.set("fs.s3a.endpoint", endpointOverride)
+      set("endpoint", endpointOverride)
       // custom endpoints (mocks, MinIO, on-prem gateways) can't assume
       // the DNS wildcards virtual-host addressing needs
-      c.set("fs.s3a.path.style.access", "true")
+      set("path.style.access", "true")
     }
     encryptionType match {
       case "" => ()
       case "AES_256" =>
-        c.set("fs.s3a.server-side-encryption-algorithm", "AES256")
+        set("server-side-encryption-algorithm", "AES256")
       case "AWS_KMS" =>
-        c.set("fs.s3a.server-side-encryption-algorithm", "SSE-KMS")
+        set("server-side-encryption-algorithm", "SSE-KMS")
         if (kmsKeyAmazonResourceName.nonEmpty)
-          c.set("fs.s3a.server-side-encryption.key", kmsKeyAmazonResourceName)
+          set("server-side-encryption.key", kmsKeyAmazonResourceName)
       case other => throw new IllegalArgumentException(
         s"encryptionType must be AES_256 or AWS_KMS, got $other")
     }
@@ -451,16 +458,21 @@ class GraftContext(val spark: SparkSession) {
     */
   def registerGcs(projectId: String, adcJsonFile: String = "",
       hmacKeyId: String = "", hmacSecret: String = "",
-      endpointOverride: String = ""): Unit = {
+      endpointOverride: String = "", bucketName: String = ""): Unit = {
     val c = spark.sparkContext.hadoopConfiguration
+    // bucketName (reference bc.gs's bucket_name) scopes the credentials
+    // per-bucket like registerS3; empty = session-global keys
+    def set(opt: String, v: String): Unit =
+      if (bucketName.nonEmpty) c.set(s"fs.gs.bucket.$bucketName.$opt", v)
+      else c.set(s"fs.gs.$opt", v)
     c.set("fs.gs.project.id", projectId)
     if (adcJsonFile.nonEmpty) {
       c.set("fs.gs.auth.type", "SERVICE_ACCOUNT_JSON_KEYFILE")
       c.set("fs.gs.auth.service.account.json.keyfile", adcJsonFile)
     }
-    if (hmacKeyId.nonEmpty) c.set("fs.gs.access.key", hmacKeyId)
-    if (hmacSecret.nonEmpty) c.set("fs.gs.secret.key", hmacSecret)
-    if (endpointOverride.nonEmpty) c.set("fs.gs.endpoint", endpointOverride)
+    if (hmacKeyId.nonEmpty) set("access.key", hmacKeyId)
+    if (hmacSecret.nonEmpty) set("secret.key", hmacSecret)
+    if (endpointOverride.nonEmpty) set("endpoint", endpointOverride)
     GraftContext.ensureFsImpl(c, "gs",
       standard = "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
       lite = classOf[graft.sources.GsLiteFileSystem].getName)
@@ -483,8 +495,12 @@ object GraftContext {
   private[graft] def ensureFsImpl(c: org.apache.hadoop.conf.Configuration,
       scheme: String, standard: String, lite: String): Unit = {
     def loadable(cn: String): Boolean =
-      try { Class.forName(cn); true }
-      catch { case _: ClassNotFoundException => false }
+      // initialize=false: don't run static init just to probe presence.
+      // LinkageError covers the partially-present case (hadoop-aws jar
+      // on the classpath but aws-sdk missing ⇒ NoClassDefFoundError at
+      // resolution) — that must fall back to lite, not escape the probe.
+      try { Class.forName(cn, false, getClass.getClassLoader); true }
+      catch { case _: ClassNotFoundException | _: LinkageError => false }
     val configured = c.get(s"fs.$scheme.impl")
     if (configured == null)
       c.set(s"fs.$scheme.impl", if (loadable(standard)) standard else lite)

@@ -164,15 +164,22 @@ class S3LiteFileSystem extends FileSystem {
     bucket = name.getHost
     require(bucket != null && bucket.nonEmpty, s"no bucket in URI $name")
     fsUri = URI.create(s"${name.getScheme}://$bucket")
-    val ep = conf.get(s"$confPrefix.endpoint", defaultEndpoint)
+    // per-bucket keys first (S3A's documented per-bucket config form,
+    // `fs.s3a.bucket.<bucket>.<option>`), global as fallback — so two
+    // buckets registered with different credentials don't clobber each
+    // other (the reference's bc.s3 is likewise per-authority)
+    def get(opt: String, dflt: String): String = {
+      val pb = conf.get(s"$confPrefix.bucket.$bucket.$opt")
+      if (pb != null) pb else conf.get(s"$confPrefix.$opt", dflt)
+    }
+    val ep = get("endpoint", defaultEndpoint)
     endpoint = URI.create(if (ep.contains("://")) ep else s"https://$ep")
-    region = conf.get(s"$confPrefix.endpoint.region", "us-east-1")
-    accessKey = conf.get(s"$confPrefix.access.key", "")
-    secretKey = conf.get(s"$confPrefix.secret.key", "")
-    sessionToken = Option(conf.get(s"$confPrefix.session.token"))
-      .filter(_.nonEmpty)
+    region = get("endpoint.region", "us-east-1")
+    accessKey = get("access.key", "")
+    secretKey = get("secret.key", "")
+    sessionToken = Option(get("session.token", "")).filter(_.nonEmpty)
     // small pages in tests force the ListObjectsV2 continuation loop
-    listPageSize = conf.getInt(s"$confPrefix.paging.maximum", 1000)
+    listPageSize = get("paging.maximum", "1000").toInt
     workingDir = new Path(fsUri.toString + "/")
   }
 
@@ -189,6 +196,13 @@ class S3LiteFileSystem extends FileSystem {
     val k = if (raw == null) "" else raw.stripPrefix("/")
     k.stripSuffix("/")
   }
+
+  /** Key → Path without string-level URI parsing: `new Path("s3a://b/$k")`
+    * would treat a '#' in a legal S3 key as a URI fragment and truncate
+    * the key. The multi-arg URI constructor quotes such characters, and
+    * pathKey's `toUri.getPath` decodes them back. */
+  private def keyPath(key: String): Path =
+    new Path(new URI(fsUri.getScheme, bucket, "/" + key, null, null))
 
   // ---- HTTP -----------------------------------------------------------
 
@@ -338,10 +352,10 @@ class S3LiteFileSystem extends FileSystem {
       seen |= page.files.nonEmpty || page.dirs.nonEmpty
       for ((k, size, mtime) <- page.files if k != prefix) {
         // skip the zero-byte "directory marker" object consoles create
-        out += fileStatus(new Path(s"${fsUri}/$k"), size, mtime)
+        out += fileStatus(keyPath(k), size, mtime)
       }
       for (d <- page.dirs)
-        out += dirStatus(new Path(s"${fsUri}/${d.stripSuffix("/")}"))
+        out += dirStatus(keyPath(d.stripSuffix("/")))
       token = page.nextToken
       done = token.isEmpty
     }
@@ -381,8 +395,28 @@ class S3LiteFileSystem extends FileSystem {
             throw new IOException(s"S3 GET $key @$pos failed: HTTP $code $msg")
           }
           in = conn.getInputStream
+          // HTTP 200 means the server IGNORED the Range header and is
+          // sending the object from byte 0 (some S3-compatible proxies
+          // do) — treating that stream as starting at `pos` would read
+          // wrong bytes. Skip the prefix so the stream is positioned
+          // honestly; only a 206 stream starts at `pos` already.
+          if (code == 200 && pos > 0) skipFully(in, pos,
+            s"S3 GET $key: server ignored Range bytes=$pos-")
           streamPos = pos
         }
+      }
+    }
+
+    /** Discard exactly `n` bytes or throw — used when a server answers a
+      * ranged GET with 200 (full object) instead of 206. */
+    private def skipFully(s: InputStream, n: Long, what: String): Unit = {
+      var left = n
+      val buf = new Array[Byte](math.min(left, 64 * 1024L).toInt)
+      while (left > 0) {
+        val r = s.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r < 0) throw new IOException(
+          s"$what, then EOF after ${n - left} of $n skipped bytes")
+        left -= r
       }
     }
 
@@ -427,6 +461,9 @@ class S3LiteFileSystem extends FileSystem {
         throw new IOException(s"S3 pread $key @$position failed: HTTP $code $msg")
       }
       val s = conn.getInputStream
+      // 200 = Range ignored, stream starts at byte 0 (see ensureStream)
+      if (code == 200 && position > 0) skipFully(s, position,
+        s"S3 pread $key: server ignored Range bytes=$position-$last")
       try {
         var total = 0
         val want = (last - position + 1).toInt

@@ -28,7 +28,8 @@ class S3LiteSpec extends SparkSuite {
   // In-JVM S3 endpoint: path-style /bucket/key, ListObjectsV2, HEAD,
   // ranged GET. Serves `objects` (key -> local file), one bucket.
   private final class S3Mock(bucket: String, objects: Map[String, JPath],
-      secretsByAccessKey: Map[String, String], allowAnonymous: Boolean) {
+      secretsByAccessKey: Map[String, String], allowAnonymous: Boolean,
+      ignoreRange: Boolean = false) {
     val server: HttpServer =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     def port: Int = server.getAddress.getPort
@@ -172,6 +173,11 @@ class S3LiteSpec extends SparkSuite {
                   .atZone(java.time.ZoneOffset.UTC)))
             ex.sendResponseHeaders(200, -1); ex.close()
           } else range match {
+            case Some(_) if ignoreRange =>
+              // a proxy/S3-compatible store that drops the Range header:
+              // 200 + full object from byte 0, no Content-Range
+              rangeGets.incrementAndGet()
+              send(ex, 200, bytes, "application/octet-stream")
             case Some(r) =>
               rangeGets.incrementAndGet()
               val spec = r.stripPrefix("bytes=")
@@ -346,6 +352,89 @@ class S3LiteSpec extends SparkSuite {
       assert(mock.anonymousSeen.get > 0, "expected unsigned requests")
       assert(mock.verifiedOk.get == 0)
     } finally mock.stop()
+  }
+
+  test("Range-ignoring endpoint (200 full object) still reads correct bytes") {
+    freshFsConf()
+    // Some S3-compatible proxies answer a ranged GET with 200 and the
+    // whole object. A parquet read does footer seeks at pos>0 — treating
+    // a 200 stream as starting at pos would silently parse wrong bytes.
+    // The connector must detect the 200 and skip the prefix (ADVICE r6).
+    val mock = new S3Mock("graft-norange",
+      Map("tpch/nation.parquet" -> Paths.get(s"$sfDir/nation.parquet")),
+      Map("AKGRAFT" -> "graft-secret"), allowAnonymous = false,
+      ignoreRange = true)
+    try {
+      ctx.registerS3("graft-norange", accessKeyId = "AKGRAFT",
+        secretKey = "graft-secret", endpointOverride = mock.endpoint)
+      val remote = spark.read.parquet("s3a://graft-norange/tpch/nation.parquet")
+      val local = Tables.load(spark, sfDir, "nation")
+      assert(remote.orderBy(col("n_nationkey")).collect().toSeq ==
+        local.orderBy(col("n_nationkey")).collect().toSeq,
+        "rows differ when the server ignores Range — 200 prefix-skip broken")
+      assert(mock.rangeGets.get > 0,
+        "test precondition: ranged GETs must have been attempted")
+      assert(mock.badSignature.get == 0)
+    } finally mock.stop()
+  }
+
+  test("two buckets with different credentials do not clobber each other") {
+    freshFsConf()
+    // the reference's bc.s3 registers per-authority; per-bucket
+    // fs.s3a.bucket.<b>.* keys keep a second registration from
+    // overwriting the first bucket's credentials AND endpoint
+    val mockA = new S3Mock("bkt-alpha",
+      Map("t/nation.parquet" -> Paths.get(s"$sfDir/nation.parquet")),
+      Map("AK_ALPHA" -> "secret-alpha"), allowAnonymous = false)
+    val mockB = new S3Mock("bkt-beta",
+      Map("t/region.parquet" -> Paths.get(s"$sfDir/region.parquet")),
+      Map("AK_BETA" -> "secret-beta"), allowAnonymous = false)
+    try {
+      ctx.registerS3("bkt-alpha", accessKeyId = "AK_ALPHA",
+        secretKey = "secret-alpha", endpointOverride = mockA.endpoint)
+      ctx.registerS3("bkt-beta", accessKeyId = "AK_BETA",
+        secretKey = "secret-beta", endpointOverride = mockB.endpoint)
+      // read alpha AFTER registering beta: global keys would now hold
+      // beta's credentials/endpoint and the read would 403 or miss
+      val a = spark.read.parquet("s3a://bkt-alpha/t/nation.parquet")
+      assert(a.count() == Tables.load(spark, sfDir, "nation").count())
+      val b = spark.read.parquet("s3a://bkt-beta/t/region.parquet")
+      assert(b.count() == Tables.load(spark, sfDir, "region").count())
+      assert(mockA.badSignature.get == 0 && mockB.badSignature.get == 0)
+      assert(mockA.verifiedOk.get > 0 && mockB.verifiedOk.get > 0)
+    } finally { mockA.stop(); mockB.stop() }
+  }
+
+  test("keys containing '#' survive listStatus and open") {
+    freshFsConf()
+    // '#' is legal in an S3 key but is a fragment marker to URI parsing;
+    // building child Paths by string concat would truncate the key
+    val tmp = Files.createTempDirectory("graft-s3hash")
+    val payload = "graft-hash-key-payload".getBytes(UTF_8)
+    val f = tmp.resolve("obj.bin"); Files.write(f, payload)
+    val mock = new S3Mock("graft-hash",
+      Map("dir/part#1.bin" -> f),
+      Map("AKGRAFT" -> "graft-secret"), allowAnonymous = false)
+    try {
+      ctx.registerS3("graft-hash", accessKeyId = "AKGRAFT",
+        secretKey = "graft-secret", endpointOverride = mock.endpoint)
+      val fs = new org.apache.hadoop.fs.Path("s3a://graft-hash/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val listed = fs.listStatus(new org.apache.hadoop.fs.Path(
+        "s3a://graft-hash/dir"))
+      assert(listed.length == 1)
+      val st = listed.head
+      assert(st.getPath.toUri.getPath == "/dir/part#1.bin",
+        s"key truncated at '#': ${st.getPath}")
+      assert(st.getLen == payload.length)
+      val in = fs.open(st.getPath)
+      val got = try in.readAllBytes() finally in.close()
+      assert(java.util.Arrays.equals(got, payload),
+        "opening the listed '#' path read wrong object bytes")
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
   }
 
   test("gs:// reads via the XML-interop twin with HMAC credentials") {
