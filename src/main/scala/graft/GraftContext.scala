@@ -48,6 +48,8 @@ class GraftContext(val spark: SparkSession) {
         spark.read.options(options).json(path)
       case "jdbc" => // url/dbtable/... via options
         spark.read.options(options).format("jdbc").load()
+      case "sqlite" => // driver-free file-format reader (sources/SqliteFormat)
+        spark.read.options(options).format("sqlite").load(path)
       case other => spark.read.options(options).format(other).load(path)
     }
     register(name, df, Some(path), fmt)
@@ -716,6 +718,8 @@ object GraftContext {
     else if (p.endsWith(".psv")) "psv"
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
     else if (p.endsWith(".txt")) "text"
+    else if (p.endsWith(".sqlite") || p.endsWith(".sqlite3") ||
+      p.endsWith(".db")) "sqlite"
     else "parquet"
   }
 

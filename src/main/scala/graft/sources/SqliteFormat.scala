@@ -1,0 +1,769 @@
+package graft.sources
+
+import java.io.IOException
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.{Locale, OptionalLong}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Driver-free SQLite reader: decodes the public, stable SQLite on-disk
+  * format (sqlite.org/fileformat2.html) directly — file header, table
+  * b-tree page walk, varint/record decode, overflow chains — so a
+  * `.sqlite`/`.db` file is scannable with no JDBC driver and no native
+  * library, over ANY Hadoop filesystem (local, hdfs://, s3a://).
+  *
+  * Reference parity: the SQLite source pair
+  * engine/src/io/data_provider/sql/SQLiteDataProvider.cpp +
+  * engine/src/io/data_parser/sql/SQLiteParser.cpp (batched reads through
+  * libsqlite3; declared-type → column-type table at
+  * SQLiteParser.cpp:62-85). Spark-side the declared-type table maps to
+  * Catalyst types below ([[Sqlite.sparkTypeOf]]); deviations are widening
+  * only (SQLite integers are 64-bit on disk, so `int` maps to LongType
+  * where the reference narrows to INT32, and `real`/`float` map to
+  * DoubleType because SQLite stores all floats as 8-byte IEEE).
+  *
+  * Scale shape: the table b-tree's root fans out to hundreds of child
+  * subtrees; each input partition walks a contiguous group of subtrees
+  * via positioned reads, so a scan distributes without reading the file
+  * on the driver (the driver touches only the header, sqlite_schema, and
+  * the root page). Interior-page rowid separators give each subtree an
+  * exact rowid range, so an equality/range predicate on the INTEGER
+  * PRIMARY KEY (the rowid alias) prunes whole subtrees before any
+  * executor reads a page.
+  */
+object Sqlite {
+
+  // ---- low-level file access --------------------------------------------
+
+  /** One open SQLite file: header fields + page fetch via positioned
+    * reads. Page numbers are 1-based; page 1 embeds the 100-byte header.
+    */
+  final class Db(in: FSDataInputStream, val fileLen: Long) extends AutoCloseable {
+    private val header = new Array[Byte](100)
+    in.readFully(0L, header)
+    require(new String(header, 0, 16, StandardCharsets.ISO_8859_1)
+      .startsWith("SQLite format 3"),
+      "not a SQLite database (bad magic in first 16 bytes)")
+    val pageSize: Int = {
+      val raw = ((header(16) & 0xff) << 8) | (header(17) & 0xff)
+      if (raw == 1) 65536 else raw // value 1 means 65536 (fileformat2 §1.3)
+    }
+    val reservedBytes: Int = header(20) & 0xff
+    /** usable bytes per page: page size minus the per-page reserved tail */
+    val usable: Int = pageSize - reservedBytes
+    /** 1=UTF-8, 2=UTF-16le, 3=UTF-16be (header offset 56) */
+    val textEncoding: Int = be32(header, 56)
+    val charset: Charset = textEncoding match {
+      case 1 => StandardCharsets.UTF_8
+      case 2 => StandardCharsets.UTF_16LE
+      case 3 => StandardCharsets.UTF_16BE
+      case other => throw new IOException(s"unknown SQLite text encoding $other")
+    }
+
+    def page(n: Int): Array[Byte] = {
+      require(n >= 1, s"page numbers are 1-based, got $n")
+      val buf = new Array[Byte](pageSize)
+      in.readFully((n - 1).toLong * pageSize, buf)
+      buf
+    }
+    override def close(): Unit = in.close()
+  }
+
+  def open(path: String, conf: Configuration): Db = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    new Db(fs.open(p), st.getLen)
+  }
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** SQLite varint: 1-9 bytes, 7 high bits first; the 9th byte (if
+    * reached) contributes a full 8 bits. Returns (value, bytesRead). */
+  private[graft] def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+      if ((x & 0x80) == 0) return (v, i)
+    }
+    ((v << 8) | (b(off + 8) & 0xff), 9)
+  }
+
+  // ---- b-tree pages ------------------------------------------------------
+
+  private def pageHeaderOff(pageNo: Int): Int = if (pageNo == 1) 100 else 0
+
+  /** Child subtrees of a table b-tree page: (childPage, maxRowidInclusive)
+    * pairs in key order, rightmost child last with Long.MaxValue. Empty
+    * for leaf pages. */
+  def interiorChildren(db: Db, pageNo: Int): Seq[(Int, Long)] = {
+    val p = db.page(pageNo)
+    val h = pageHeaderOff(pageNo)
+    p(h) match {
+      case 5 => // interior table page
+        val nCells = be16(p, h + 3)
+        val rightMost = be32(p, h + 8)
+        val ptrs = h + 12
+        val out = ArrayBuffer.empty[(Int, Long)]
+        var i = 0
+        while (i < nCells) {
+          val cell = be16(p, ptrs + 2 * i)
+          val child = be32(p, cell)
+          // the cell key is the LARGEST rowid in the left-child subtree
+          val (key, _) = varint(p, cell + 4)
+          out += ((child, key))
+          i += 1
+        }
+        out += ((rightMost, Long.MaxValue))
+        out.toSeq
+      case 13 => Nil // leaf — no children
+      case 2 | 10 => throw new IOException(
+        s"page $pageNo is an index b-tree page — WITHOUT ROWID tables are " +
+          "not supported by the built-in reader")
+      case t => throw new IOException(s"page $pageNo: unknown b-tree type $t")
+    }
+  }
+
+  /** Pull-based leaf-cell iterator over the table b-tree rooted at
+    * `root`, in rowid order. Memory is bounded by one leaf page plus the
+    * DFS stack (tree depth × fanout page numbers — a few KB), never a
+    * whole subtree. `loEx`/`hiIn` bound the visited rowids
+    * ((loEx, hiIn]); interior separator keys prune disjoint subtrees
+    * before their pages are read. Payload spilled to overflow pages is
+    * reassembled into a fresh array; local payloads are yielded in-place
+    * inside the page buffer (zero copy).
+    */
+  final class CellIterator(db: Db, root: Int, loEx: Long, hiIn: Long)
+      extends Iterator[(Long, Array[Byte], Int, Int)] {
+    private val stack = scala.collection.mutable.Stack[Int](root)
+    private var leaf: Array[Byte] = null
+    private var ptrs = 0
+    private var nCells = 0
+    private var cellIdx = 0
+    private var pending: (Long, Array[Byte], Int, Int) = null
+
+    private def decodeCell(): Unit = {
+      val p = leaf
+      val cell = be16(p, ptrs + 2 * cellIdx)
+      cellIdx += 1
+      val (payloadLen, n1) = varint(p, cell)
+      val (rowid, n2) = varint(p, cell + n1)
+      if (rowid > loEx && rowid <= hiIn) {
+        val bodyOff = cell + n1 + n2
+        // local/overflow split (fileformat2 §1.6): for table leaves
+        // X = U-35; K = M + (P-M) % (U-4) with M = ((U-12)*32/255)-23
+        val u = db.usable
+        val x = u - 35
+        if (payloadLen <= x) {
+          pending = (rowid, p, bodyOff, payloadLen.toInt)
+        } else {
+          val m = ((u - 12) * 32 / 255) - 23
+          val k = m + ((payloadLen - m) % (u - 4)).toInt
+          val local = if (k <= x) k else m
+          val full = new Array[Byte](payloadLen.toInt)
+          System.arraycopy(p, bodyOff, full, 0, local)
+          var next = be32(p, bodyOff + local)
+          var got = local
+          while (next != 0 && got < payloadLen) {
+            val op = db.page(next)
+            next = be32(op, 0)
+            val take = math.min(u - 4, payloadLen.toInt - got)
+            System.arraycopy(op, 4, full, got, take)
+            got += take
+          }
+          if (got < payloadLen) throw new IOException(
+            s"overflow chain truncated: $got of $payloadLen bytes (rowid $rowid)")
+          pending = (rowid, full, 0, full.length)
+        }
+      }
+    }
+
+    private def advance(): Unit = {
+      while (pending == null) {
+        if (leaf != null && cellIdx < nCells) decodeCell()
+        else if (stack.nonEmpty) {
+          leaf = null
+          val pg = stack.pop()
+          val p = db.page(pg)
+          val h = pageHeaderOff(pg)
+          p(h) match {
+            case 5 =>
+              // push overlapping children in REVERSE so the stack pops
+              // them in rowid order; child i holds (prevKey, key_i]
+              var prev = Long.MinValue
+              val kids = ArrayBuffer.empty[Int]
+              val cells = be16(p, h + 3)
+              var i = 0
+              while (i < cells) {
+                val cell = be16(p, h + 12 + 2 * i)
+                val child = be32(p, cell)
+                val (key, _) = varint(p, cell + 4)
+                if (key > loEx && prev < hiIn) kids += child
+                prev = key
+                i += 1
+              }
+              if (prev < hiIn) kids += be32(p, h + 8) // rightmost child
+              kids.reverseIterator.foreach(stack.push)
+            case 13 =>
+              leaf = p; nCells = be16(p, h + 3); ptrs = h + 8; cellIdx = 0
+            case 2 | 10 => throw new IOException(
+              "index b-tree page in table walk — WITHOUT ROWID tables are not supported")
+            case t => throw new IOException(s"unknown b-tree page type $t")
+          }
+        } else return
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): (Long, Array[Byte], Int, Int) = {
+      advance()
+      val r = pending; pending = null; r
+    }
+  }
+
+  /** Callback walk over leaf cells (driver-side helpers, e.g. the
+    * sqlite_schema read). */
+  def walkTable(db: Db, root: Int, loEx: Long, hiIn: Long)(
+      f: (Long, Array[Byte], Int, Int) => Unit): Unit = {
+    val it = new CellIterator(db, root, loEx, hiIn)
+    while (it.hasNext) {
+      val (rowid, buf, off, len) = it.next()
+      f(rowid, buf, off, len)
+    }
+  }
+
+  // ---- record (row) decoding --------------------------------------------
+
+  /** One decoded cell value, tagged with its on-disk storage class so
+    * column-affinity coercion can be applied afterwards. */
+  sealed trait Cell
+  case object CellNull extends Cell
+  final case class CellInt(v: Long) extends Cell
+  final case class CellReal(v: Double) extends Cell
+  final case class CellText(v: String) extends Cell
+  final case class CellBlob(v: Array[Byte]) extends Cell
+
+  private def serialSize(t: Long): Int = t match {
+    case 0 | 8 | 9 => 0
+    case 1 => 1
+    case 2 => 2
+    case 3 => 3
+    case 4 => 4
+    case 5 => 6
+    case 6 | 7 => 8
+    case 10 | 11 => throw new IOException(s"reserved serial type $t")
+    case n => ((n - 12) / 2).toInt // text and blob share (N-12)/2 resp (N-13)/2
+  }
+
+  private def readBeInt(b: Array[Byte], off: Int, size: Int): Long = {
+    var v: Long = b(off).toLong // sign-extends the top byte
+    var i = 1
+    while (i < size) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Decode the record at (buf, off, len) into cells, materializing only
+    * the column indices in `want` (others decode to CellNull without
+    * touching the body bytes — column pruning at the record level).
+    * Columns beyond the record's header (added by ALTER TABLE ADD
+    * COLUMN) read as CellNull, matching SQLite's own behavior. */
+  def decodeRecord(buf: Array[Byte], off: Int, len: Int, nCols: Int,
+      want: Array[Boolean], charset: Charset): Array[Cell] = {
+    val (headerLen, n0) = varint(buf, off)
+    var hpos = off + n0
+    val headerEnd = off + headerLen.toInt
+    var bodyPos = headerEnd
+    val out = new Array[Cell](nCols)
+    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], CellNull)
+    var col = 0
+    while (hpos < headerEnd && col < nCols) {
+      val (st, n) = varint(buf, hpos)
+      hpos += n
+      val size = serialSize(st)
+      if (want(col)) out(col) =
+        if (st == 0) CellNull
+        else if (st == 8) CellInt(0L)
+        else if (st == 9) CellInt(1L)
+        else if (st == 7) CellReal(
+          java.lang.Double.longBitsToDouble(readBeInt(buf, bodyPos, 8)))
+        else if (st <= 6) CellInt(readBeInt(buf, bodyPos, size))
+        else if (st >= 12 && (st % 2) == 0) {
+          val b = new Array[Byte](size)
+          System.arraycopy(buf, bodyPos, b, 0, size)
+          CellBlob(b)
+        } else CellText(new String(buf, bodyPos, size, charset))
+      bodyPos += size
+      col += 1
+    }
+    out
+  }
+
+  // ---- schema ------------------------------------------------------------
+
+  final case class Column(name: String, declared: String,
+      dataType: DataType, rowidAlias: Boolean)
+  final case class TableDef(name: String, rootPage: Int, sql: String,
+      columns: Seq[Column]) {
+    def schema: StructType = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, nullable = !c.rowidAlias)))
+  }
+
+  /** Declared-type → Spark type, mirroring the reference's
+    * SQLiteParser.cpp:62-85 table (string hints first, then exact
+    * matches) with the two documented widenings (int→Long, real→Double).
+    */
+  def sparkTypeOf(declared: String): DataType = {
+    val t = declared.trim.toLowerCase(Locale.ROOT)
+    val stringHints = Seq("character", "varchar", "char", "varying character",
+      "nchar", "native character", "nvarchar", "text", "clob", "string")
+    if (stringHints.exists(t.startsWith)) StringType
+    else if (t.startsWith("tinyint")) ByteType
+    else if (t.startsWith("smallint") || t.startsWith("int2")) ShortType
+    else if (t.startsWith("mediumint")) IntegerType
+    else if (t.startsWith("unsigned big int") || t.startsWith("bigint") ||
+      t.startsWith("int8")) LongType
+    else if (t.startsWith("int")) LongType // SQLite ints are 64-bit on disk
+    else if (t.startsWith("double") || t.startsWith("float") ||
+      t.startsWith("real") || t.startsWith("decimal") ||
+      t.startsWith("numeric")) DoubleType
+    else if (t.startsWith("bool")) BooleanType
+    else if (t.startsWith("datetime") || t.startsWith("timestamp")) TimestampType
+    else if (t.startsWith("date")) DateType
+    else if (t.isEmpty || t.startsWith("blob")) BinaryType
+    else DoubleType // NUMERIC affinity catch-all (fileformat2 §3.1 rule 5)
+  }
+
+  private val ConstraintKeywords = Set("primary", "not", "null", "unique",
+    "check", "default", "collate", "references", "generated", "as",
+    "constraint", "foreign")
+
+  private def unquote(tok: String): String = {
+    val t = tok.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '`' && t.last == '`') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else if (t.length >= 2 && t.head == '[' && t.last == ']')
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split s at top-level `sep` (ignoring parens and quotes). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case x => cur += x
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Parse the stored CREATE TABLE statement (sqlite_schema.sql) into
+    * column defs. SQLite stores the statement verbatim, so this is a
+    * tolerant surface parser: quoted identifiers, multi-word types,
+    * column constraints, table-level constraints.
+    */
+  def parseCreateTable(sql: String): Seq[Column] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    val defs = splitTop(body, ',').map(_.trim).filter(_.nonEmpty)
+    defs.flatMap { d =>
+      val toks = tokenize(d)
+      val headLower = toks.head.toLowerCase(Locale.ROOT)
+      if (Set("primary", "unique", "check", "foreign", "constraint")
+          .contains(headLower)) None // table-level constraint
+      else {
+        val name = unquote(toks.head)
+        val typeToks = toks.drop(1).takeWhile(t =>
+          !ConstraintKeywords.contains(t.toLowerCase(Locale.ROOT)))
+        val declared = typeToks.mkString(" ")
+        val isPk = d.toLowerCase(Locale.ROOT).contains("primary key")
+        // "INTEGER PRIMARY KEY" (exactly INTEGER affinity via the int
+        // rule) is the rowid alias: its record value is stored as NULL
+        // and the value IS the rowid (fileformat2 §2.1)
+        val alias = isPk &&
+          declared.trim.toLowerCase(Locale.ROOT).startsWith("int")
+        Some(Column(name, declared, sparkTypeOf(declared), alias))
+      }
+    }
+  }
+
+  private def tokenize(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '`' || c == '\'') {
+        val j = s.indexOf(c, i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        out += s.substring(i, end + 1); i = end + 1
+      } else if (c == '[') {
+        val j = s.indexOf(']', i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        out += s.substring(i, end + 1); i = end + 1
+      } else if (c == '(') {
+        // parenthesized type args, e.g. VARCHAR(255) — attach to the
+        // previous token so takeWhile sees one type token
+        val j = s.indexOf(')', i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        if (out.nonEmpty) out(out.length - 1) = out.last + s.substring(i, end + 1)
+        i = end + 1
+      } else {
+        var j = i
+        while (j < s.length && !s(j).isWhitespace && s(j) != '(' ) j += 1
+        out += s.substring(i, j); i = j
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read sqlite_schema (the table b-tree rooted at page 1) and resolve
+    * `table` (case-insensitive). `None` lists all user tables. */
+  def readSchema(db: Db): Seq[(String, Int, String)] = {
+    val out = ArrayBuffer.empty[(String, Int, String)]
+    val want = Array(true, true, false, true, true) // type,name,_,rootpage,sql
+    walkTable(db, 1, Long.MinValue, Long.MaxValue) { (_, buf, off, len) =>
+      val cells = decodeRecord(buf, off, len, 5, want, db.charset)
+      (cells(0), cells(1), cells(3), cells(4)) match {
+        case (CellText("table"), CellText(name), CellInt(root), CellText(sql)) =>
+          out += ((name, root.toInt, sql))
+        case _ => () // indexes, views, triggers
+      }
+    }
+    out.toSeq
+  }
+
+  def tableDef(db: Db, table: Option[String], path: String): TableDef = {
+    val tables = readSchema(db)
+    val (name, root, sql) = table match {
+      case Some(t) => tables.find(_._1.equalsIgnoreCase(t)).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$t' not found in $path; tables: ${tables.map(_._1).mkString(", ")}"))
+      case None =>
+        require(tables.size == 1,
+          s"$path has ${tables.size} tables (${tables.map(_._1).mkString(", ")})" +
+            " — pass option 'table' to pick one")
+        tables.head
+    }
+    if (sql.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+        .contains("WITHOUT ROWID"))
+      throw new IllegalArgumentException(
+        s"table '$name' is WITHOUT ROWID (stored as an index b-tree) — " +
+          "not supported by the built-in reader")
+    TableDef(name, root, sql, parseCreateTable(sql))
+  }
+
+  // ---- cell → Catalyst value coercion ------------------------------------
+
+  private val EpochJulianDay = 2440587.5 // 1970-01-01T00:00:00Z
+
+  private def parseTimestampMicros(s: String): Long = {
+    val t = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+  }
+
+  /** Coerce one storage cell to the column's Catalyst value. SQLite
+    * columns are dynamically typed per row; the declared type picks the
+    * target and the storage class picks the conversion (fileformat2 §3:
+    * e.g. REAL-affinity columns may store exact integers AS integers and
+    * convert back on read; date/time columns may hold ISO text, unix
+    * seconds, or julian-day reals — sqlite.org/lang_datefunc.html).
+    */
+  def coerce(c: Cell, dt: DataType): Any = c match {
+    case CellNull => null
+    case CellInt(v) => dt match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case DoubleType => v.toDouble
+      case BooleanType => v != 0L
+      case StringType => UTF8String.fromString(v.toString)
+      case DateType => Math.floorDiv(v, 86400L).toInt // unix seconds
+      case TimestampType => v * 1000000L // unix seconds
+      case BinaryType => throw new IOException(s"integer cell in BLOB column")
+      case other => throw new IOException(s"cannot coerce int to $other")
+    }
+    case CellReal(v) => dt match {
+      case DoubleType => v
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case BooleanType => v != 0.0
+      case StringType => UTF8String.fromString(v.toString)
+      case DateType => // julian day number
+        Math.floorDiv(math.round((v - EpochJulianDay) * 86400.0), 86400L).toInt
+      case TimestampType =>
+        math.round((v - EpochJulianDay) * 86400.0 * 1e6)
+      case other => throw new IOException(s"cannot coerce real to $other")
+    }
+    case CellText(s) => dt match {
+      case StringType => UTF8String.fromString(s)
+      case LongType => s.trim.toLong
+      case IntegerType => s.trim.toInt
+      case ShortType => s.trim.toShort
+      case ByteType => s.trim.toByte
+      case DoubleType => s.trim.toDouble
+      case BooleanType =>
+        val t = s.trim.toLowerCase(Locale.ROOT)
+        t == "1" || t == "true" || t == "t" || t == "yes"
+      case DateType =>
+        java.time.LocalDate.parse(s.trim.take(10)).toEpochDay.toInt
+      case TimestampType => parseTimestampMicros(s)
+      case BinaryType => s.getBytes(StandardCharsets.UTF_8)
+      case other => throw new IOException(s"cannot coerce text to $other")
+    }
+    case CellBlob(b) => dt match {
+      case BinaryType => b
+      case StringType => UTF8String.fromBytes(b)
+      case other => throw new IOException(s"cannot coerce blob to $other")
+    }
+  }
+}
+
+/** Hadoop Configuration is not Serializable; ship it to executors via
+  * its own wire format (the same trick Spark's internal
+  * SerializableConfiguration uses, which is private[spark]). */
+final class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** DataSource V2 provider: `spark.read.format("sqlite")
+  * .option("table", "t").load("/path/db.sqlite")`. Registered in
+  * META-INF/services so the short name resolves. */
+class SqliteDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "sqlite"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("sqlite source needs a path: .load(path)"))
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val db = Sqlite.open(pathOf(options), conf)
+    try Sqlite.tableDef(db, Option(options.get("table")), pathOf(options)).schema
+    finally db.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new SqliteTable(pathOf(options), Option(options.get("table")), schema)
+  }
+}
+
+class SqliteTable(path: String, table: Option[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"sqlite:$path${table.fold("")("#" + _)}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SqliteScanBuilder(path, table, tableSchema,
+      Option(options.get("maxPartitions")).map(_.toInt).getOrElse(32))
+}
+
+class SqliteScanBuilder(path: String, table: Option[String],
+    full: StructType, maxPartitions: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var loEx: Long = Long.MinValue
+  private var hiIn: Long = Long.MaxValue
+
+  /** Name of the INTEGER PRIMARY KEY (rowid alias) column, if any — the
+    * one column whose predicates translate to b-tree subtree pruning.
+    * Resolved once from the file's stored schema. */
+  private lazy val aliasName: Option[String] =
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val db = Sqlite.open(path, conf)
+      try Sqlite.tableDef(db, table, path).columns
+        .find(_.rowidAlias).map(_.name)
+      finally db.close()
+    } catch { case _: Exception => None }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def intLit(v: Any): Option[Long] = v match {
+      case n: Byte => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong)
+      case n: Long => Some(n)
+      case _ => None
+    }
+    def absorb(f: Filter): Boolean = f match {
+      case EqualTo(a, v) if aliasName.contains(a) && intLit(v).isDefined =>
+        val n = intLit(v).get
+        loEx = math.max(loEx, n - 1); hiIn = math.min(hiIn, n); true
+      case GreaterThan(a, v) if aliasName.contains(a) && intLit(v).isDefined =>
+        loEx = math.max(loEx, intLit(v).get); true
+      case GreaterThanOrEqual(a, v) if aliasName.contains(a) && intLit(v).isDefined =>
+        loEx = math.max(loEx, intLit(v).get - 1); true
+      case LessThan(a, v) if aliasName.contains(a) && intLit(v).isDefined =>
+        hiIn = math.min(hiIn, intLit(v).get - 1); true
+      case LessThanOrEqual(a, v) if aliasName.contains(a) && intLit(v).isDefined =>
+        hiIn = math.min(hiIn, intLit(v).get); true
+      case And(l, r) => absorb(l) | absorb(r)
+      case _ => false
+    }
+    pushed = filters.filter(absorb)
+    // return everything as residual: the rowid range prunes SUBTREES;
+    // Spark re-evaluates the predicates row-by-row, so pruning can never
+    // affect correctness
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SqliteScan(path, table, full, required, loEx, hiIn, maxPartitions)
+}
+
+class SqliteScan(path: String, table: Option[String], full: StructType,
+    required: StructType, loEx: Long, hiIn: Long, maxPartitions: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val range =
+      if (loEx == Long.MinValue && hiIn == Long.MaxValue) ""
+      else s", PushedRowidRange: (${loEx}, ${hiIn}]"
+    s"SqliteScan $path${table.fold("")("#" + _)}$range"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val db = Sqlite.open(path, conf)
+    try {
+      val td = Sqlite.tableDef(db, table, path)
+      // one level of fan-out is enough: an interior page holds hundreds
+      // of children, so root children grouped into maxPartitions gives
+      // balanced multi-MB partitions without reading leaf pages here
+      val children = Sqlite.interiorChildren(db, td.rootPage)
+      val subtrees: Seq[(Int, Long, Long)] =
+        if (children.isEmpty) Seq((td.rootPage, Long.MinValue, Long.MaxValue))
+        else {
+          var prev = Long.MinValue
+          children.map { case (pg, maxKey) =>
+            val t = (pg, prev, maxKey); prev = maxKey; t
+          }
+        }
+      // rowid-range pruning: drop subtrees disjoint from (loEx, hiIn]
+      val kept = subtrees.filter { case (_, lo, hi) => hi > loEx && lo < hiIn }
+      val nGroups = math.max(1, math.min(maxPartitions, kept.size))
+      val groups = if (kept.isEmpty) Seq(Seq.empty[(Int, Long, Long)])
+        else kept.grouped(math.ceil(kept.size.toDouble / nGroups).toInt).toSeq
+      groups.zipWithIndex.map { case (g, i) =>
+        SqlitePartition(i, g.map(_._1).toArray, g.map(_._2).toArray,
+          g.map(_._3).toArray): InputPartition
+      }.toArray
+    } finally db.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new SqliteReaderFactory(path, table, full, required, loEx, hiIn, conf)
+  }
+}
+
+final case class SqlitePartition(index: Int, roots: Array[Int],
+    loEx: Array[Long], hiIn: Array[Long]) extends InputPartition
+
+class SqliteReaderFactory(path: String, table: Option[String],
+    full: StructType, required: StructType, loEx: Long, hiIn: Long,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SqlitePartition]
+    val db = Sqlite.open(path, conf.conf)
+    val td = Sqlite.tableDef(db, table, path)
+    val cols = td.columns.toArray
+    val nCols = cols.length
+    // required column -> source column index
+    val outIdx: Array[Int] = required.fields.map(f =>
+      cols.indexWhere(_.name == f.name))
+    require(outIdx.forall(_ >= 0),
+      s"columns ${required.fieldNames.mkString(",")} not all in ${td.name}")
+    val want = new Array[Boolean](nCols)
+    outIdx.foreach(i => want(i) = true)
+    val rowidAliasOut: Array[Boolean] = outIdx.map(i => cols(i).rowidAlias)
+
+    // one flat pull iterator over all subtree groups: memory stays one
+    // leaf page + DFS stack regardless of table size
+    val cells = p.roots.indices.iterator.flatMap { i =>
+      new Sqlite.CellIterator(db, p.roots(i),
+        math.max(p.loEx(i), loEx), math.min(p.hiIn(i), hiIn))
+    }
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = null
+      override def next(): Boolean = {
+        if (!cells.hasNext) { current = null; return false }
+        val (rowid, buf, off, len) = cells.next()
+        val decoded = Sqlite.decodeRecord(buf, off, len, nCols, want, db.charset)
+        val vals = new Array[Any](outIdx.length)
+        var j = 0
+        while (j < outIdx.length) {
+          val src = outIdx(j)
+          // INTEGER PRIMARY KEY: record stores NULL, the value is the rowid
+          vals(j) =
+            if (rowidAliasOut(j) && decoded(src) == Sqlite.CellNull) rowid
+            else Sqlite.coerce(decoded(src), required.fields(j).dataType)
+          j += 1
+        }
+        current = new GenericInternalRow(vals)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = db.close()
+    }
+  }
+}
