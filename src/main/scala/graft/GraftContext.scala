@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.{col, lit, max, regexp_replace, when}
 import org.apache.spark.sql.util.QueryExecutionListener
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayDeque
@@ -74,7 +75,10 @@ class GraftContext(val spark: SparkSession) {
           ns.zip(ts).map { case (n, t) => s"`$n` $t" }.mkString(", ")))
       case _ => base.option("inferSchema", translated.getOrElse("inferSchema", "true"))
     }
-    var df = reader.csv(path)
+    val skiprows = options.get("skiprows").map(_.trim.toInt).getOrElse(0)
+    var df =
+      if (skiprows > 0) reader.csv(presliceLines(path, skiprows))
+      else reader.csv(path)
     if (dtype.isEmpty) names.foreach(ns => df = df.toDF(ns: _*))
     // pandas usecols: by name or by 0-based index
     options.get("use_cols_names").foreach { cs =>
@@ -83,6 +87,93 @@ class GraftContext(val spark: SparkSession) {
     options.get("use_cols_indexes").foreach { is =>
       val all = df.columns
       df = df.select(is.split(',').map(i => df.col(all(i.trim.toInt))).toIndexedSeq: _*)
+    }
+    // nrows/num_rows: bound DATA rows (after header), pandas semantics —
+    // the limit plans as a LocalLimit over the scan, so only the leading
+    // split(s) are read. Applied before the conversion passes below so
+    // convertibility is judged on exactly the rows the table will hold.
+    (options.get("nrows") orElse options.get("num_rows"))
+      .foreach(n => df = df.limit(n.trim.toInt))
+    df = applyBooleanTokens(df, options)
+    df = applyDecimalSeparator(df, options)
+    df
+  }
+
+  /** pandas `skiprows`: skip the first N PHYSICAL lines before parsing
+    * (before the header). Distributed preslice: one counting pass over
+    * the text splits, then a per-partition drop — no driver data path,
+    * no file copy. Line-based like pandas' engine, so a quoted field
+    * containing a newline inside the skipped region would miscount
+    * (same caveat as the reference's cudf reader).
+    */
+  private def presliceLines(path: String, n: Int): org.apache.spark.sql.Dataset[String] = {
+    val rdd = spark.sparkContext.textFile(path)
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.size.toLong)), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    // cum(i) = lines before partition i (splits are in file order)
+    val cum = counts.scanLeft(0L)(_ + _)
+    val dropped = rdd.mapPartitionsWithIndex { (i, it) =>
+      val before = cum(i)
+      if (before >= n) it
+      else it.drop(math.min(n - before, Int.MaxValue.toLong).toInt)
+    }
+    spark.createDataset(dropped)(org.apache.spark.sql.Encoders.STRING)
+  }
+
+  /** pandas/cudf `true_values`/`false_values`: string columns whose every
+    * non-null value is one of the listed tokens become BooleanType (the
+    * same all-or-nothing conversion cudf's reader applies during type
+    * inference). One aggregate over the table decides convertibility —
+    * a definition-time cost like schema inference itself. */
+  private def applyBooleanTokens(df0: DataFrame, options: Map[String, String]): DataFrame = {
+    val trues = options.get("true_values")
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+    val falses = options.get("false_values")
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+    if (trues.isEmpty && falses.isEmpty) return df0
+    val tokens = trues ++ falses
+    convertMatchingStringColumns(df0,
+      c => !c.isin(tokens.map(t => t: Any): _*),
+      c => {
+        var w = when(lit(false), lit(null).cast("boolean"))
+        if (trues.nonEmpty) w = w.when(c.isin(trues.map(t => t: Any): _*), lit(true))
+        if (falses.nonEmpty) w = w.when(c.isin(falses.map(t => t: Any): _*), lit(false))
+        w.otherwise(lit(null).cast("boolean"))
+      })
+  }
+
+  /** pandas `decimal`: alternate decimal separator (e.g. ','). Numeric
+    * columns written with it land as strings under schema inference;
+    * convert every string column whose non-null values all match the
+    * locale numeric pattern (the columns pandas would have parsed as
+    * numbers). Integer-typed columns already inferred stay integral. */
+  private def applyDecimalSeparator(df0: DataFrame, options: Map[String, String]): DataFrame =
+    options.get("decimal").filter(_ != ".").fold(df0) { d =>
+      val sep = java.util.regex.Pattern.quote(d)
+      val numRe = s"^[+-]?[0-9]+($sep[0-9]*)?([eE][+-]?[0-9]+)?$$"
+      convertMatchingStringColumns(df0,
+        c => !c.rlike(numRe),
+        c => regexp_replace(c, sep, ".").cast("double"))
+    }
+
+  /** Shared all-or-nothing column conversion: one aggregate computes,
+    * per string column, whether any non-null value VIOLATES the
+    * predicate; violation-free columns are rewritten with `convert`. */
+  private def convertMatchingStringColumns(df0: DataFrame,
+      violates: Column => Column, convert: Column => Column): DataFrame = {
+    var df = df0
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    if (strCols.isEmpty) return df
+    val checks = strCols.map(c =>
+      max(when(col(c).isNotNull && violates(col(c)), lit(1)).otherwise(lit(0)))
+        .as(c))
+    val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).head()
+    strCols.zipWithIndex.foreach { case (c, i) =>
+      // null check covers the zero-row edge (max over nothing)
+      if (!row.isNullAt(i) && row.getInt(i) == 0)
+        df = df.withColumn(c, convert(col(c)))
     }
     df
   }
@@ -641,13 +732,13 @@ object GraftContext {
     "na_values" -> "nullValue",
     "skip_blank_lines" -> "handled: Spark csv always skips blank lines",
     "doublequote" -> "handled: Spark csv parses doubled quotes by default",
-    "true_values" -> "unsupported: no Spark csv boolean-token list; cast with CASE after read",
-    "false_values" -> "unsupported: no Spark csv boolean-token list; cast with CASE after read",
-    "decimal" -> "unsupported: Spark csv fixes '.' as the decimal mark; use locale-aware to_number after read",
+    "true_values" -> "handled: all-token string columns become BooleanType (one-aggregate convertibility check, cudf inference semantics)",
+    "false_values" -> "handled: all-token string columns become BooleanType (one-aggregate convertibility check, cudf inference semantics)",
+    "decimal" -> "handled: locale-separator numeric string columns convert to DoubleType post-read",
     "delim_whitespace" -> "unsupported: pass a regex-free single-char sep instead",
-    "skiprows" -> "unsupported: no row-skip in Spark csv; pre-slice the file or filter after read",
+    "skiprows" -> "handled: distributed physical-line preslice before parsing (counting pass + per-partition drop)",
     "skipfooter" -> "unsupported: no footer-skip in Spark csv (splits read in parallel); pre-slice the file",
-    "nrows" -> "unsupported: bound rows with .limit(n) after read (pushes into the scan)",
+    "nrows" -> "handled: .limit(n) after the header (plans as LocalLimit over the scan)",
     "keep_default_na" -> "skipped: pandas NA-token list semantics; nullValue/nanValue cover the engine contract",
     "na_filter" -> "skipped: disabling NA parsing is a pandas micro-optimization; Spark's parser has no analogue",
     "quoting" -> "skipped: python csv-module enum; quote/escape options cover the engine contract",
@@ -657,7 +748,7 @@ object GraftContext {
     // non-CSV members of the same validated list
     "lines" -> "handled: Spark json is JSON-lines by default (multiLine=false)",
     "stripes" -> "skipped: ORC stripe selection is the reader's internal unit; predicate pushdown replaces it",
-    "num_rows" -> "unsupported: bound rows with .limit(n) after read",
+    "num_rows" -> "handled: .limit(n) after the header (plans as LocalLimit over the scan)",
     "use_index" -> "skipped: pandas index column concept; Spark tables have no index",
     "get_metadata" -> "skipped: rowgroup metadata collection is automatic in Spark's parquet scan",
     "local_files" -> "skipped: dask worker-locality hint; Spark locality scheduling replaces it",

@@ -140,24 +140,33 @@ object Tables {
       normalizeNtz(raw)
     })
 
-  /** Cast every top-level TIMESTAMP_NTZ column to TimestampType (UTC
-    * session ⇒ identical µs values). No-op (same plan object) when the
-    * schema has no NTZ columns.
-    *
-    * TOP-LEVEL-ONLY by design: the fixture schemas (TESTDATA.md) carry
-    * timestamps only as top-level columns, and the oracle comparison is
-    * over top-level columns — an NTZ field nested in a struct/array is
-    * out of the normalization contract and passes through unchanged (it
-    * would surface as LocalDateTime on collect; recurse here if a future
-    * fixture nests timestamps). */
+  /** Cast every TIMESTAMP_NTZ column — top-level or nested inside
+    * structs/arrays/maps — to TimestampType (UTC session ⇒ identical µs
+    * values; only the logical type is unified, so collect() yields
+    * java.sql.Timestamp everywhere instead of flavor-dependent
+    * LocalDateTime). No-op (same plan object) when the schema carries no
+    * NTZ anywhere. Nested rewrites are a single struct-level cast per
+    * affected top-level column (Catalyst casts struct→struct fieldwise),
+    * not a per-field projection. */
   def normalizeNtz(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val ntz = df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
+    def swap(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = swap(f.dataType))))
+      case a: ArrayType => a.copy(elementType = swap(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = swap(m.keyType), valueType = swap(m.valueType))
+      case other => other
     }
-    if (ntz.isEmpty) df
-    else ntz.foldLeft(df)((d, c) =>
-      d.withColumn(c, d.col(s"`$c`").cast(TimestampType)))
+    val changed = df.schema.fields
+      .map(f => f.name -> swap(f.dataType))
+      .zip(df.schema.fields)
+      .collect { case ((n, swapped), f) if swapped != f.dataType => n -> swapped }
+    if (changed.isEmpty) df
+    else changed.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, d.col(s"`$c`").cast(t))
+    }
   }
 
   /** Names of top-level TIMESTAMP(NANOS) columns. Batch path: `p` is a

@@ -106,4 +106,36 @@ class DedupGuardSpec extends SparkSuite {
     assert(pairs.length === 999)
     assert(pairs.forall(r => r.getLong(0) == 1L && r.getDouble(2) == 1.0))
   }
+
+  test("a FIRED guard's pairs_dropped is queryable through ctx.log()") {
+    // closes the "never silent" loop at the USER-facing surface: not just
+    // the observe node (covered above), but the reference-parity log()
+    // table a pipeline operator would actually consult
+    val ctx = new GraftContext(spark) // registers the query-log listener
+    val docs = (1L to 40L)
+      .map(id => (id, "identical boilerplate body shared by every mirror"))
+      .toDF("doc_id", "text")
+    // identical docs ⇒ every band bucket holds all 40 ids; cap=8 fires
+    Dedup.minHashPairs(docs, bucketCap = 8).count()
+    Dedup.releaseCaches()
+    // listener delivery is async — poll the log table
+    val deadline = System.currentTimeMillis() + 15000
+    var fired: Array[String] = Array.empty
+    while (fired.isEmpty && System.currentTimeMillis() < deadline) {
+      fired = ctx.log(
+        "SELECT metrics FROM graft_logs WHERE metrics LIKE '%lsh_bucket_guard%'")
+        .collect().map(_.getString(0))
+      if (fired.isEmpty) Thread.sleep(200)
+    }
+    assert(fired.nonEmpty, "fired guard never surfaced in the log() table")
+    val dropped = "pairs_dropped:(\\d+)".r
+    val counts = fired.flatMap(m =>
+      dropped.findAllMatchIn(m).map(_.group(1).toLong))
+    assert(counts.exists(_ > 0L),
+      s"log rows mention the guard but report no dropped pairs: ${fired.toSeq}")
+    // 32 bands × one 40-id bucket each: star rows forego C(39,2)=741
+    // pairs per bucket ⇒ the recorded total is a multiple of 741
+    assert(counts.max >= 741L,
+      s"dropped-pair accounting looks wrong: ${counts.toSeq}")
+  }
 }

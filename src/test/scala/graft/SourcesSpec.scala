@@ -222,6 +222,42 @@ class SourcesSpec extends SparkSuite {
     ctx.dropTable("gc_txt")
   }
 
+  test("TIMESTAMP_NTZ normalizes to TimestampType incl. nested struct/array/map") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz")
+    try {
+      val ldt = java.time.LocalDateTime.of(2024, 5, 1, 12, 0, 0)
+      val src = spark.range(1).select(
+        lit(ldt).as("ts"),
+        struct(lit(ldt).as("inner"), lit(7L).as("n")).as("s"),
+        array(lit(ldt)).as("arr"),
+        map(lit("k"), lit(ldt)).as("m"))
+      assert(src.schema("ts").dataType == TimestampNTZType,
+        "fixture precondition: a LocalDateTime literal is NTZ")
+      src.write.mode("overwrite").parquet(s"$dir/ntz")
+      val back = Tables.readParquet(spark, s"$dir/ntz")
+      assert(back.schema("ts").dataType == TimestampType)
+      val sT = back.schema("s").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(sT("inner").dataType == TimestampType, "struct field not normalized")
+      assert(sT("n").dataType.typeName == "long", "sibling field type disturbed")
+      assert(back.schema("arr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == TimestampType, "array element not normalized")
+      assert(back.schema("m").dataType
+        .asInstanceOf[org.apache.spark.sql.types.MapType]
+        .valueType == TimestampType, "map value not normalized")
+      // UTC session ⇒ value-identical µs everywhere
+      val micros = 1714564800L * 1000000L // 2024-05-01T12:00:00Z
+      val row = back.select(unix_micros(col("ts")),
+        unix_micros(col("s.inner")), unix_micros(element_at(col("arr"), 1)),
+        unix_micros(element_at(col("m"), "k")), col("s.n")).head
+      (0 to 3).foreach(i => assert(row.getLong(i) == micros, s"col $i micros"))
+      assert(row.getLong(4) == 7L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   // ---- reference create_table kwarg parity (context.py:890-940) ---------
 
   /** The reference's full validated kwarg list, verbatim (duplicates in
@@ -288,14 +324,53 @@ class SourcesSpec extends SparkSuite {
 
   test("unsupported reference kwargs throw with the documented reason") {
     val ctx = GraftContext(spark)
-    Seq("skiprows" -> "2", "nrows" -> "5", "decimal" -> ",",
-      "true_values" -> "yes").foreach { case (k, v) =>
-      val e = intercept[IllegalArgumentException] {
-        ctx.createTable("gc_bad_kw", "/tmp/nonexistent.csv", format = "csv",
-          options = Map(k -> v))
-      }
-      assert(e.getMessage.contains(k) && e.getMessage.contains("unsupported"),
-        s"$k: wrong error ${e.getMessage}")
+    Seq("skipfooter" -> "2", "delim_whitespace" -> "true").foreach {
+      case (k, v) =>
+        val e = intercept[IllegalArgumentException] {
+          ctx.createTable("gc_bad_kw", "/tmp/nonexistent.csv", format = "csv",
+            options = Map(k -> v))
+        }
+        assert(e.getMessage.contains(k) && e.getMessage.contains("unsupported"),
+          s"$k: wrong error ${e.getMessage}")
     }
+  }
+
+  test("skiprows/nrows/true_values/false_values/decimal are implemented") {
+    val dir = java.nio.file.Files.createTempDirectory("gc_kwargs2")
+    // two junk preamble lines; ';' delimiter so ',' can be the decimal
+    // mark; a boolean-token column; four data rows, nrows bounds to 3
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      ("junk preamble line 1\n" +
+        "junk preamble line 2\n" +
+        "k;flag;amt\n" +
+        "a;yes;1,5\n" +
+        "b;no;2,25\n" +
+        "c;yes;30\n" +
+        "d;no;4,75\n").getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    val df = ctx.createTable("gc_kw2", s"$dir/t.csv", format = "csv",
+      options = Map("delimiter" -> ";", "skiprows" -> "2", "nrows" -> "3",
+        "true_values" -> "yes", "false_values" -> "no", "decimal" -> ","))
+    assert(df.columns.toSeq == Seq("k", "flag", "amt"),
+      "skiprows should expose the real header line")
+    assert(df.count() == 3, "nrows should bound data rows after the header")
+    assert(df.schema("flag").dataType.typeName == "boolean",
+      "all-token column should convert to boolean")
+    assert(df.schema("amt").dataType.typeName == "double",
+      "locale-decimal column should convert to double")
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("k")).collect()
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 2.25, 30.0))
+    ctx.dropTable("gc_kw2")
+
+    // a string column that is NOT all tokens must stay a string
+    java.nio.file.Files.write(dir.resolve("mixed.csv"),
+      "s,b\nyes,yes\nmaybe,no\n".getBytes("UTF-8"))
+    val mixed = ctx.createTable("gc_kw3", s"$dir/mixed.csv", format = "csv",
+      options = Map("true_values" -> "yes", "false_values" -> "no"))
+    assert(mixed.schema("s").dataType.typeName == "string",
+      "partially-matching column must not be coerced")
+    assert(mixed.schema("b").dataType.typeName == "boolean")
+    ctx.dropTable("gc_kw3")
   }
 }
