@@ -543,11 +543,12 @@ class GraftContext(val spark: SparkSession) {
       .set("fs.defaultFS", s"hdfs://$host:$port")
 
   /** Register a GCS bucket (reference `bc.gs(...)`, context.py:1794-1827).
-    * The reference authenticates via ADC JSON; that OAuth token exchange
-    * needs Google's token endpoint, so the lite fallback uses GCS's XML
-    * interoperability surface with HMAC credentials instead
-    * (`hmacKeyId`/`hmacSecret`). With the real gcs-connector on the
-    * classpath the ADC file is passed through untouched.
+    * Two auth modes, like the reference: ADC service-account JSON
+    * (`adcJsonFile` — the lite connector runs the OAuth 2.0 JWT-bearer
+    * exchange itself at the keyfile's token_uri, sources/GcsAdc.scala) or
+    * HMAC interop keys over the XML surface (`hmacKeyId`/`hmacSecret`).
+    * With the real gcs-connector on the classpath the ADC file is passed
+    * through untouched.
     */
   def registerGcs(projectId: String, adcJsonFile: String = "",
       hmacKeyId: String = "", hmacSecret: String = "",

@@ -235,16 +235,22 @@ class S3LiteFileSystem extends FileSystem {
     conn.setReadTimeout(120000)
     val extra = range.map("range" -> _).toSeq
     extra.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    if (accessKey.nonEmpty) {
-      // anonymous (public-bucket) access sends no Authorization at all —
-      // the reference documents access_key_id as "not required for
-      // public buckets" (context.py:1755)
-      SigV4.sign(method, hostHeader, cp, query, extra,
-        accessKey, secretKey, sessionToken, region, "s3", Instant.now())
-        .foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    }
+    authHeaders(method, cp, query, extra)
+      .foreach { case (k, v) => conn.setRequestProperty(k, v) }
     conn
   }
+
+  /** Authentication headers for one request: SigV4 when keys are
+    * configured, NOTHING when anonymous — the reference documents
+    * access_key_id as "not required for public buckets"
+    * (context.py:1755). [[GsLiteFileSystem]] substitutes an OAuth
+    * Bearer token here when ADC is configured. */
+  protected def authHeaders(method: String, canonicalPath: String,
+      query: Seq[(String, String)],
+      extraHeaders: Seq[(String, String)]): Seq[(String, String)] =
+    if (accessKey.isEmpty) Nil
+    else SigV4.sign(method, hostHeader, canonicalPath, query, extraHeaders,
+      accessKey, secretKey, sessionToken, region, "s3", Instant.now())
 
   private def errorBody(conn: HttpURLConnection): String = {
     val es = conn.getErrorStream
@@ -505,14 +511,40 @@ class S3LiteFileSystem extends FileSystem {
   * storage.googleapis.com with HMAC interop credentials and SigV4
   * (cloud.google.com/storage/docs/interoperability; the reference's
   * dedicated GCS provider is
-  * io/src/FileSystem/private/GoogleCloudStorage_p.cpp). The OAuth/ADC
-  * JSON flow (reference context.py:1806-1808) needs a token exchange no
-  * zero-egress sandbox can perform; HMAC interop is the tested path and
-  * is what GraftContext.registerGcs configures.
+  * io/src/FileSystem/private/GoogleCloudStorage_p.cpp).
+  *
+  * Two auth modes, matching the reference's bc.gs surface
+  * (context.py:1794-1827):
+  *  - HMAC interop keys → SigV4 signing inherited from the S3 base.
+  *  - ADC service-account JSON (`fs.gs.auth.type =
+  *    SERVICE_ACCOUNT_JSON_KEYFILE` + keyfile path) → the OAuth 2.0
+  *    JWT-bearer exchange ([[GcsAdc]]) at the keyfile's own token_uri,
+  *    then `Authorization: Bearer` on every storage request. The token
+  *    is cached per filesystem instance and refreshed before expiry.
   */
 class GsLiteFileSystem extends S3LiteFileSystem {
   override protected def confPrefix: String = "fs.gs"
   override protected def defaultEndpoint: String =
     "https://storage.googleapis.com"
   override protected def defaultScheme: String = "gs"
+
+  private var adc: Option[AdcTokenProvider] = None
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    val keyfile =
+      conf.get("fs.gs.auth.service.account.json.keyfile", "")
+    if (conf.get("fs.gs.auth.type", "") == "SERVICE_ACCOUNT_JSON_KEYFILE"
+        && keyfile.nonEmpty)
+      adc = Some(AdcTokenProvider.forKeyfile(keyfile))
+  }
+
+  override protected def authHeaders(method: String, canonicalPath: String,
+      query: Seq[(String, String)],
+      extraHeaders: Seq[(String, String)]): Seq[(String, String)] =
+    adc match {
+      case Some(p) => Seq("Authorization" -> s"Bearer ${p.token()}")
+      case None =>
+        super.authHeaders(method, canonicalPath, query, extraHeaders)
+    }
 }
