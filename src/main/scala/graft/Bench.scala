@@ -12,11 +12,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for scale probes —
+    // local[32] with 32 partitions is one task wave (no stragglers);
+    // 200 approximates the task granularity a multi-node cluster sees,
+    // surfacing skew that one-wave scheduling hides
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -73,10 +78,21 @@ object Bench {
       // column — a projection/window query would bench its scan, not
       // its compute. Caches released between samples so every sample
       // pays the query's true repeated cost.
+      // AQE skew-join visibility: after execution the adaptive plan is
+      // final; "skew=true" on a join node means the skew optimizer split
+      // a partition. Recorded per query so scale probes (200-partition
+      // runs) can report WHERE skew handling actually fired.
+      var skewJoins = 0
       def sample(): Option[Double] = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case t: Throwable =>
+        val ok = try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.toRdd.count()
+          skewJoins = math.max(skewJoins,
+            "skew=true".r.findAllIn(
+              df.queryExecution.executedPlan.toString).size)
+          true
+        } catch { case t: Throwable =>
             System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.releaseCaches()
@@ -96,14 +112,16 @@ object Bench {
         case two if two.size == 2 => two.min
         case three => three.sorted.apply(1) // median-of-3
       }
-      (name, value, samples)
+      (name, value, samples, skewJoins)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = results.map { case (k, _, ss) =>
+    val sampleJson = results.map { case (k, _, ss, _) =>
       "\"" + k + "\":" + ss.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errs = results.filter(_._3.isEmpty).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    val skewJson = results.filter(_._4 > 0).map { case (k, _, _, s) =>
+      "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val total = results.filter(_._3.nonEmpty).map(_._2).sum
 
     // Concurrency axis (the reference runs suites with queries in flight
@@ -148,7 +166,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,$conc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,"skew_joins":$skewJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a

@@ -183,6 +183,49 @@ class GraftContext(val spark: SparkSession) {
   def createTable(name: String, df: DataFrame): DataFrame =
     register(name, df, None, "dataframe")
 
+  /** Register a live PostgreSQL table through the built-in
+    * wire-protocol client (sources/PgLite.scala — no JDBC driver jar
+    * needed). Mirrors the reference's sql_info surface
+    * (create_table(name, from_sql="postgresql", hostname, port,
+    * database, username, password, table) — context.py:890-940,
+    * PostgreSQLDataProvider.cpp): schema comes from the server, filters
+    * and projection push into the generated SELECT, and
+    * `partitionColumn`/`numPartitions` slice the read by key range for
+    * parallel fetch.
+    */
+  def createTablePostgres(name: String, host: String, port: Int,
+      database: String, user: String, password: String, table: String,
+      partitionColumn: String = "", numPartitions: Int = 1): DataFrame = {
+    var r = spark.read.format("postgres")
+      .option("host", host).option("port", port.toString)
+      .option("database", database).option("user", user)
+      .option("password", password).option("dbtable", table)
+    if (partitionColumn.nonEmpty)
+      r = r.option("partitionColumn", partitionColumn)
+        .option("numPartitions", numPartitions.toString)
+    register(name, r.load(), None, "postgres")
+  }
+
+  /** Register a live MySQL table through the built-in wire-protocol
+    * client (sources/MyLite.scala — no driver jar; handshake v10,
+    * mysql_native_password + caching_sha2_password fast path). Mirrors
+    * the reference's create_table(from_sql="mysql", ...) surface
+    * (MySQLDataProvider.cpp). Same pushdown/partitioning behavior as
+    * [[createTablePostgres]].
+    */
+  def createTableMySql(name: String, host: String, port: Int,
+      database: String, user: String, password: String, table: String,
+      partitionColumn: String = "", numPartitions: Int = 1): DataFrame = {
+    var r = spark.read.format("mysql")
+      .option("host", host).option("port", port.toString)
+      .option("database", database).option("user", user)
+      .option("password", password).option("dbtable", table)
+    if (partitionColumn.nonEmpty)
+      r = r.option("partitionColumn", partitionColumn)
+        .option("numPartitions", numPartitions.toString)
+    register(name, r.load(), None, "mysql")
+  }
+
   /** Register an existing CATALOG (e.g. Hive-metastore) table under
     * `alias` — the reference's `create_table(name, hive_cursor)` path
     * (hive.py:96-294, consumed at context.py:476-626): schema AND

@@ -1,0 +1,625 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import javax.crypto.Mac
+import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal PostgreSQL client speaking the published frontend/backend
+  * protocol version 3 (postgresql.org/docs/current/protocol.html) — no
+  * JDBC driver jar required, mirroring how [[S3LiteFileSystem]] speaks
+  * raw S3 REST and [[Sqlite]] reads the raw file format.
+  *
+  * The reference's PostgreSQL source is a libpq client
+  * (engine/src/io/data_provider/sql/PostgreSQLDataProvider.cpp,
+  * data_parser/sql/PostgreSQLParser.cpp); this is the Spark-side
+  * analogue, implementing the same capability — schema discovery, typed
+  * batched reads, predicate pushdown into the generated SELECT — over
+  * the wire protocol directly.
+  *
+  * Scope: startup + authentication (trust, cleartext, MD5, and
+  * SCRAM-SHA-256 per RFC 5802/7677 — the PG10+ default), simple-query
+  * protocol ('Q'), text-format result decoding. Read-only by design:
+  * the engine's sinks write files, not DBMS rows.
+  */
+object PgWire {
+
+  // type OIDs from pg_type.dat (stable since PG 7.x, documented public)
+  val OidBool = 16; val OidBytea = 17; val OidInt8 = 20; val OidInt2 = 21
+  val OidInt4 = 23; val OidText = 25; val OidFloat4 = 700
+  val OidFloat8 = 701; val OidBpchar = 1042; val OidVarchar = 1043
+  val OidDate = 1082; val OidTimestamp = 1114; val OidTimestamptz = 1184
+  val OidNumeric = 1700
+
+  def sparkTypeOf(oid: Int, typmod: Int): DataType = oid match {
+    case OidBool => BooleanType
+    case OidInt2 => ShortType
+    case OidInt4 => IntegerType
+    case OidInt8 => LongType
+    case OidFloat4 => FloatType
+    case OidFloat8 => DoubleType
+    case OidNumeric =>
+      // typmod packs (precision<<16 | scale) + 4; -1 = unconstrained
+      if (typmod == -1) DecimalType(38, 18)
+      else DecimalType(((typmod - 4) >> 16) & 0xffff, (typmod - 4) & 0xffff)
+    case OidDate => DateType
+    case OidTimestamp => TimestampNTZType
+    case OidTimestamptz => TimestampType
+    case OidBytea => BinaryType
+    case OidText | OidVarchar | OidBpchar => StringType
+    case _ => StringType // unknown OIDs arrive in text format anyway
+  }
+
+  final case class Field(name: String, oid: Int, typmod: Int) {
+    def sparkType: DataType = sparkTypeOf(oid, typmod)
+  }
+
+  /** One result set: fields + all rows in PostgreSQL text format
+    * (null = SQL NULL). Batched reads bound `rows` by LIMIT, so no
+    * streaming cursor is needed. */
+  final case class Result(fields: Seq[Field], rows: Seq[Array[String]])
+
+  private def md5hex(s: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(s)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** The documented MD5 password response:
+    * "md5" + md5(md5(password + user) + salt). */
+  def md5Password(user: String, password: String, salt: Array[Byte]): String = {
+    val inner = md5hex((password + user).getBytes(UTF_8))
+    "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
+  }
+
+  // ---- SCRAM-SHA-256 (RFC 5802 with SHA-256 per RFC 7677) -------------
+
+  private def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+
+  def saltedPassword(password: String, salt: Array[Byte],
+      iterations: Int): Array[Byte] = {
+    // Hi(str, salt, i) = PBKDF2-HMAC-SHA256 with dkLen = hash length
+    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  /** Client side of one SCRAM exchange. Channel binding is "n" (none) —
+    * the lite client does not do TLS. `user` is the gs2 n= attribute:
+    * PostgreSQL clients send it EMPTY (the server uses the startup-message
+    * user), but the RFC 7677 test vector needs "user", so it stays a
+    * parameter. */
+  final class Scram(user: String, password: String, nonce: String) {
+    val clientFirstBare = s"n=$user,r=$nonce"
+    def clientFirst: String = s"n,,$clientFirstBare"
+
+    private var serverFirst: String = _
+    private var saltedPw: Array[Byte] = _
+    private var authMessage: Array[Byte] = _
+
+    def clientFinal(serverFirstMsg: String): String = {
+      serverFirst = serverFirstMsg
+      val attrs = serverFirstMsg.split(',').map(_.split("=", 2))
+        .map(kv => kv(0) -> kv(1)).toMap
+      val fullNonce = attrs("r")
+      if (!fullNonce.startsWith(nonce))
+        throw new IOException("SCRAM: server nonce does not extend ours")
+      val salt = Base64.getDecoder.decode(attrs("s"))
+      val iters = attrs("i").toInt
+      saltedPw = saltedPassword(password, salt, iters)
+      val clientFinalNoProof = s"c=biws,r=$fullNonce" // biws = b64("n,,")
+      authMessage = (clientFirstBare + "," + serverFirst + "," +
+        clientFinalNoProof).getBytes(UTF_8)
+      val clientKey = hmacSha256(saltedPw, "Client Key".getBytes(UTF_8))
+      val storedKey = sha256(clientKey)
+      val clientSig = hmacSha256(storedKey, authMessage)
+      val proof = clientKey.zip(clientSig).map(p => (p._1 ^ p._2).toByte)
+      s"$clientFinalNoProof,p=${Base64.getEncoder.encodeToString(proof)}"
+    }
+
+    /** Verify the server's v= signature — mutual auth is part of the
+      * protocol; skipping it would accept an impostor server. */
+    def verifyServerFinal(serverFinalMsg: String): Unit = {
+      val v = serverFinalMsg.split(',').map(_.split("=", 2))
+        .collectFirst { case Array("v", x) => x }
+        .getOrElse(throw new IOException(s"SCRAM: no v= in '$serverFinalMsg'"))
+      val serverKey = hmacSha256(saltedPw, "Server Key".getBytes(UTF_8))
+      val expect = Base64.getEncoder.encodeToString(
+        hmacSha256(serverKey, authMessage))
+      if (v != expect)
+        throw new IOException("SCRAM: server signature mismatch")
+    }
+  }
+}
+
+/** One protocol-v3 connection. Not thread-safe (one socket, one
+  * in-flight query) — each Spark partition reader opens its own. */
+final class PgConnection(host: String, port: Int, database: String,
+    user: String, password: String) extends AutoCloseable {
+  import PgWire._
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), 30000)
+  socket.setSoTimeout(120000)
+  private val in = new DataInputStream(socket.getInputStream)
+  private val out = new DataOutputStream(socket.getOutputStream)
+
+  handshake()
+
+  private def sendStartup(): Unit = {
+    val params = Seq("user", user, "database", database,
+      "client_encoding", "UTF8")
+    val body = params.map(_.getBytes(UTF_8)).map(_ :+ 0.toByte)
+      .foldLeft(Array.emptyByteArray)(_ ++ _) :+ 0.toByte
+    out.writeInt(8 + body.length)
+    out.writeInt(196608) // protocol 3.0
+    out.write(body)
+    out.flush()
+  }
+
+  private def sendMsg(tpe: Char, body: Array[Byte]): Unit = {
+    out.writeByte(tpe)
+    out.writeInt(4 + body.length)
+    out.write(body)
+    out.flush()
+  }
+
+  /** Read one backend message: (type, payload). */
+  private def readMsg(): (Char, Array[Byte]) = {
+    val tpe = in.readByte().toChar
+    val len = in.readInt() - 4
+    if (len < 0 || len > 64 * 1024 * 1024)
+      throw new IOException(s"pg: implausible message length $len")
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    (tpe, body)
+  }
+
+  private def errorOf(body: Array[Byte]): String = {
+    // ErrorResponse: (fieldType byte, cstring)* terminated by \0
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar
+      val end = body.indexOf(0.toByte, i + 1)
+      val v = new String(body, i + 1, end - i - 1, UTF_8)
+      if (code == 'S' || code == 'M' || code == 'C')
+        sb.append(s"$code=$v ")
+      i = end + 1
+    }
+    sb.toString.trim
+  }
+
+  private def handshake(): Unit = {
+    sendStartup()
+    var done = false
+    while (!done) {
+      val (tpe, body) = readMsg()
+      tpe match {
+        case 'R' =>
+          val code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+            ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+          code match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext
+              sendMsg('p', password.getBytes(UTF_8) :+ 0.toByte)
+            case 5 => // MD5: 4-byte salt follows
+              val salt = body.slice(4, 8)
+              sendMsg('p',
+                md5Password(user, password, salt).getBytes(UTF_8) :+ 0.toByte)
+            case 10 => // AuthenticationSASL: \0-separated mechanism list
+              val mechs = new String(body.drop(4), UTF_8).split(' ')
+                .filter(_.nonEmpty)
+              if (!mechs.contains("SCRAM-SHA-256"))
+                throw new IOException(
+                  s"pg: no supported SASL mechanism in ${mechs.mkString(",")}")
+              val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+              scram = new Scram("", password, nonce) // empty n= per PG convention
+              val initial = scram.clientFirst.getBytes(UTF_8)
+              val mech = "SCRAM-SHA-256".getBytes(UTF_8)
+              val payload = (mech :+ 0.toByte) ++
+                Array[Byte]((initial.length >> 24).toByte,
+                  (initial.length >> 16).toByte, (initial.length >> 8).toByte,
+                  initial.length.toByte) ++ initial
+              sendMsg('p', payload)
+            case 11 => // SASLContinue: server-first-message
+              val resp = scram.clientFinal(new String(body.drop(4), UTF_8))
+              sendMsg('p', resp.getBytes(UTF_8))
+            case 12 => // SASLFinal: server-final-message (v=...)
+              scram.verifyServerFinal(new String(body.drop(4), UTF_8))
+            case other =>
+              throw new IOException(s"pg: unsupported auth request $other" +
+                " (supported: trust, cleartext, md5, SCRAM-SHA-256)")
+          }
+        case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
+        case 'Z' => done = true // ReadyForQuery
+        case 'E' =>
+          throw new IOException(s"pg: auth failed: ${errorOf(body)}")
+        case other =>
+          throw new IOException(s"pg: unexpected message '$other' in startup")
+      }
+    }
+  }
+
+  private var scram: Scram = _
+
+  /** Simple-query protocol: one SQL string, full text-format result. */
+  def query(sql: String): Result = {
+    sendMsg('Q', sql.getBytes(UTF_8) :+ 0.toByte)
+    var fields: Seq[Field] = Nil
+    val rows = Seq.newBuilder[Array[String]]
+    var err: String = null
+    var done = false
+    while (!done) {
+      val (tpe, body) = readMsg()
+      tpe match {
+        case 'T' => // RowDescription
+          var i = 2
+          val n = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+          fields = (0 until n).map { _ =>
+            val end = body.indexOf(0.toByte, i)
+            val name = new String(body, i, end - i, UTF_8)
+            i = end + 1
+            def int32(off: Int): Int =
+              ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
+                ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
+            val oid = int32(i + 6)
+            val typmod = int32(i + 12)
+            i += 18
+            Field(name, oid, typmod)
+          }
+        case 'D' => // DataRow
+          val n = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+          var i = 2
+          val vals = new Array[String](n)
+          var c = 0
+          while (c < n) {
+            val len = ((body(i) & 0xff) << 24) | ((body(i + 1) & 0xff) << 16) |
+              ((body(i + 2) & 0xff) << 8) | (body(i + 3) & 0xff)
+            i += 4
+            if (len >= 0) {
+              vals(c) = new String(body, i, len, UTF_8)
+              i += len
+            } // len == -1 → SQL NULL → null
+            c += 1
+          }
+          rows += vals
+        case 'C' | 'I' => // CommandComplete / EmptyQueryResponse
+        case 'N' => // NoticeResponse
+        case 'E' => err = errorOf(body)
+        case 'Z' => done = true
+        case other =>
+          throw new IOException(s"pg: unexpected message '$other' in query")
+      }
+    }
+    if (err != null) throw new IOException(s"pg: query failed: $err")
+    Result(fields, rows.result())
+  }
+
+  override def close(): Unit = {
+    try { sendMsg('X', Array.emptyByteArray) } catch { case _: Exception => }
+    socket.close()
+  }
+}
+
+/** Text-format value decoding → Catalyst internal values. PostgreSQL's
+  * text output formats are documented per type (bool "t"/"f", bytea
+  * "\x<hex>", timestamps "YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]"). */
+object PgDecode {
+  def decode(v: String, dt: DataType): Any = {
+    if (v == null) return null
+    dt match {
+      case StringType => UTF8String.fromString(v)
+      case BooleanType => v == "t" || v == "true"
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(v).setScale(d.scale), d.precision, d.scale)
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampNTZType => parseTs(v, withTz = false)
+      case TimestampType => parseTs(v, withTz = true)
+      case BinaryType =>
+        if (v.startsWith("\\x")) hexToBytes(v.substring(2))
+        else v.getBytes(UTF_8) // legacy escape format not emitted by PG9.0+
+      case other =>
+        throw new IOException(s"pg: cannot decode text value into $other")
+    }
+  }
+
+  private def hexToBytes(h: String): Array[Byte] = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** "2021-01-02 10:20:30.123456" (+ optional "+HH[:MM]" zone for
+    * timestamptz) → micros since epoch. */
+  private[sources] def parseTs(s: String, withTz: Boolean): Long = {
+    val t = s.replace(' ', 'T')
+    if (withTz) {
+      // PG emits a numeric zone offset; normalize "+00" → "+00:00"
+      val zoned = t.takeRight(3) match {
+        case z if z.startsWith("+") || z.startsWith("-") =>
+          java.time.OffsetDateTime.parse(t + ":00")
+        case _ => java.time.OffsetDateTime.parse(t)
+      }
+      zoned.toInstant.getEpochSecond * 1000000L +
+        zoned.toInstant.getNano / 1000L
+    } else {
+      val ldt = java.time.LocalDateTime.parse(t)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+  }
+}
+
+/** DataSource V2 provider: `spark.read.format("postgres")
+  * .option("host", h).option("port", p).option("database", db)
+  * .option("user", u).option("password", w).option("dbtable", t).load()`.
+  *
+  * Pushdown: required columns and supported filters compile into the
+  * SELECT sent to the server (the reference pushes the same way —
+  * AbstractSQLDataProvider.cpp:53 builds `SELECT <cols> FROM t WHERE
+  * <predicates> LIMIT n OFFSET m`). Partitioning: `partitionColumn` +
+  * `numPartitions` (+ optional `lowerBound`/`upperBound`) slice by range
+  * predicates, the shape that scales — LIMIT/OFFSET batches (the
+  * reference's table_batch_size) force the server to re-sort per batch.
+  */
+class PostgresDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "postgres"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val o = PgOptions(options)
+    val conn = o.connect()
+    try {
+      // LIMIT 0 still returns RowDescription: names + type OIDs, exactly
+      // what schema inference needs, with zero data moved
+      val r = conn.query(
+        s"SELECT * FROM ${o.quotedTable} LIMIT 0")
+      StructType(r.fields.map(f =>
+        StructField(f.name, f.sparkType, nullable = true)))
+    } finally conn.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new PostgresTable(schema, properties)
+}
+
+final case class PgOptions(host: String, port: Int, database: String,
+    user: String, password: String, table: String,
+    partitionColumn: Option[String], numPartitions: Int,
+    lowerBound: Option[Long], upperBound: Option[Long]) {
+  def connect(): PgConnection =
+    new PgConnection(host, port, database, user, password)
+  def quotedTable: String =
+    table.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"")
+      .mkString(".")
+}
+
+object PgOptions {
+  def apply(o: java.util.Map[String, String]): PgOptions = {
+    val m = new CaseInsensitiveStringMap(o)
+    def req(k: String): String = Option(m.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"postgres source: missing option '$k'"))
+    PgOptions(
+      host = Option(m.get("host")).getOrElse("localhost"),
+      port = Option(m.get("port")).map(_.toInt).getOrElse(5432),
+      database = req("database"),
+      user = Option(m.get("user")).getOrElse("postgres"),
+      password = Option(m.get("password")).getOrElse(""),
+      table = req("dbtable"),
+      partitionColumn = Option(m.get("partitionColumn")),
+      numPartitions = Option(m.get("numPartitions")).map(_.toInt).getOrElse(1),
+      lowerBound = Option(m.get("lowerBound")).map(_.toLong),
+      upperBound = Option(m.get("upperBound")).map(_.toLong))
+  }
+}
+
+class PostgresTable(tableSchema: StructType,
+    properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  private val opts = PgOptions(properties)
+  override def name(): String =
+    s"postgres:${opts.host}:${opts.port}/${opts.database}.${opts.table}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PostgresScanBuilder(opts, tableSchema)
+}
+
+/** SQL rendering of Spark data-source filters, shared by the lite DBMS
+  * sources (PostgreSQL, MySQL — only identifier quoting differs).
+  * Unsupported shapes return None and stay Spark-side — pushdown must
+  * never change semantics. NULL-safety: every rendered predicate has
+  * standard SQL three-valued logic, same as Spark's post-scan
+  * evaluation, so double-evaluation is harmless. */
+private[sources] object SqlFilter {
+  def compile(f: Filter, quote: String => String): Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case s: UTF8String => lit(s.toString)
+      case b: Boolean => Some(if (b) "true" else "false")
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+      case n @ (_: Float | _: Double) => Some(n.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: java.sql.Date => Some(s"DATE '$d'")
+      case d: java.time.LocalDate => Some(s"DATE '$d'")
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => lit(v).map(l => s"${quote(a)} = $l")
+      case GreaterThan(a, v) => lit(v).map(l => s"${quote(a)} > $l")
+      case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${quote(a)} >= $l")
+      case LessThan(a, v) => lit(v).map(l => s"${quote(a)} < $l")
+      case LessThanOrEqual(a, v) => lit(v).map(l => s"${quote(a)} <= $l")
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        val ls = vs.map(lit)
+        if (ls.forall(_.isDefined))
+          Some(s"${quote(a)} IN (${ls.map(_.get).mkString(", ")})")
+        else None
+      case IsNull(a) => Some(s"${quote(a)} IS NULL")
+      case IsNotNull(a) => Some(s"${quote(a)} IS NOT NULL")
+      case StringStartsWith(a, p) =>
+        Some(s"${quote(a)} LIKE '${p.replace("'", "''")
+          .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")}%'")
+      case And(l, r) =>
+        for (lc <- compile(l, quote); rc <- compile(r, quote))
+          yield s"($lc AND $rc)"
+      case Or(l, r) =>
+        for (lc <- compile(l, quote); rc <- compile(r, quote))
+          yield s"($lc OR $rc)"
+      case Not(c) => compile(c, quote).map(x => s"(NOT $x)")
+      case _ => None
+    }
+  }
+}
+
+class PostgresScanBuilder(opts: PgOptions, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  private def compile(f: Filter): Option[String] =
+    SqlFilter.compile(f, a => "\"" + a.replace("\"", "\"\"") + "\"")
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => compile(f).isDefined)
+    // every pushed predicate is exactly translatable → no residual
+    // re-evaluation needed, return only the untranslatable remainder
+    filters.filter(f => compile(f).isEmpty)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new PostgresScan(opts, full, required,
+      pushed.flatMap(compile(_).toSeq))
+}
+
+class PostgresScan(opts: PgOptions, full: StructType, required: StructType,
+    where: Array[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PostgresScan ${opts.quotedTable}" +
+      (if (where.nonEmpty) s", PushedFilters: [${where.mkString(", ")}]"
+       else "")
+
+  /** The SELECT one partition runs. Empty projection (count(*) plans)
+    * still needs a column — project the literal 1. */
+  private def selectFor(extraPred: Option[String]): String = {
+    val cols =
+      if (required.isEmpty) "1"
+      else required.fieldNames.map(c =>
+        "\"" + c.replace("\"", "\"\"") + "\"").mkString(", ")
+    val preds = where ++ extraPred
+    s"SELECT $cols FROM ${opts.quotedTable}" +
+      (if (preds.nonEmpty) s" WHERE ${preds.mkString(" AND ")}" else "")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    opts.partitionColumn match {
+      case Some(col) if opts.numPartitions > 1 =>
+        val q = "\"" + col.replace("\"", "\"\"") + "\""
+        // derive bounds remotely when not given: one tiny min/max query,
+        // the same pattern Spark's JDBC relation uses
+        val (lo, hi) = (opts.lowerBound, opts.upperBound) match {
+          case (Some(l), Some(h)) => (l, h)
+          case _ =>
+            val conn = opts.connect()
+            try {
+              val r = conn.query(
+                s"SELECT min($q), max($q) FROM ${opts.quotedTable}")
+              val row = r.rows.headOption.getOrElse(Array[String](null, null))
+              if (row(0) == null) (0L, 0L)
+              else (row(0).toLong, row(1).toLong)
+            } finally conn.close()
+        }
+        val n = opts.numPartitions.toLong
+        val span = math.max(1L, (hi - lo + n) / n) // ceil, ≥1
+        (0 until opts.numPartitions).map { i =>
+          val start = lo + i * span
+          val pred =
+            if (i == 0 && i == opts.numPartitions - 1) s"$q IS NOT NULL"
+            else if (i == 0) s"$q < ${start + span}"
+            else if (i == opts.numPartitions - 1) s"$q >= $start"
+            else s"($q >= $start AND $q < ${start + span})"
+          PgPartition(i, selectFor(Some(pred))): InputPartition
+        }.toArray
+      case _ =>
+        Array(PgPartition(0, selectFor(None)))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgReaderFactory(opts, required)
+}
+
+final case class PgPartition(index: Int, sql: String) extends InputPartition
+
+class PgReaderFactory(opts: PgOptions, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PgPartition]
+    new PartitionReader[InternalRow] {
+      private var conn: PgConnection = _
+      private var it: Iterator[Array[String]] = _
+      private var current: InternalRow = _
+      private val types = required.fields.map(_.dataType)
+
+      override def next(): Boolean = {
+        if (it == null) {
+          conn = opts.connect()
+          it = conn.query(p.sql).rows.iterator
+        }
+        if (!it.hasNext) { current = null; return false }
+        val row = it.next()
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          // count(*)-style empty projection reads "1" columns we discard
+          if (i < row.length) vals(i) = PgDecode.decode(row(i), types(i))
+          i += 1
+        }
+        current = new GenericInternalRow(vals)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = if (conn != null) conn.close()
+    }
+  }
+}

@@ -1,0 +1,455 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.CopyOnWriteArrayList
+
+import org.apache.spark.sql.functions._
+import graft.sources.MyWire
+
+/** MySQL coverage through the built-in wire-protocol client
+  * (sources/MyLite.scala) against an in-JVM server speaking the server
+  * side of the published client/server protocol — greeting v10, both
+  * auth plugins (independently re-deriving the scrambles from the known
+  * password), auth-switch, COM_QUERY text result sets. Completes the
+  * reference's DBMS-dialect trio: SQLite (file format, SqliteSpec),
+  * PostgreSQL (protocol v3, PgLiteSpec), MySQL (this). Reference
+  * counterparts: engine/src/io/data_provider/sql/MySQLDataProvider.cpp,
+  * data_parser/sql/MySQLParser.cpp.
+  */
+class MySqlLiteSpec extends SparkSuite {
+
+  private case class Col(name: String, tpe: Int, flags: Int = 0,
+      charset: Int = 45, length: Long = 0, decimals: Int = 0)
+
+  private val cols = Seq(
+    Col("id", MyWire.TypeLong, length = 11),
+    Col("flag", MyWire.TypeTiny, length = 1),
+    Col("big_u", MyWire.TypeLong, flags = MyWire.FlagUnsigned, length = 10),
+    Col("price", MyWire.TypeNewDecimal, length = 12, decimals = 2),
+    Col("ratio", MyWire.TypeDouble, length = 22),
+    Col("name", MyWire.TypeVarString, length = 128),
+    Col("born", MyWire.TypeDate, length = 10),
+    Col("at_dt", MyWire.TypeDatetime, length = 26),
+    Col("at_ts", MyWire.TypeTimestamp, length = 26),
+    Col("payload", MyWire.TypeVarString, charset = MyWire.CharsetBinary,
+      length = 64))
+
+  // MySQL text-protocol renderings; payload cells are RAW bytes
+  private val rows: Seq[Array[Array[Byte]]] = {
+    def s(x: String): Array[Byte] = if (x == null) null else x.getBytes(UTF_8)
+    Seq(
+      Array(s("1"), s("1"), s("4294967295"), s("19.99"), s("0.5"),
+        s("alpha"), s("2021-03-04"), s("2021-03-04 10:20:30.123456"),
+        s("2021-03-04 10:20:30.123456"),
+        Array[Byte](0x01, 0x02, 0xff.toByte)),
+      Array(s("2"), s("0"), s("0"), s("0.01"), s("-1.25"), s("beta"),
+        s("1999-12-31"), s("1999-12-31 23:59:59"), s("1999-12-31 23:59:59"),
+        Array.emptyByteArray),
+      Array(s("3"), null, null, null, null, null, null, null, null, null),
+      Array(s("4"), s("1"), s("7"), s("100.00"), s("2.0"), s("o'hara"),
+        s("2024-01-01"), s("2024-01-01 00:00:00"), s("2024-01-01 00:00:00"),
+        Array[Byte](0xde.toByte, 0xad.toByte)),
+      Array(s("5"), s("0"), s("8"), s("42.42"), s("3.5"), s("alphonse"),
+        s("2024-06-15"), s("2024-06-15 12:00:00"), s("2024-06-15 12:00:00"),
+        Array[Byte](0x00)))
+  }
+
+  /** `authMode`: "native", "sha2fast", "sha2full" (always demands full
+    * auth → client must refuse), "switch" (greets with caching_sha2,
+    * then AuthSwitches to native). */
+  private final class MyMock(authMode: String, user: String,
+      password: String) {
+    val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    def port: Int = server.getLocalPort
+    val queries = new CopyOnWriteArrayList[String]()
+    val authFailures = new AtomicInteger
+    @volatile private var running = true
+
+    private val accepter = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => try serve(s) catch { case _: Throwable => () },
+            "mymock-conn").start()
+        } catch { case _: Throwable => () }
+      }
+    }, "mymock-accept")
+    accepter.setDaemon(true)
+    accepter.start()
+    def stop(): Unit = { running = false; server.close() }
+
+    private def sha1(b: Array[Byte]) =
+      MessageDigest.getInstance("SHA-1").digest(b)
+    private def sha256(b: Array[Byte]) =
+      MessageDigest.getInstance("SHA-256").digest(b)
+    private def xor(a: Array[Byte], b: Array[Byte]) =
+      a.zip(b).map(p => (p._1 ^ p._2).toByte)
+
+    private def serve(sock: Socket): Unit = {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      var seq = 0
+
+      def send(body: Array[Byte]): Unit = {
+        out.write(body.length & 0xff)
+        out.write((body.length >> 8) & 0xff)
+        out.write((body.length >> 16) & 0xff)
+        out.write(seq); seq = (seq + 1) & 0xff
+        out.write(body); out.flush()
+      }
+      def recv(): Array[Byte] = {
+        val a = in.read(); val b = in.read(); val c = in.read()
+        val s = in.read()
+        if ((a | b | c | s) < 0) throw new java.io.EOFException
+        seq = (s + 1) & 0xff
+        val body = new Array[Byte](a | (b << 8) | (c << 16))
+        in.readFully(body)
+        body
+      }
+      def ok(): Unit = send(Array[Byte](0, 0, 0, 2, 0, 0, 0))
+      def eof(): Unit = send(Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+      def errPacket(code: Int, m: String): Unit = {
+        val b = new ByteArrayOutputStream()
+        b.write(0xff); b.write(code & 0xff); b.write((code >> 8) & 0xff)
+        b.write('#'); b.write("28000".getBytes(UTF_8))
+        b.write(m.getBytes(UTF_8))
+        send(b.toByteArray)
+      }
+      def lenencStr(s: String): Array[Byte] = {
+        val b = s.getBytes(UTF_8)
+        require(b.length < 0xfb)
+        b.length.toByte +: b
+      }
+
+      val noncePart1 = "abcdefgh".getBytes(UTF_8)
+      val noncePart2 = "ijklmnopqrst".getBytes(UTF_8) // 12 bytes
+      val nonce = noncePart1 ++ noncePart2
+      val greetPlugin =
+        if (authMode == "native") "mysql_native_password"
+        else "caching_sha2_password"
+
+      // ---- greeting v10 ----
+      {
+        val g = new ByteArrayOutputStream()
+        g.write(10)
+        g.write("8.0.0-graft-mock".getBytes(UTF_8)); g.write(0)
+        g.write(Array[Byte](1, 0, 0, 0)) // thread id
+        g.write(noncePart1); g.write(0)
+        g.write(Array[Byte](0xff.toByte, 0xf7.toByte)) // cap lower
+        g.write(45) // charset
+        g.write(Array[Byte](2, 0)) // status
+        g.write(Array[Byte](0xff.toByte, 0x81.toByte)) // cap upper
+        g.write(21) // auth data len
+        g.write(new Array[Byte](10))
+        g.write(noncePart2); g.write(0)
+        g.write(greetPlugin.getBytes(UTF_8)); g.write(0)
+        send(g.toByteArray)
+      }
+
+      // ---- handshake response ----
+      val hr = recv()
+      var p = 4 + 4 + 1 + 23
+      val userEnd = { var i = p; while (hr(i) != 0) i += 1; i }
+      val gotUser = new String(hr, p, userEnd - p, UTF_8)
+      p = userEnd + 1
+      val authLen = hr(p) & 0xff; p += 1
+      var gotAuth = java.util.Arrays.copyOfRange(hr, p, p + authLen)
+      p += authLen
+      val dbEnd = { var i = p; while (hr(i) != 0) i += 1; i }
+      p = dbEnd + 1
+      val plugEnd = { var i = p; while (i < hr.length && hr(i) != 0) i += 1; i }
+      var gotPlugin = new String(hr, p, plugEnd - p, UTF_8)
+
+      if (gotUser != user) { errPacket(1045, s"no user $gotUser"); sock.close(); return }
+
+      def expectScramble(plugin: String, n: Array[Byte]): Array[Byte] =
+        plugin match {
+          case "mysql_native_password" =>
+            val h1 = sha1(password.getBytes(UTF_8))
+            xor(h1, sha1(n ++ sha1(h1)))
+          case "caching_sha2_password" =>
+            val h1 = sha256(password.getBytes(UTF_8))
+            xor(h1, sha256(sha256(h1) ++ n))
+        }
+
+      var authed = false
+      authMode match {
+        case "switch" =>
+          // demand a different plugin than greeted: AuthSwitchRequest
+          val b = new ByteArrayOutputStream()
+          b.write(0xfe)
+          b.write("mysql_native_password".getBytes(UTF_8)); b.write(0)
+          val nonce2 = "ABCDEFGHIJKLMNOPQRST".getBytes(UTF_8)
+          b.write(nonce2); b.write(0)
+          send(b.toByteArray)
+          val resp = recv()
+          authed = java.util.Arrays.equals(resp,
+            expectScramble("mysql_native_password", nonce2))
+          if (authed) ok()
+          else { authFailures.incrementAndGet(); errPacket(1045, "denied") }
+        case "sha2full" =>
+          send(Array[Byte](0x01, 0x04)) // full auth required
+          sock.close(); return
+        case mode =>
+          val plugin = if (mode == "native") "mysql_native_password"
+            else "caching_sha2_password"
+          authed = gotPlugin == plugin && java.util.Arrays.equals(gotAuth,
+            expectScramble(plugin, nonce))
+          if (!authed) { authFailures.incrementAndGet()
+            errPacket(1045, "Access denied (password)") ; sock.close(); return }
+          if (mode == "sha2fast") send(Array[Byte](0x01, 0x03))
+          ok()
+      }
+      if (!authed) { sock.close(); return }
+
+      // ---- command loop ----
+      var open = true
+      while (open) {
+        seq = 0
+        val cmd = try recv() catch { case _: Exception => Array[Byte](1) }
+        (cmd(0) & 0xff) match {
+          case 0x01 => open = false // COM_QUIT
+          case 0x03 =>
+            val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
+            queries.add(sql)
+            try runQuery(sql) catch {
+              case e: Exception => errPacket(1064, s"mock: ${e.getMessage}")
+            }
+          case _ => errPacket(1047, "unsupported command")
+        }
+      }
+      sock.close()
+
+      def colDef(c: Col): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        b.write(lenencStr("def")); b.write(lenencStr("graft"))
+        b.write(lenencStr("events")); b.write(lenencStr("events"))
+        b.write(lenencStr(c.name)); b.write(lenencStr(c.name))
+        b.write(0x0c)
+        b.write(c.charset & 0xff); b.write((c.charset >> 8) & 0xff)
+        b.write((c.length & 0xff).toInt); b.write(((c.length >> 8) & 0xff).toInt)
+        b.write(((c.length >> 16) & 0xff).toInt)
+        b.write(((c.length >> 24) & 0xff).toInt)
+        b.write(c.tpe)
+        b.write(c.flags & 0xff); b.write((c.flags >> 8) & 0xff)
+        b.write(c.decimals)
+        b.write(0); b.write(0)
+        b.toByteArray
+      }
+      def sendRows(cs: Seq[Col], rs: Seq[Array[Array[Byte]]]): Unit = {
+        send(Array(cs.size.toByte))
+        cs.foreach(c => send(colDef(c)))
+        eof()
+        rs.foreach { r =>
+          val b = new ByteArrayOutputStream()
+          r.foreach { v =>
+            if (v == null) b.write(0xfb)
+            else { require(v.length < 0xfb); b.write(v.length); b.write(v) }
+          }
+          send(b.toByteArray)
+        }
+        eof()
+      }
+
+      def runQuery(sql: String): Unit = {
+        val LimitRe = "(?s)(.*?)\\s+LIMIT\\s+(\\d+)\\s*$".r
+        val (core, limit) = sql.trim match {
+          case LimitRe(c, n) => (c, n.toInt)
+          case s => (s, Int.MaxValue)
+        }
+        val SelRe = "(?s)SELECT\\s+(.*?)\\s+FROM\\s+(\\S+)(?:\\s+WHERE\\s+(.*))?".r
+        core match {
+          case SelRe(proj, _, whereOrNull) =>
+            def textCell(i: Int, r: Array[Array[Byte]]): String =
+              if (r(i) == null) null else new String(r(i), UTF_8)
+            val keep = Option(whereOrNull) match {
+              case None => rows
+              case Some(w) => rows.filter { r =>
+                SqlMockEval.evalWhere(w,
+                  cols.indices.map(textCell(_, r)).toArray,
+                  n => cols.indexWhere(_.name == n), '`')
+              }
+            }
+            proj.trim match {
+              case "*" => sendRows(cols, keep.take(limit))
+              case "1" =>
+                sendRows(Seq(Col("1", MyWire.TypeLonglong, length = 20)),
+                  keep.take(limit).map(_ => Array("1".getBytes(UTF_8))))
+              case pr if pr.toLowerCase.startsWith("min(") =>
+                val c = pr.substring(pr.indexOf('`') + 1,
+                  pr.indexOf('`', pr.indexOf('`') + 1))
+                val i = cols.indexWhere(_.name == c)
+                val vs = keep.flatMap(r => Option(textCell(i, r))).map(_.toLong)
+                sendRows(
+                  Seq(Col("min", MyWire.TypeLonglong, length = 20),
+                    Col("max", MyWire.TypeLonglong, length = 20)),
+                  Seq(
+                    if (vs.isEmpty) Array[Array[Byte]](null, null)
+                    else Array(vs.min.toString.getBytes(UTF_8),
+                      vs.max.toString.getBytes(UTF_8))))
+              case pr =>
+                val idx = pr.split(',').map(_.trim).toSeq.map { q =>
+                  val name = q.stripPrefix("`").stripSuffix("`")
+                  val i = cols.indexWhere(_.name == name)
+                  require(i >= 0, s"no column $name")
+                  i
+                }
+                sendRows(idx.map(cols), keep.take(limit).map(r =>
+                  idx.map(r(_)).toArray))
+            }
+          case _ => throw new IllegalArgumentException("unparsed")
+        }
+      }
+    }
+  }
+
+  private def readDf(m: MyMock, user: String, pw: String,
+      extra: Map[String, String] = Map.empty) = {
+    var r = spark.read.format("mysql")
+      .option("host", "127.0.0.1").option("port", m.port.toString)
+      .option("database", "graft").option("user", user)
+      .option("password", pw).option("dbtable", "events")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  // ---------------------------------------------------------------------
+
+  test("auth scrambles match independent derivations of the documented " +
+      "algorithms") {
+    val nonce = (1 to 20).map(_.toByte).toArray
+    // mysql_native_password: SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    val h1 = sha1.digest("pw-x".getBytes(UTF_8))
+    val h2 = sha1.digest(sha1.digest("pw-x".getBytes(UTF_8)))
+    val expectNative = h1.zip(sha1.digest(nonce ++ h2))
+      .map(p => (p._1 ^ p._2).toByte)
+    assert(java.util.Arrays.equals(
+      MyWire.nativePassword("pw-x", nonce), expectNative))
+    // caching_sha2: SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) + nonce)
+    val sha256 = MessageDigest.getInstance("SHA-256")
+    val s1 = sha256.digest("pw-x".getBytes(UTF_8))
+    val s2 = sha256.digest(sha256.digest(sha256.digest("pw-x".getBytes(UTF_8))) ++ nonce)
+    assert(java.util.Arrays.equals(
+      MyWire.cachingSha2Password("pw-x", nonce),
+      s1.zip(s2).map(p => (p._1 ^ p._2).toByte)))
+    // empty password sends an empty auth response
+    assert(MyWire.nativePassword("", nonce).isEmpty)
+  }
+
+  test("schema inference maps MySQL column types to Spark types") {
+    val m = new MyMock("native", "app", "pw")
+    try {
+      val df = readDf(m, "app", "pw")
+      val t = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(t("id") == org.apache.spark.sql.types.IntegerType)
+      assert(t("flag") == org.apache.spark.sql.types.BooleanType,
+        "TINYINT(1) must map to boolean (reference MySQLParser.cpp:67)")
+      assert(t("big_u") == org.apache.spark.sql.types.LongType,
+        "unsigned INT needs the wider type")
+      assert(t("price") == org.apache.spark.sql.types.DecimalType(10, 2))
+      assert(t("ratio") == org.apache.spark.sql.types.DoubleType)
+      assert(t("name") == org.apache.spark.sql.types.StringType)
+      assert(t("born") == org.apache.spark.sql.types.DateType)
+      assert(t("at_dt") == org.apache.spark.sql.types.TimestampNTZType)
+      assert(t("at_ts") == org.apache.spark.sql.types.TimestampType)
+      assert(t("payload") == org.apache.spark.sql.types.BinaryType,
+        "binary-charset string column must arrive as bytes")
+    } finally m.stop()
+  }
+
+  test("full typed read: values, NULLs, unsigned, decimal, binary") {
+    val m = new MyMock("native", "app", "pw")
+    try {
+      val got = readDf(m, "app", "pw").orderBy("id").collect()
+      assert(got.length == 5)
+      val r0 = got(0)
+      assert(r0.getInt(0) == 1 && r0.getBoolean(1))
+      assert(r0.getLong(2) == 4294967295L, "unsigned INT max must survive")
+      assert(r0.getDecimal(3).toPlainString == "19.99")
+      assert(r0.getAs[java.time.LocalDateTime]("at_dt").toString ==
+        "2021-03-04T10:20:30.123456")
+      assert(java.util.Arrays.equals(r0.getAs[Array[Byte]]("payload"),
+        Array[Byte](0x01, 0x02, 0xff.toByte)))
+      val r2 = got(2)
+      assert(r2.getInt(0) == 3 && (1 until 10).forall(r2.isNullAt))
+      assert(got(3).getString(5) == "o'hara")
+    } finally m.stop()
+  }
+
+  test("filters and projection push into backtick-quoted SELECT") {
+    val m = new MyMock("native", "app", "pw")
+    try {
+      val df = readDf(m, "app", "pw")
+        .filter(col("id") >= 2 && col("name").startsWith("alph") &&
+          col("flag") === false)
+        .select("id", "name")
+      val got = df.collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSet == Set((5, "alphonse")))
+      val sent = m.queries.get(m.queries.size - 1)
+      assert(sent.startsWith("SELECT `id`, `name` FROM `events`"),
+        s"projection not pushed: $sent")
+      assert(sent.contains("`id` >= 2") && sent.contains("LIKE 'alph%'") &&
+        sent.contains("NOT `flag` = true"), // Catalyst canonicalizes ===false
+        s"filters not pushed: $sent")
+    } finally m.stop()
+  }
+
+  test("partitioned range read over 3 partitions") {
+    val m = new MyMock("native", "app", "pw")
+    try {
+      val df = readDf(m, "app", "pw", Map(
+        "partitionColumn" -> "id", "numPartitions" -> "3"))
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val sent = (0 until m.queries.size).map(m.queries.get)
+      assert(sent.exists(q => q.contains("min(") && q.contains("max(")))
+    } finally m.stop()
+  }
+
+  test("auth matrix: native, caching_sha2 fast path, auth-switch; " +
+      "wrong password and full-auth demand fail loudly") {
+    for (mode <- Seq("native", "sha2fast", "switch")) {
+      val m = new MyMock(mode, "app", "s3cr3t")
+      try {
+        assert(readDf(m, "app", "s3cr3t").count() == 5, s"mode=$mode")
+        if (mode != "switch") { // switch mock verifies only the switched auth
+          val bad = intercept[Exception](readDf(m, "app", "nope").count())
+          def messages(t: Throwable): Seq[String] =
+            Option(t).toSeq.flatMap(x =>
+              Option(x.getMessage).toSeq ++ messages(x.getCause))
+          assert(messages(bad).exists(s => s.contains("auth") ||
+            s.contains("denied")), s"mode=$mode: ${messages(bad)}")
+        }
+      } finally m.stop()
+    }
+    // full-auth demand: refuse honestly (no cleartext fallback on plain TCP)
+    val full = new MyMock("sha2full", "app", "pw")
+    try {
+      val e = intercept[Exception](readDf(full, "app", "pw").count())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("full authentication")),
+        messages(e).toString)
+    } finally full.stop()
+  }
+
+  test("createTableMySql surface: registered table queryable via SQL") {
+    val m = new MyMock("sha2fast", "app", "pw")
+    try {
+      val ctx = new GraftContext(spark)
+      ctx.createTableMySql("my_events", "127.0.0.1", m.port, "graft",
+        "app", "pw", "events")
+      val n = spark.sql(
+        "SELECT count(*) c FROM my_events WHERE flag").collect()(0).getLong(0)
+      assert(n == 2)
+      ctx.dropTable("my_events")
+    } finally m.stop()
+  }
+}

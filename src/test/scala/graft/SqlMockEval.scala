@@ -1,0 +1,116 @@
+package graft
+
+/** Shared mini WHERE-clause evaluator for the in-JVM DBMS mock servers
+  * (PgLiteSpec, MySqlLiteSpec). Covers exactly the grammar the lite
+  * sources' pushdown emits: comparisons, IS [NOT] NULL, IN, LIKE-prefix,
+  * AND/OR/NOT, parens. Evaluates over the TEXT row representation with
+  * numeric coercion; `quote` is the dialect's identifier quote character
+  * ('"' for PostgreSQL, '`' for MySQL).
+  */
+object SqlMockEval {
+
+  def evalWhere(w: String, row: Array[String], colIndex: String => Int,
+      quote: Char): Boolean = {
+    val s = w
+    var pos = 0
+    def ws(): Unit = while (pos < s.length && s(pos) == ' ') pos += 1
+    def peek(tok: String): Boolean = {
+      ws(); s.regionMatches(true, pos, tok, 0, tok.length)
+    }
+    def eat(tok: String): Boolean =
+      if (peek(tok)) { pos += tok.length; true } else false
+    def ident(): Int = {
+      ws(); require(s(pos) == quote, s"ident at $pos in $s")
+      val end = s.indexOf(quote, pos + 1)
+      val name = s.substring(pos + 1, end)
+      pos = end + 1
+      colIndex(name)
+    }
+    def strLit(): String = {
+      ws(); require(s(pos) == '\'')
+      val sb = new StringBuilder
+      pos += 1
+      while (!(s(pos) == '\'' && (pos + 1 >= s.length || s(pos + 1) != '\''))) {
+        if (s(pos) == '\'' && s(pos + 1) == '\'') { sb.append('\''); pos += 2 }
+        else { sb.append(s(pos)); pos += 1 }
+      }
+      pos += 1
+      sb.toString
+    }
+    def lit(): String = {
+      ws()
+      if (s(pos) == '\'') strLit()
+      else {
+        val start = pos
+        while (pos < s.length && !" ),".contains(s(pos))) pos += 1
+        s.substring(start, pos)
+      }
+    }
+    def cmp(a0: String, op: String, b0: String): Boolean = {
+      if (a0 == null) return false // SQL three-valued → filtered out
+      // PG renders bools as t/f, MySQL as 1/0; pushed literals say
+      // true/false — normalize all to true/false before comparing
+      def norm(x: String): String = x match {
+        case "t" => "true"; case "f" => "false"; case o => o
+      }
+      val (a, b) = (norm(a0), norm(b0))
+      val bools = Set("true", "false")
+      val c =
+        if (bools(b)) (if (a == "1") "true" else if (a == "0") "false" else a)
+          .compareTo(b)
+        else {
+          val (x, y) =
+            (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b)))
+          if (x.isSuccess && y.isSuccess) x.get.compare(y.get)
+          else a.compareTo(b)
+        }
+      op match {
+        case "=" => c == 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+      }
+    }
+    def atom(): Boolean = {
+      ws()
+      if (eat("NOT ")) return !atom()
+      if (eat("(")) { val v = orE(); ws(); require(eat(")")); return v }
+      val ci = ident()
+      val v = row(ci)
+      ws()
+      if (eat("IS NOT NULL")) v != null
+      else if (eat("IS NULL")) v == null
+      else if (eat("IN")) {
+        ws(); require(eat("("))
+        val items = scala.collection.mutable.Buffer[String]()
+        var go = true
+        while (go) { items += lit(); ws(); if (!eat(",")) go = false }
+        require(eat(")"))
+        v != null && items.exists(i => cmp(v, "=", i))
+      } else if (eat("LIKE")) {
+        val p = strLit()
+        require(p.endsWith("%") && !p.dropRight(1).contains("%"),
+          s"mock supports prefix LIKE only: $p")
+        v != null && v.startsWith(
+          p.dropRight(1).replace("\\%", "%").replace("\\_", "_")
+            .replace("\\\\", "\\"))
+      } else {
+        val op = Seq(">=", "<=", "=", ">", "<").find(eat(_)).get
+        val l = lit()
+        cmp(v, op, l)
+      }
+    }
+    def andE(): Boolean = {
+      var v = atom()
+      while (peek("AND ") && { eat("AND "); true }) v = atom() && v
+      v
+    }
+    def orE(): Boolean = {
+      var v = andE()
+      while (peek("OR ") && { eat("OR "); true }) v = andE() || v
+      v
+    }
+    orE()
+  }
+}
