@@ -331,8 +331,11 @@ object MyDecode {
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
       case d: DecimalType =>
+        // scale overflow rounds rather than throwing (see PgDecode)
         org.apache.spark.sql.types.Decimal(
-          new java.math.BigDecimal(s).setScale(d.scale), d.precision, d.scale)
+          new java.math.BigDecimal(s)
+            .setScale(d.scale, java.math.RoundingMode.HALF_UP),
+          d.precision, d.scale)
       case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
       case TimestampNTZType =>
         val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))

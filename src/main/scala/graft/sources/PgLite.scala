@@ -336,8 +336,13 @@ object PgDecode {
       case FloatType => v.toFloat
       case DoubleType => v.toDouble
       case d: DecimalType =>
+        // unconstrained NUMERIC maps to (38,18) but the server may emit
+        // more fractional digits than 18 — setScale without a rounding
+        // mode would throw ArithmeticException on such values
         org.apache.spark.sql.types.Decimal(
-          new java.math.BigDecimal(v).setScale(d.scale), d.precision, d.scale)
+          new java.math.BigDecimal(v)
+            .setScale(d.scale, java.math.RoundingMode.HALF_UP),
+          d.precision, d.scale)
       case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
       case TimestampNTZType => parseTs(v, withTz = false)
       case TimestampType => parseTs(v, withTz = true)
@@ -470,7 +475,11 @@ private[sources] object SqlFilter {
       case s: UTF8String => lit(s.toString)
       case b: Boolean => Some(if (b) "true" else "false")
       case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
-      case n @ (_: Float | _: Double) => Some(n.toString)
+      case f: Float if java.lang.Float.isFinite(f) => Some(f.toString)
+      case d: Double if java.lang.Double.isFinite(d) => Some(d.toString)
+      // NaN/Infinity would render as bare SQL tokens ("col = NaN") the
+      // server rejects — keep such predicates Spark-side
+      case _: Float | _: Double => None
       case d: java.math.BigDecimal => Some(d.toPlainString)
       case d: java.sql.Date => Some(s"DATE '$d'")
       case d: java.time.LocalDate => Some(s"DATE '$d'")
