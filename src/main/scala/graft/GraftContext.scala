@@ -62,9 +62,15 @@ class GraftContext(val spark: SparkSession) {
     val translated = GraftContext.translateCsvKwargs(options)
     val names = options.get("names").map(_.split(',').map(_.trim).toSeq)
     val dtype = options.get("dtype").map(_.split(',').map(_.trim).toSeq)
+    // delim_whitespace: lines are rewritten with U+0001 between fields
+    // (whitespaceToSep below), so the parser's sep becomes that char
+    val wsMode = options.get("delim_whitespace")
+      .exists(v => Set("true", "1", "yes").contains(v.trim.toLowerCase))
     val base = spark.read.options(translated)
       .option("header", translated.getOrElse("header", "true"))
-      .option("sep", if (fmt == "psv") "|" else translated.getOrElse("sep", ","))
+      .option("sep",
+        if (wsMode) "\u0001"
+        else if (fmt == "psv") "|" else translated.getOrElse("sep", ","))
     val reader = (names, dtype) match {
       // names+dtype pin the schema positionally (pandas semantics);
       // names alone renames after an inferred read
@@ -76,9 +82,14 @@ class GraftContext(val spark: SparkSession) {
       case _ => base.option("inferSchema", translated.getOrElse("inferSchema", "true"))
     }
     val skiprows = options.get("skiprows").map(_.trim.toInt).getOrElse(0)
+    val skipfooter = options.get("skipfooter").map(_.trim.toInt).getOrElse(0)
     var df =
-      if (skiprows > 0) reader.csv(presliceLines(path, skiprows))
-      else reader.csv(path)
+      if (skiprows > 0 || skipfooter > 0 || wsMode) {
+        var lines = presliceLines(path, skiprows, skipfooter)
+        if (wsMode) lines = whitespaceToSep(lines,
+          translated.getOrElse("quote", "\"").headOption.getOrElse('"'))
+        reader.csv(lines)
+      } else reader.csv(path)
     if (dtype.isEmpty) names.foreach(ns => df = df.toDF(ns: _*))
     // pandas usecols: by name or by 0-based index
     options.get("use_cols_names").foreach { cs =>
@@ -99,26 +110,68 @@ class GraftContext(val spark: SparkSession) {
     df
   }
 
-  /** pandas `skiprows`: skip the first N PHYSICAL lines before parsing
-    * (before the header). Distributed preslice: one counting pass over
-    * the text splits, then a per-partition drop — no driver data path,
-    * no file copy. Line-based like pandas' engine, so a quoted field
-    * containing a newline inside the skipped region would miscount
-    * (same caveat as the reference's cudf reader).
+  /** pandas `skiprows`/`skipfooter`: drop the first `head` and last
+    * `tail` PHYSICAL lines before parsing. Distributed preslice: one
+    * counting pass over the text splits gives each partition its global
+    * line offset (and the file total, which turns the tail drop into a
+    * per-partition bound) — no driver data path, no file copy. Line-based
+    * like pandas' engine, so a quoted field containing a newline inside
+    * the dropped regions would miscount (same caveat as the reference's
+    * cudf reader). head==tail==0 skips the counting pass entirely (the
+    * delim_whitespace-only path).
     */
-  private def presliceLines(path: String, n: Int): org.apache.spark.sql.Dataset[String] = {
+  private def presliceLines(path: String, head: Int,
+      tail: Int = 0): org.apache.spark.sql.Dataset[String] = {
     val rdd = spark.sparkContext.textFile(path)
-    val counts = rdd.mapPartitionsWithIndex((i, it) =>
-        Iterator((i, it.size.toLong)), preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)
-    // cum(i) = lines before partition i (splits are in file order)
-    val cum = counts.scanLeft(0L)(_ + _)
-    val dropped = rdd.mapPartitionsWithIndex { (i, it) =>
-      val before = cum(i)
-      if (before >= n) it
-      else it.drop(math.min(n - before, Int.MaxValue.toLong).toInt)
-    }
-    spark.createDataset(dropped)(org.apache.spark.sql.Encoders.STRING)
+    val sliced =
+      if (head == 0 && tail == 0) rdd
+      else {
+        val counts = rdd.mapPartitionsWithIndex((i, it) =>
+            Iterator((i, it.size.toLong)), preservesPartitioning = true)
+          .collect().sortBy(_._1).map(_._2)
+        // cum(i) = lines before partition i (splits are in file order)
+        val cum = counts.scanLeft(0L)(_ + _)
+        val keepTo = cum.last - tail // keep global index in [head, keepTo)
+        rdd.mapPartitionsWithIndex { (i, it) =>
+          var g = cum(i) - 1
+          it.filter { _ => g += 1; g >= head && g < keepTo }
+        }
+      }
+    spark.createDataset(sliced)(org.apache.spark.sql.Encoders.STRING)
+  }
+
+  /** pandas `delim_whitespace`: fields separated by runs of spaces/tabs.
+    * Rewrites each line with U+0001 between fields — quote-aware, so a
+    * quoted field keeps its internal whitespace — and the caller parses
+    * with sep="\\u0001", preserving Spark csv's quoting, null-token, and
+    * schema-inference behavior. Leading/trailing whitespace produces no
+    * empty edge fields (sep="\s+" pandas semantics).
+    */
+  private def whitespaceToSep(lines: org.apache.spark.sql.Dataset[String],
+      quote: Char): org.apache.spark.sql.Dataset[String] = {
+    lines.map { line =>
+      val sb = new java.lang.StringBuilder(line.length)
+      var inQuote = false
+      var pendingSep = false
+      var started = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQuote) {
+          sb.append(c)
+          if (c == quote) inQuote = false
+        } else if (c == ' ' || c == '\t') {
+          if (started) pendingSep = true
+        } else {
+          if (pendingSep) { sb.append('\u0001'); pendingSep = false }
+          if (c == quote) inQuote = true
+          sb.append(c)
+          started = true
+        }
+        i += 1
+      }
+      sb.toString
+    }(org.apache.spark.sql.Encoders.STRING)
   }
 
   /** pandas/cudf `true_values`/`false_values`: string columns whose every
@@ -779,9 +832,9 @@ object GraftContext {
     "true_values" -> "handled: all-token string columns become BooleanType (one-aggregate convertibility check, cudf inference semantics)",
     "false_values" -> "handled: all-token string columns become BooleanType (one-aggregate convertibility check, cudf inference semantics)",
     "decimal" -> "handled: locale-separator numeric string columns convert to DoubleType post-read",
-    "delim_whitespace" -> "unsupported: pass a regex-free single-char sep instead",
+    "delim_whitespace" -> "handled: quote-aware whitespace-run split on the text path (fields re-joined with U+0001, parsed with that sep)",
     "skiprows" -> "handled: distributed physical-line preslice before parsing (counting pass + per-partition drop)",
-    "skipfooter" -> "unsupported: no footer-skip in Spark csv (splits read in parallel); pre-slice the file",
+    "skipfooter" -> "handled: distributed physical-line preslice (the counting pass's file total turns the tail drop into a per-partition bound)",
     "nrows" -> "handled: .limit(n) after the header (plans as LocalLimit over the scan)",
     "keep_default_na" -> "skipped: pandas NA-token list semantics; nullValue/nanValue cover the engine contract",
     "na_filter" -> "skipped: disabling NA parsing is a pandas micro-optimization; Spark's parser has no analogue",

@@ -324,7 +324,7 @@ class SourcesSpec extends SparkSuite {
 
   test("unsupported reference kwargs throw with the documented reason") {
     val ctx = GraftContext(spark)
-    Seq("skipfooter" -> "2", "delim_whitespace" -> "true").foreach {
+    Seq("table_filter" -> "t%").foreach {
       case (k, v) =>
         val e = intercept[IllegalArgumentException] {
           ctx.createTable("gc_bad_kw", "/tmp/nonexistent.csv", format = "csv",
@@ -333,6 +333,50 @@ class SourcesSpec extends SparkSuite {
         assert(e.getMessage.contains(k) && e.getMessage.contains("unsupported"),
           s"$k: wrong error ${e.getMessage}")
     }
+  }
+
+  test("skipfooter drops trailing physical lines; composes with skiprows") {
+    val dir = java.nio.file.Files.createTempDirectory("gc_skipfooter")
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      ("preamble\n" +
+        "k,v\n" +
+        "a,1\n" +
+        "b,2\n" +
+        "c,3\n" +
+        "total: 6\n" + // the footer junk skipfooter exists for
+        "generated 2026-01-01\n").getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    val df = ctx.createTable("gc_sf", s"$dir/t.csv", format = "csv",
+      options = Map("skiprows" -> "1", "skipfooter" -> "2"))
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.schema("v").dataType.typeName == "integer",
+      "footer junk must not poison type inference")
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("k")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    ctx.dropTable("gc_sf")
+  }
+
+  test("delim_whitespace splits on whitespace runs, quote-aware") {
+    val dir = java.nio.file.Files.createTempDirectory("gc_delimws")
+    java.nio.file.Files.write(dir.resolve("t.txt"),
+      ("k  v\tn\n" +
+        "a \"two words\"  1\n" +
+        "  b\tsolo\t\t2  \n").getBytes("UTF-8")) // leading/trailing ws too
+    val ctx = GraftContext(spark)
+    val df = ctx.createTable("gc_ws", s"$dir/t.txt", format = "csv",
+      options = Map("delim_whitespace" -> "true"))
+    assert(df.columns.toSeq == Seq("k", "v", "n"))
+    assert(df.schema("n").dataType.typeName == "integer")
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("k")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"),
+      "leading whitespace must not create an empty first field")
+    assert(rows(0).getString(1) == "two words",
+      "quoted field must keep its internal whitespace")
+    assert(rows(1).getString(1) == "solo")
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 2),
+      "trailing whitespace must not create an empty last field")
+    ctx.dropTable("gc_ws")
   }
 
   test("skiprows/nrows/true_values/false_values/decimal are implemented") {
