@@ -445,6 +445,37 @@ class PgLiteSpec extends SparkSuite {
     assert(got.length == 35 && got.startsWith("md5"))
   }
 
+  test("decimal decode rounds scale overflow instead of throwing") {
+    // unconstrained NUMERIC maps to Decimal(38,18); the server may emit
+    // more fractional digits than 18 — must round, not ArithmeticException
+    val dt = org.apache.spark.sql.types.DecimalType(38, 18)
+    val got = graft.sources.PgDecode
+      .decode("0.1234567890123456789012345", dt)
+      .asInstanceOf[org.apache.spark.sql.types.Decimal]
+    assert(got.toJavaBigDecimal.toPlainString == "0.123456789012345679")
+    val my = graft.sources.MyDecode
+      .decode("2.9999999999999999999".getBytes(UTF_8), dt)
+      .asInstanceOf[org.apache.spark.sql.types.Decimal]
+    assert(my.toJavaBigDecimal.toPlainString == "3.000000000000000000")
+  }
+
+  test("NaN/Infinity float predicates stay Spark-side, never pushed") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val opts = graft.sources.PgOptions(java.util.Map.of(
+      "database", "d", "dbtable", "t"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ratio DOUBLE, r2 FLOAT")
+    val b = new graft.sources.PostgresScanBuilder(opts, schema)
+    val residual = b.pushFilters(Array(
+      EqualTo("ratio", Double.NaN),
+      GreaterThan("r2", Float.NegativeInfinity),
+      GreaterThan("ratio", 0.5))) // finite → pushable
+    assert(b.pushedFilters().length == 1 &&
+      b.pushedFilters().head == GreaterThan("ratio", 0.5),
+      "only the finite predicate may push")
+    assert(residual.length == 2, "non-finite predicates must stay residual")
+  }
+
   test("createTable surface: registered postgres table joins with parquet") {
     val m = new PgMock("scram", "app", "pw")
     try {
