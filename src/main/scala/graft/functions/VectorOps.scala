@@ -710,6 +710,117 @@ object VectorOps {
     java.lang.StrictMath.log(n0.toDouble) - acc / n0
   }
 
+  /** Fused winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    * tokenize lower(text) (same byte-run scanner as [[minHashText]]),
+    * md5-hex each k-token gram, then per sliding window of `w` gram
+    * positions select the lexicographic-minimum hash at its RIGHTMOST
+    * occurrence, deduping across overlapping windows. Returns
+    * struct(n_grams INT, fps ARRAY<STRING>) where each fingerprint is
+    * "md5hex:pos" (pos 1-based gram index).
+    *
+    * Result-identical to the declarative slice/array_min/reverse
+    * formulation ([[graft.operators.Dedup.winnowStatsDeclarative]],
+    * equality asserted in RegressionSpec over the fixture) but O(grams)
+    * via a monotonic deque instead of O(grams·w) interpreted-HOF window
+    * slices: pop-back on `>=` keeps the RIGHTMOST of equal minima —
+    * the same tie the declarative reverse+first-position arithmetic
+    * selects — and a (hash,pos) pair can only repeat across CONSECUTIVE
+    * windows (a gram index leaves the window for good once it slides
+    * past), so last-emitted dedup equals array_distinct.
+    */
+  def winnowFps(text: UTF8String, k: Int,
+      w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.toLowerCase.getBytes
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+    val m = math.max(nTok - k + 1, 0)
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[AnyRef])))
+
+    // md5 hex of each gram (tokens joined by one 0x20) — 32 ASCII bytes,
+    // so byte-wise compare == the string compare array_min performs
+    val hexd = "0123456789abcdef".getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = new Array[Array[Byte]](m)
+    var g = 0
+    while (g < m) {
+      md.reset()
+      var t = 0
+      while (t < k) {
+        if (t > 0) md.update(' '.toByte)
+        md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+        t += 1
+      }
+      val dg = md.digest()
+      val hx = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hx(2 * b) = hexd((dg(b) >> 4) & 0xf)
+        hx(2 * b + 1) = hexd(dg(b) & 0xf)
+        b += 1
+      }
+      grams(g) = hx
+      g += 1
+    }
+
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](
+      2 * m / (w + 1) + 2)
+    def emit(idx: Int): Unit = {
+      val pos = java.lang.Integer.toString(idx + 1).getBytes
+      val fp = new Array[Byte](33 + pos.length)
+      System.arraycopy(grams(idx), 0, fp, 0, 32)
+      fp(32) = ':'
+      System.arraycopy(pos, 0, fp, 33, pos.length)
+      out += UTF8String.fromBytes(fp)
+    }
+    @inline def cmp(a: Int, b: Int): Int =
+      java.util.Arrays.compare(grams(a), grams(b)) // hex is ASCII: signed ok
+
+    if (m < w) {
+      // single truncated window over all grams: rightmost min
+      var best = 0
+      var j = 1
+      while (j < m) { if (cmp(j, best) <= 0) best = j; j += 1 }
+      emit(best)
+    } else {
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0 // live indices in dq(head until tail)
+      var last = -1
+      var idx = 0
+      while (idx < m) {
+        while (tail > head && cmp(dq(tail - 1), idx) >= 0) tail -= 1
+        dq(tail) = idx; tail += 1
+        if (dq(head) <= idx - w) head += 1
+        if (idx >= w - 1 && dq(head) != last) { last = dq(head); emit(last) }
+        idx += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)))
+  }
+
   def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => false

@@ -337,6 +337,37 @@ object ReadCountsExpr {
     StructField("n_syllables", LongType, nullable = true)))
 }
 
+/** Fused winnowing fingerprints (Schleimer et al. 2003): raw text →
+  * struct(n_grams, fps) where fps are the "md5hex:pos" window-min
+  * fingerprints. Result-identical to the declarative
+  * slice/array_min/reverse window fold on k-gram md5s
+  * (Dedup.winnowStatsDeclarative; equality asserted in RegressionSpec)
+  * at O(grams) instead of O(grams·w) — see VectorOps.winnowFps. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"winnow params out of range: k=$k w=$w")
+
+  override def dataType: DataType = WinnowFpsExpr.schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.winnowFps(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.winnowFps($c, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowFpsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("fps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+}
+
 /** 64-bit SimHash of an array<string> of tokens. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -69,6 +69,13 @@ package object functions {
             i => array_join(slice(t, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** Fused winnowing fingerprints: text → struct(n_grams, fps) of
+    * "md5hex:pos" window-min fingerprints (result-identical to the
+    * declarative k-gram window fold at O(grams) — see
+    * VectorOps.winnowFps). */
+  def winnow_fps(text: Column, k: Int = 5, w: Int = 4): Column =
+    col0(WinnowFpsExpr(expr0(text), k, w))
+
   /** Fused stopword-ratio language ID (result-identical to the composed
     * argmax form; one pass, no regexes — see VectorOps.langId). */
   def lang_id(text: Column): Column =

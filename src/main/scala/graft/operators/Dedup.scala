@@ -553,13 +553,35 @@ object Dedup {
     * over one short window (global min), matching the truncating slice on
     * both engines. All output ratios are single int/int divisions.
     *
-    * Scale shape: selection is map-side (per-row array fold, O(grams·w));
-    * only the selected ~2/(w+1) fraction of (id, 16-byte hash) pairs ever
-    * shuffles for the cross-doc pass (same min!=max shape as
-    * crossDocSpans) — winnowing cuts the exchange volume by the same
-    * factor it cuts storage.
+    * Scale shape: selection is map-side and O(grams) — the fused
+    * [[graft.functions.WinnowFpsExpr]] kernel (monotonic-deque window
+    * min; result-identical to the declarative O(grams·w) fold below,
+    * asserted in RegressionSpec); only the selected ~2/(w+1) fraction of
+    * (id, 16-byte hash) pairs ever shuffles for the cross-doc pass (same
+    * min!=max shape as crossDocSpans) — winnowing cuts the exchange
+    * volume by the same factor it cuts storage.
     */
   def winnowStats(docs: DataFrame, k: Int = 5, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val base = Caches.register(
+      Par.ensure(docs, col(idCol))
+        .select(col(idCol).as("id"),
+          graft.functions.winnow_fps(col(textCol), k, w).as("st"))
+        .select(col("id"), col("st.n_grams").as("n_grams"),
+          col("st.fps").as("fps"))
+        .filter(col("n_grams") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    winnowCrossDoc(base, idCol)
+  }
+
+  /** The declarative twin of [[winnowStats]] — the reference formulation
+    * the DuckDB oracle replays verbatim (slice/array_min/reverse window
+    * fold over k-gram md5s). Kept as the bit-identity baseline for the
+    * fused kernel (RegressionSpec) and as documentation of the exact
+    * selection semantics.
+    */
+  def winnowStatsDeclarative(docs: DataFrame, k: Int = 5, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val gh = transform(word_shingles(tokens(col(textCol)), k), g => md5(g))
@@ -585,6 +607,12 @@ object Dedup {
         // phantom [null] fingerprint list — size(fps) > 0 would keep it
         .filter(col("n_grams") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    winnowCrossDoc(base, idCol)
+  }
+
+  /** Shared cross-doc overlap pass over a winnowed (id, n_grams, fps)
+    * base — the only part of winnowStats that shuffles. */
+  private def winnowCrossDoc(base: DataFrame, idCol: String): DataFrame = {
     val ex = base.select(col("id"), explode(col("fps")).as("f"))
       .select(col("id"), substring(col("f"), 1, 32).as("h")).distinct()
     val crossDup = ex.groupBy(col("h"))

@@ -108,6 +108,43 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs with differing signatures")
   }
 
+  test("fused winnowStats is identical to the declarative window fold") {
+    // fixture docs (real near-dup structure) + adversarial edges: null
+    // text, empty, below-k tokens (single truncated window), exactly
+    // k and k+w-1 tokens (window-count boundaries), repeated tokens
+    // (equal-hash ties -> rightmost-occurrence selection must agree)
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (920001L, Some("")), (920002L, None), (920003L, Some("one two three")),
+        (920004L, Some("a b c d e")), // exactly k=5 tokens: one gram
+        (920005L, Some("a b c d e f g h")), // m=4=w grams: one full window
+        (920006L, Some("x x x x x x x x x x x x")), // all-equal gram hashes
+        (920007L, Some("p q r p q r p q r p q r p q r")))
+        .toDF("doc_id", "text"))
+    val fused = Dedup.winnowStats(docs)
+    val decl = Dedup.winnowStatsDeclarative(docs)
+    Dedup.releaseCaches()
+    val onlyF = fused.exceptAll(decl).count()
+    val onlyD = decl.exceptAll(fused).count()
+    assert(onlyF == 0 && onlyD == 0,
+      s"winnow fused/declarative diverge: $onlyF fused-only, $onlyD decl-only rows")
+  }
+
+  test("winnow_fps kernel selects rightmost minimum and dedupes windows") {
+    // hand-checkable: token run "c a a b" with k=1 grams (md5 of single
+    // tokens), w=2 windows: [c,a]->a@2, [a,a]->a@3 (rightmost of the
+    // tie), [a,b]->a@3 (dup, dedeup) => fps = {md5(a):2, md5(a):3}
+    val got = Seq(Tuple1("c a a b")).toDF("text")
+      .select(winnow_fps($"text", k = 1, w = 2).as("st"))
+      .select($"st.n_grams", $"st.fps").collect().head
+    val md5a = java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(got.getInt(0) == 4)
+    assert(got.getSeq[String](1) == Seq(s"$md5a:2", s"$md5a:3"),
+      s"got ${got.getSeq[String](1)}")
+  }
+
   test("dedup paths silently exclude NULL-text documents") {
     // minhash_text(NULL) is NULL; the sentinel filter's NULL comparison is
     // three-valued-false, so NULL-text docs drop out of banding entirely
