@@ -710,6 +710,122 @@ object VectorOps {
     java.lang.StrictMath.log(n0.toDouble) - acc / n0
   }
 
+  /** Exact-bytes hash key: gram/line content with a cached FNV hash so
+    * HashMap grouping is equality-exact (no hash-space approximation —
+    * the multiset counts must replay bit-exactly in the oracle). */
+  private final class BytesKey(val b: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(b, k.b)
+      case _ => false
+    }
+  }
+
+  /** Fused Gopher repetition signals over a raw text column →
+    * struct(dup_line_frac, top_2gram_frac, dup_5gram_frac). Result-
+    * identical to TextAnalysis.gopherRepetitionDeclarative
+    * (RegressionSpec): the declarative form sorts the joined-gram string
+    * arrays and folds runs, but run lengths are MULTISET properties —
+    * grouping equal grams in a hash map (keys = exact joined bytes,
+    * tokens never contain the space separator so the joined string parses
+    * back uniquely) yields the same most-common-gram count (max
+    * multiplicity) and has-a-duplicate count (sum of multiplicities > 1)
+    * without building, joining, or sorting string arrays. Null text
+    * yields (0.0, 0.0, 0.0) — the declarative when/otherwise chain's
+    * null-condition fallthrough — so the expression is non-nullable.
+    *
+    * Lines split the ORIGINAL text on 0x0A (trailing empties kept,
+    * Java split limit -1 semantics, = Spark's split); grams come from
+    * the LOWERCASED tokenization (same byte-run scanner as
+    * [[minHashText]]).
+    */
+  def repStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    def row(a: Double, b: Double, c: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, b, c))
+    if (text == null) return row(0.0, 0.0, 0.0)
+
+    // ---- duplicate-line fraction over the ORIGINAL bytes ----
+    val raw = text.getBytes
+    val seen = new java.util.HashSet[BytesKey]()
+    var nLines = 0
+    var lineStart = 0
+    var i = 0
+    while (i <= raw.length) {
+      if (i == raw.length || raw(i) == '\n') {
+        seen.add(new BytesKey(
+          java.util.Arrays.copyOfRange(raw, lineStart, i)))
+        nLines += 1
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    val dupLineFrac =
+      if (nLines > 0) (nLines - seen.size).toDouble / nLines.toDouble else 0.0
+
+    // ---- gram multiplicity stats over the LOWERCASED tokenization ----
+    val bytes = text.toLowerCase.getBytes
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+
+    // (top-run fraction, has-duplicate fraction) of n-gram positions
+    def gramFracs(n: Int): (Double, Double) = {
+      val m = nTok - n + 1
+      if (m <= 0) return (0.0, 0.0)
+      val counts = new java.util.HashMap[BytesKey, Array[Int]](m * 2)
+      var g = 0
+      while (g < m) {
+        var glen = n - 1 // separators
+        var t = 0
+        while (t < n) { glen += ends(g + t) - starts(g + t); t += 1 }
+        val gb = new Array[Byte](glen)
+        var o = 0
+        t = 0
+        while (t < n) {
+          if (t > 0) { gb(o) = ' '; o += 1 }
+          val tl = ends(g + t) - starts(g + t)
+          System.arraycopy(bytes, starts(g + t), gb, o, tl)
+          o += tl
+          t += 1
+        }
+        val c = counts.computeIfAbsent(new BytesKey(gb), _ => new Array[Int](1))
+        c(0) += 1
+        g += 1
+      }
+      var best = 0
+      var dup = 0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        if (c > best) best = c
+        if (c > 1) dup += c
+      }
+      (best.toDouble / m.toDouble, dup.toDouble / m.toDouble)
+    }
+
+    val (top2, _) = gramFracs(2)
+    val (_, dup5) = gramFracs(5)
+    row(dupLineFrac, top2, dup5)
+  }
+
   /** Fused winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     * tokenize lower(text) (same byte-run scanner as [[minHashText]]),
     * md5-hex each k-token gram, then per sliding window of `w` gram

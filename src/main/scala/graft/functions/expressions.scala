@@ -337,6 +337,46 @@ object ReadCountsExpr {
     StructField("n_syllables", LongType, nullable = true)))
 }
 
+/** Fused Gopher repetition signals: raw text → struct(dup_line_frac,
+  * top_2gram_frac, dup_5gram_frac). Result-identical to the declarative
+  * sort+fold form (TextAnalysis.gopherRepetitionDeclarative;
+  * RegressionSpec), including null-text semantics — (0.0, 0.0, 0.0),
+  * the when/otherwise fallthrough — so the expression is non-nullable
+  * and handles null input itself. See VectorOps.repStats.
+  */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepStatsExpr.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VectorOps.repStats(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |$jt ${ev.value} = graft.functions.VectorOps.repStats(
+        |  ${c.isNull} ? null : ${c.value});""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("top_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_5gram_frac", DoubleType, nullable = false)))
+}
+
 /** Fused winnowing fingerprints (Schleimer et al. 2003): raw text →
   * struct(n_grams, fps) where fps are the "md5hex:pos" window-min
   * fingerprints. Result-identical to the declarative

@@ -69,6 +69,12 @@ package object functions {
             i => array_join(slice(t, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** Fused Gopher repetition signals: text → struct(dup_line_frac,
+    * top_2gram_frac, dup_5gram_frac) (result-identical to the
+    * declarative sort+fold form — see VectorOps.repStats). */
+  def rep_stats(text: Column): Column =
+    col0(RepStatsExpr(expr0(text)))
+
   /** Fused winnowing fingerprints: text → struct(n_grams, fps) of
     * "md5hex:pos" window-min fingerprints (result-identical to the
     * declarative k-gram window fold at O(grams) — see

@@ -156,16 +156,33 @@ object TextAnalysis {
     * fractions — same discriminative shape, and exactly replayable as
     * int/int divisions).
     *
-    * Cost model: map-side only (no shuffle), O(grams·log grams) per row —
-    * grams are SORTED once, then the max run length (most common gram)
-    * comes from a linear fold and the has-a-duplicate count from
-    * adjacent-neighbor comparisons. The gram arrays are staged as real
-    * projection columns so each is computed once per row: a naive
-    * nested-filter count (O(g²)) re-evaluates the gram-building expression
-    * per inner element whenever the plan falls back to interpreted eval —
-    * measured MINUTES per partition on the fixture vs milliseconds here.
+    * Cost model: map-side only (no shuffle), one fused O(grams) kernel
+    * per row ([[graft.functions.RepStatsExpr]] — run lengths are multiset
+    * properties, so a hash map over exact gram bytes replaces the
+    * declarative sort+fold; result-identity asserted in RegressionSpec
+    * against [[gopherRepetitionDeclarative]]).
     */
   def gopherRepetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    Par.ensure(docs, col(idCol))
+      .select(col(idCol), rep_stats(col(textCol)).as("st"))
+      .select(col(idCol),
+        col("st.dup_line_frac").as("dup_line_frac"),
+        col("st.top_2gram_frac").as("top_2gram_frac"),
+        col("st.dup_5gram_frac").as("dup_5gram_frac"))
+  }
+
+  /** The declarative twin of [[gopherRepetition]] — what the DuckDB
+    * oracle replays (sorted gram arrays, run-length fold, neighbor
+    * comparisons). Kept as the result-identity baseline for the fused
+    * kernel and as documentation of the exact semantics. The gram arrays
+    * are staged as real projection columns so each is computed once per
+    * row: a naive nested-filter count (O(g²)) re-evaluates the
+    * gram-building expression per inner element whenever the plan falls
+    * back to interpreted eval — measured MINUTES per partition on the
+    * fixture vs milliseconds here.
+    */
+  def gopherRepetitionDeclarative(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val tk = tokens(col(textCol))
     val lines = split(col(textCol), "\n")

@@ -131,6 +131,29 @@ class RegressionSpec extends SparkSuite {
       s"winnow fused/declarative diverge: $onlyF fused-only, $onlyD decl-only rows")
   }
 
+  test("fused gopherRepetition is identical to the declarative sort+fold") {
+    // fixture docs + edges: null, empty (one empty "line"), trailing
+    // newline (trailing empty line kept), duplicate lines, heavy gram
+    // repetition, below-gram-size token counts
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (930001L, Some("")), (930002L, None),
+        (930003L, Some("same line\nsame line\nother\n")),
+        (930004L, Some("spam spam spam spam spam spam spam spam")),
+        (930005L, Some("one two")), (930006L, Some("a b c d e f a b c d e f")))
+        .toDF("doc_id", "text"))
+    val fused = operators.TextAnalysis.gopherRepetition(docs)
+    val decl = operators.TextAnalysis.gopherRepetitionDeclarative(docs)
+    val onlyF = fused.exceptAll(decl).count()
+    val onlyD = decl.exceptAll(fused).count()
+    assert(onlyF == 0 && onlyD == 0,
+      s"rep fused/declarative diverge: $onlyF fused-only, $onlyD decl-only rows")
+    // hand check: 930003 has 4 lines (trailing empty), one duplicated pair
+    val r = fused.filter($"doc_id" === 930003L).collect().head
+    assert(r.getDouble(1) == 0.25, s"dup_line_frac: ${r.getDouble(1)}")
+  }
+
   test("winnow_fps kernel selects rightmost minimum and dedupes windows") {
     // hand-checkable: token run "c a a b" with k=1 grams (md5 of single
     // tokens), w=2 windows: [c,a]->a@2, [a,a]->a@3 (rightmost of the
