@@ -826,6 +826,180 @@ object VectorOps {
     row(dupLineFrac, top2, dup5)
   }
 
+  /** Byte-run tokenizer shared by the md5-replay kernels: maximal runs of
+    * non-whitespace bytes of `bytes`, whitespace = [ \t\n\f\r] (RE2's
+    * `\s`, the [[minHashText]] contract). Returns (starts, ends, nTok).
+    */
+  private def tokenRuns(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    var nTok = 0
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+    (starts, ends, nTok)
+  }
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  private def toHex(dg: Array[Byte]): Array[Byte] = {
+    val hx = new Array[Byte](32)
+    var b = 0
+    while (b < 16) {
+      hx(2 * b) = hexDigits((dg(b) >> 4) & 0xf)
+      hx(2 * b + 1) = hexDigits(dg(b) & 0xf)
+      b += 1
+    }
+    hx
+  }
+
+  /** Fused tokenize→shingle→md5: hex digests of the n-token grams of
+    * lower(text), bit-identical to
+    * `transform(word_shingles(tokens(text), n), md5)` — null text → null,
+    * fewer than n tokens → empty array — without materializing token or
+    * gram strings. Backs the exact-substring span statistics
+    * (Dedup.crossDocSpans), where the per-gram md5 pass dominated the
+    * map side as interpreted HOFs.
+    */
+  def gramMd5s(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val (starts, ends, nTok) = tokenRuns(bytes)
+    val m = math.max(nTok - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    if (m > 0) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var g = 0
+      while (g < m) {
+        md.reset()
+        var t = 0
+        while (t < n) {
+          if (t > 0) md.update(' '.toByte)
+          md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+          t += 1
+        }
+        out(g) = UTF8String.fromBytes(toHex(md.digest()))
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fused md5-majority-vote SimHash signature (the engine-replayable
+    * family of Dedup.replayableSigs): dimension d of a token's projection
+    * is hexchar_d(md5(token) || md5('x'||token)) >= '8'; signature bit d
+    * is the majority vote (2·ones > n). Returns struct(n_tokens, bits
+    * 64-char string, h1, h2) where h1/h2 are the two 32-bit halves as
+    * longs — bit-identical to the declarative 64-unrolled-column form
+    * incl. `conv(substring(bits,...),2,10)` packing (RegressionSpec).
+    * One pass over the tokens instead of 64 interpreted filter+substring
+    * scans of the per-token digest array.
+    */
+  def replaySimhashSig(
+      text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.toLowerCase.getBytes
+    val (starts, ends, nTok) = tokenRuns(bytes)
+    val ones = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < nTok) {
+      md.reset()
+      md.update(bytes, starts(t), ends(t) - starts(t))
+      val h1x = toHex(md.digest())
+      md.reset()
+      md.update('x'.toByte)
+      md.update(bytes, starts(t), ends(t) - starts(t))
+      val h2x = toHex(md.digest())
+      var d = 0
+      while (d < 32) {
+        if (h1x(d) >= '8') ones(d) += 1
+        if (h2x(d) >= '8') ones(32 + d) += 1
+        d += 1
+      }
+      t += 1
+    }
+    val bits = new Array[Byte](64)
+    var h1 = 0L
+    var h2 = 0L
+    var d = 0
+    while (d < 64) {
+      val one = 2 * ones(d) > nTok
+      bits(d) = if (one) '1' else '0'
+      if (d < 32) h1 = (h1 << 1) | (if (one) 1L else 0L)
+      else h2 = (h2 << 1) | (if (one) 1L else 0L)
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, UTF8String.fromBytes(bits), h1, h2))
+  }
+
+  /** Fused engine-replayable MinHash signature (the md5 family of
+    * Dedup.minHashPairsReplayable, fixed at k=16 = 4 salted md5s × 4
+    * 8-hex chunks): permutation p's hash of a gram is chunk p%4 of
+    * `md5((p/4) || ':' || gram)` and the signature entry is the
+    * LEXICOGRAPHIC minimum over grams. Returns struct(n_grams, sig
+    * array<string> of 16 8-hex minima) — bit-identical to the staged
+    * declarative form (4 digest-array columns + 16 array_min(transform(
+    * substring))) asserted in RegressionSpec. One md5 pass per
+    * (gram, salt) with no intermediate digest arrays.
+    */
+  def replayMinhashSig(text: UTF8String,
+      shingle: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.toLowerCase.getBytes
+    val (starts, ends, nTok) = tokenRuns(bytes)
+    val m = math.max(nTok - shingle + 1, 0)
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[AnyRef])))
+    val mins = new Array[Array[Byte]](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var g = 0
+    while (g < m) {
+      var salt = 0
+      while (salt < 4) {
+        md.reset()
+        md.update(('0' + salt).toByte)
+        md.update(':'.toByte)
+        var t = 0
+        while (t < shingle) {
+          if (t > 0) md.update(' '.toByte)
+          md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+          t += 1
+        }
+        val hx = toHex(md.digest())
+        var c = 0
+        while (c < 4) {
+          val p = salt * 4 + c
+          val chunk = java.util.Arrays.copyOfRange(hx, 8 * c, 8 * c + 8)
+          if (mins(p) == null ||
+              java.util.Arrays.compare(chunk, mins(p)) < 0) mins(p) = chunk
+          c += 1
+        }
+        salt += 1
+      }
+      g += 1
+    }
+    val sig = new Array[AnyRef](16)
+    var p = 0
+    while (p < 16) { sig(p) = UTF8String.fromBytes(mins(p)); p += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)))
+  }
+
   /** Fused winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     * tokenize lower(text) (same byte-run scanner as [[minHashText]]),
     * md5-hex each k-token gram, then per sliding window of `w` gram

@@ -337,6 +337,82 @@ object ReadCountsExpr {
     StructField("n_syllables", LongType, nullable = true)))
 }
 
+/** Fused tokenize→shingle→md5 digests: bit-identical to
+  * `transform(word_shingles(tokens(text), n), md5)` (null → null,
+  * fewer than n tokens → []) — see VectorOps.gramMd5s. */
+case class GramMd5sExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram size out of range: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.gramMd5s(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.gramMd5s($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused md5-majority-vote SimHash signature (the engine-replayable
+  * family): text → struct(n_tokens, bits, h1, h2) — see
+  * VectorOps.replaySimhashSig; bit-identity vs the 64-unrolled-column
+  * declarative form asserted in RegressionSpec. */
+case class ReplaySimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ReplaySimhashExpr.schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.replaySimhashSig(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.replaySimhashSig($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ReplaySimhashExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("bits", StringType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+}
+
+/** Fused engine-replayable MinHash signature (k=16: 4 salted md5s × 4
+  * 8-hex chunks, lexicographic minima): text → struct(n_grams, sig) —
+  * see VectorOps.replayMinhashSig; bit-identity vs the staged
+  * declarative form asserted in RegressionSpec. */
+case class ReplayMinhashExpr(child: Expression, shingle: Int)
+    extends UnaryExpression {
+
+  require(shingle >= 1, s"shingle size out of range: $shingle")
+
+  override def dataType: DataType = ReplayMinhashExpr.schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.replayMinhashSig(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingle)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.replayMinhashSig($c, $shingle);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ReplayMinhashExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("sig", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+}
+
 /** Fused Gopher repetition signals: raw text → struct(dup_line_frac,
   * top_2gram_frac, dup_5gram_frac). Result-identical to the declarative
   * sort+fold form (TextAnalysis.gopherRepetitionDeclarative;

@@ -69,6 +69,21 @@ package object functions {
             i => array_join(slice(t, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** Fused tokenize→shingle→md5 (bit-identical to
+    * `transform(word_shingles(tokens(text), n), md5)`). */
+  def gram_md5s(text: Column, n: Int): Column =
+    col0(GramMd5sExpr(expr0(text), n))
+
+  /** Fused md5-majority-vote SimHash signature:
+    * struct(n_tokens, bits, h1, h2) — the engine-replayable family. */
+  def replay_simhash(text: Column): Column =
+    col0(ReplaySimhashExpr(expr0(text)))
+
+  /** Fused engine-replayable MinHash signature (k=16 salted-md5-chunk
+    * family): struct(n_grams, sig). */
+  def replay_minhash(text: Column, shingle: Int = 3): Column =
+    col0(ReplayMinhashExpr(expr0(text), shingle))
+
   /** Fused Gopher repetition signals: text → struct(dup_line_frac,
     * top_2gram_frac, dup_5gram_frac) (result-identical to the
     * declarative sort+fold form — see VectorOps.repStats). */

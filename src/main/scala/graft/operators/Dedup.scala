@@ -233,21 +233,14 @@ object Dedup {
       "the replayable family is fixed at k=16 (4 md5 salts × 4 chunks), bands=8 " +
         "— the published oracle SQL hard-codes this shape")
     val r = k / bands
-    val ss = word_shingles(tokens(col(textCol)), shingle)
-    // stage the 4 salted digest arrays once; the 16 chunk-minima then only
-    // substring bound columns (no md5 re-evaluation per permutation)
-    val hsCols = (0 until 4).map(g =>
-      transform(col("ss"), s =>
-        md5(concat(lit(s"$g:"), s))).as(s"h$g"))
+    // fused one-pass kernel (ReplayMinhashExpr) — bit-identical to the
+    // staged declarative form ([[replayMinhashSigsDeclarative]],
+    // RegressionSpec)
     val sigs0 = Par.ensure(docs, col(idCol))
-      .select(col(idCol).as("id"), ss.as("ss"))
-      .filter(size(col("ss")) > 0)
-      .select(col("id") +: hsCols: _*)
-      .select(col("id"),
-        array((0 until k).map { p =>
-          array_min(transform(col(s"h${p / 4}"), h =>
-            substring(h, (p % 4) * 8 + 1, 8)))
-        }: _*).as("sig"))
+      .select(col(idCol).as("id"),
+        replay_minhash(col(textCol), shingle).as("st"))
+      .filter(col("st.n_grams") > 0)
+      .select(col("id"), col("st.sig").as("sig"))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Caches.register(sigs)
     val banded = sigs.select(col("id"),
@@ -268,6 +261,29 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Declarative twin of the replayable-minhash signature construction —
+    * the formulation the DuckDB oracle replays (4 staged salted digest
+    * arrays, 16 chunk minima via array_min(transform(substring))). Kept
+    * as the bit-identity baseline for ReplayMinhashExpr
+    * (RegressionSpec). */
+  private[graft] def replayMinhashSigsDeclarative(docs: DataFrame,
+      textCol: String, idCol: String, shingle: Int = 3): DataFrame = {
+    val k = 16
+    val ss = word_shingles(tokens(col(textCol)), shingle)
+    val hsCols = (0 until 4).map(g =>
+      transform(col("ss"), s =>
+        md5(concat(lit(s"$g:"), s))).as(s"h$g"))
+    Par.ensure(docs, col(idCol))
+      .select(col(idCol).as("id"), ss.as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id") +: hsCols: _*)
+      .select(col("id"),
+        array((0 until k).map { p =>
+          array_min(transform(col(s"h${p / 4}"), h =>
+            substring(h, (p % 4) * 8 + 1, 8)))
+        }: _*).as("sig"))
   }
 
   /** LSH band-collision candidate pairs over a signature table
@@ -516,7 +532,9 @@ object Dedup {
     */
   def crossDocSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 10): DataFrame = {
-    val gh = transform(word_shingles(tokens(col(textCol)), n), g => md5(g))
+    // fused tokenize→shingle→md5 kernel — bit-identical to
+    // transform(word_shingles(tokens(text), n), md5) (RegressionSpec)
+    val gh = gram_md5s(col(textCol), n)
     val base0 = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), gh.as("gh"))
       .filter(size(col("gh")) > 0)
     val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -707,6 +725,27 @@ object Dedup {
     */
   private def replayableSigs(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    // fused one-pass kernel (ReplaySimhashExpr) — bit-identical to the
+    // declarative 64-unrolled-column form below (RegressionSpec)
+    val sigs0 = Par.ensure(docs, col(idCol))
+      .select(col(idCol).as("id"), replay_simhash(col(textCol)).as("st"))
+      .filter(col("st.n_tokens") > 0)
+      .select(col("id"), col("st.bits").as("bits"),
+        col("st.h1").as("h1"), col("st.h2").as("h2"))
+    Caches.register(
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Test hook: the fused signature path with the default columns. */
+  private[graft] def replayableSigsTestHook(docs: DataFrame): DataFrame =
+    replayableSigs(docs, "text", "doc_id")
+
+  /** Declarative twin of [[replayableSigs]] — the formulation the DuckDB
+    * oracle replays (64 statically-unrolled majority-vote columns over
+    * the per-token digest array). Kept as the bit-identity baseline for
+    * the fused kernel (RegressionSpec). */
+  private[graft] def replayableSigsDeclarative(docs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
     val dims = 64
     val hh = transform(tokens(col(textCol)), t => concat(md5(t), md5(concat(lit("x"), t))))
     val sigSrc = Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), hh.as("hh"))
@@ -716,12 +755,10 @@ object Dedup {
       when(lit(2) * size(filter(col("hh"), h => substring(h, d, 1) >= lit("8"))) > col("n"),
         lit("1")).otherwise(lit("0"))
     }
-    val sigs0 = sigSrc.select(col("id"), concat(bitCols: _*).as("bits"))
+    sigSrc.select(col("id"), concat(bitCols: _*).as("bits"))
       .select(col("id"), col("bits"),
         conv(substring(col("bits"), 1, 32), 2, 10).cast("long").as("h1"),
         conv(substring(col("bits"), 33, 32), 2, 10).cast("long").as("h2"))
-    Caches.register(
-      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   def simHashPairsReplayable(docs: DataFrame, textCol: String = "text",

@@ -131,6 +131,51 @@ class RegressionSpec extends SparkSuite {
       s"winnow fused/declarative diverge: $onlyF fused-only, $onlyD decl-only rows")
   }
 
+  test("fused gram_md5s is bit-identical to composed shingle+md5") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq((940001L, Some("")), (940002L, None),
+        (940003L, Some("below gram size")), (940004L, Some("Ünïcödé ÇASE tokens \t mixed whitespace here ok fine")))
+        .toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      gram_md5s($"text", 10).as("fused"),
+      transform(word_shingles(tokens($"text"), 10), g => md5(g)).as("composed"))
+    val bad = both.filter(not($"fused" <=> $"composed")).count()
+    assert(bad == 0, s"$bad docs with differing gram digests")
+  }
+
+  test("fused replay_simhash is bit-identical to the 64-column majority form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq((950001L, Some("one")), (950002L, Some("tie tie vote vote")),
+        (950003L, Some("Ünïcödé text with  spacing")))
+        .toDF("doc_id", "text"))
+    val fused = Dedup.replayableSigsTestHook(docs)
+    val decl = Dedup.replayableSigsDeclarative(docs, "text", "doc_id")
+    Dedup.releaseCaches()
+    val onlyF = fused.exceptAll(decl).count()
+    val onlyD = decl.exceptAll(fused).count()
+    assert(onlyF == 0 && onlyD == 0,
+      s"simhash fused/declarative diverge: $onlyF/$onlyD rows")
+  }
+
+  test("fused replay_minhash is bit-identical to the staged chunk-min form") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+      .union(Seq((960001L, Some("a b")), (960002L, Some("exactly three tokens")),
+        (960003L, Some("the quick brown fox jumps over the lazy dog")))
+        .toDF("doc_id", "text"))
+    val fused = docs
+      .select($"doc_id".as("id"), replay_minhash($"text", 3).as("st"))
+      .filter($"st.n_grams" > 0)
+      .select($"id", $"st.sig".as("sig"))
+    val decl = Dedup.replayMinhashSigsDeclarative(docs, "text", "doc_id")
+    val onlyF = fused.exceptAll(decl).count()
+    val onlyD = decl.exceptAll(fused).count()
+    assert(onlyF == 0 && onlyD == 0,
+      s"minhash fused/declarative diverge: $onlyF/$onlyD rows")
+  }
+
   test("fused gopherRepetition is identical to the declarative sort+fold") {
     // fixture docs + edges: null, empty (one empty "line"), trailing
     // newline (trailing empty line kept), duplicate lines, heavy gram
