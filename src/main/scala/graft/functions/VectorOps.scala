@@ -826,6 +826,31 @@ object VectorOps {
     row(dupLineFrac, top2, dup5)
   }
 
+  /** Count of positions where two equal-length signature arrays agree —
+    * the MinHash match count behind est_jaccard. Bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0, +)` for both
+    * the long-hash and md5-hex-chunk families (RegressionSpec). Runs
+    * once per CANDIDATE PAIR, the quadratic-in-cluster-size hot loop of
+    * LSH verification — interpreted zip_with there costs two array
+    * allocations and k lambda frames per pair. */
+  def eqCount(a: ArrayData, b: ArrayData, isString: Boolean): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    if (isString) {
+      while (i < n) {
+        if (a.getUTF8String(i).equals(b.getUTF8String(i))) c += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
   /** Byte-run tokenizer shared by the md5-replay kernels: maximal runs of
     * non-whitespace bytes of `bytes`, whitespace = [ \t\n\f\r] (RE2's
     * `\s`, the [[minHashText]] contract). Returns (starts, ends, nTok).

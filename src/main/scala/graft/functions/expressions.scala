@@ -337,6 +337,34 @@ object ReadCountsExpr {
     StructField("n_syllables", LongType, nullable = true)))
 }
 
+/** Count of agreeing positions between two signature arrays (long hashes
+  * or md5-hex chunks) — bit-identical to the interpreted
+  * `aggregate(zip_with(a,b,(x,y)->if(x=y,1,0)),0,+)` fold; runs once
+  * per LSH candidate pair. See VectorOps.eqCount. */
+case class SigEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private lazy val isString = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"sig_eq_count expects array<string|long>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.eqCount($a, $b, $isString);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Fused tokenize→shingle→md5 digests: bit-identical to
   * `transform(word_shingles(tokens(text), n), md5)` (null → null,
   * fewer than n tokens → []) — see VectorOps.gramMd5s. */

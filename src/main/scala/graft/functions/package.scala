@@ -74,6 +74,11 @@ package object functions {
   def gram_md5s(text: Column, n: Int): Column =
     col0(GramMd5sExpr(expr0(text), n))
 
+  /** Count of agreeing positions between two signature arrays
+    * (bit-identical to the zip_with/aggregate fold). */
+  def sig_eq_count(a: Column, b: Column): Column =
+    col0(SigEqCount(expr0(a), expr0(b)))
+
   /** Fused md5-majority-vote SimHash signature:
     * struct(n_tokens, bits, h1, h2) — the engine-replayable family. */
   def replay_simhash(text: Column): Column =

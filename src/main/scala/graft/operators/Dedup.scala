@@ -192,9 +192,10 @@ object Dedup {
 
     val candidates = bandCandidates(sigs, bands, r, bucketCap)
 
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
+    // fused per-pair match count (SigEqCount) — bit-identical to the
+    // interpreted zip_with/aggregate fold (RegressionSpec); this runs
+    // once per candidate pair, the LSH-verify hot loop
+    val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
 
     candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -253,9 +254,10 @@ object Dedup {
     // cap literal, so a fired guard stays hash-exact (Pipeline.scala,
     // dedup_minhash_oracle)
     val cands = guardedBandPairs(banded, Seq("band", "bkey"), bucketCap)
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
+    // fused per-pair match count (SigEqCount) — bit-identical to the
+    // interpreted zip_with/aggregate fold (RegressionSpec); this runs
+    // once per candidate pair, the LSH-verify hot loop
+    val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
     cands
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

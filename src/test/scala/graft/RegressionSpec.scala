@@ -176,6 +176,34 @@ class RegressionSpec extends SparkSuite {
       s"minhash fused/declarative diverge: $onlyF/$onlyD rows")
   }
 
+  test("sig_eq_count equals the zip_with/aggregate fold for both families") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+      .select($"doc_id", $"text")
+    // long-hash family: pair each doc's signature with a rotated sibling
+    val longs = docs.select(
+      minhash_text($"text", 3, 64, 7L).as("a"),
+      minhash_text(concat($"text", lit(" extra suffix")), 3, 64, 7L).as("b"))
+      .filter($"a".isNotNull && $"b".isNotNull)
+    val lbad = longs.select(
+      sig_eq_count($"a", $"b").as("fused"),
+      aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(lbad == 0, s"$lbad long-family mismatches")
+    // md5-chunk (string) family
+    val strs = docs
+      .select(replay_minhash($"text", 3).as("sa"),
+        replay_minhash(concat($"text", lit(" more")), 3).as("sb"))
+      .filter($"sa.n_grams" > 0 && $"sb.n_grams" > 0)
+      .select($"sa.sig".as("a"), $"sb.sig".as("b"))
+    val sbad = strs.select(
+      sig_eq_count($"a", $"b").as("fused"),
+      aggregate(zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(sbad == 0, s"$sbad string-family mismatches")
+  }
+
   test("fused gopherRepetition is identical to the declarative sort+fold") {
     // fixture docs + edges: null, empty (one empty "line"), trailing
     // newline (trailing empty line kept), duplicate lines, heavy gram
