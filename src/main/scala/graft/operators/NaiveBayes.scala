@@ -40,8 +40,12 @@ object NaiveBayes {
       labelCol: String = "lang", alpha: Double = 1.0): Model = {
     val toks = docs.select(col(labelCol).as("label"),
       explode(tokens(col(textCol))).as("token"))
-    val cnt = toks.groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("c"))
+    // persisted: cnt feeds totals, the vocab count, AND the weights join —
+    // unpersisted, each consumer re-runs the corpus explode+aggregate
+    val cnt = Caches.register(
+      toks.groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = cnt.groupBy(col("label")).agg(sum(col("c")).as("total"))
     val vocab = cnt.select(col("token")).distinct().count()
     val nDocs = docs.count()
@@ -62,18 +66,36 @@ object NaiveBayes {
     * logprior + Σ_tokens log p(token|class), unseen tokens scored with
     * the class's smoothed floor. Documents with no tokens fall back to
     * the highest-prior class. Ties break to the lexicographically
-    * smallest label (both engines compute identical doubles, so the
-    * tie-break is stable across the oracle replay).
+    * smallest label.
+    *
+    * Plan shape: the naive formulation crosses every TOKEN OCCURRENCE
+    * with every class before the weights join (classes × corpus-tokens
+    * rows through the shuffle). Algebra removes it — with n the doc's
+    * token count,
+    *   score = logprior + n·logunseen + Σ_{seen (token,label)} tf·(logp − logunseen)
+    * so only (doc, token, tf) rows that actually HIT the vocabulary join
+    * shuffle (inner join on token), and the class fan-out happens on ONE
+    * row per document. Same score up to fp summation order — the same
+    * engine-associativity latitude the oracle replay already has; the
+    * compared output is the argmax label.
     */
   def predict(model: Model, docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val scored = toks
-      .join(broadcast(model.priors))
-      .join(model.weights, Seq("token", "label"), "left")
+    val dt = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nTok = dt.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tok"))
+    val seenAdj = dt.join(model.weights, Seq("token"))
+      .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
+        Seq("label"))
       .groupBy(col(idCol), col("label"))
-      .agg((first(col("logprior")) +
-        sum(coalesce(col("logp"), col("logunseen")))).as("score"))
+      .agg(sum(col("tf") * (col("logp") - col("logunseen"))).as("adj"))
+    val scored = nTok
+      .join(broadcast(model.priors))
+      .join(seenAdj, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("logprior") + col("n_tok") * col("logunseen") +
+          coalesce(col("adj"), lit(0.0))).as("score"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label"))
     val best = scored.withColumn("rn", row_number().over(w))
