@@ -1025,6 +1025,47 @@ object VectorOps {
       Array[Any](m, new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)))
   }
 
+  /** Fused tokenize→shingle→md5-first-byte buckets: bucket of gram g is
+    * `conv(substring(md5(g),1,2),16,10)` = the first digest byte
+    * (0..255). Bit-identical to the declarative transform over
+    * word_shingles (RegressionSpec); backs the DSIR importance-weight
+    * bucketing where the persisted gram-STRING arrays and the per-gram
+    * interpreted md5 dominated both passes.
+    */
+  def gramMd5Buckets(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val (starts, ends, nTok) = tokenRuns(bytes)
+    val m = math.max(nTok - n + 1, 0)
+    val out = new Array[Int](m)
+    if (m > 0) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var g = 0
+      while (g < m) {
+        md.reset()
+        var t = 0
+        while (t < n) {
+          if (t > 0) md.update(' '.toByte)
+          md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+          t += 1
+        }
+        out(g) = md.digest()(0) & 0xff
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Σ lut(i) over an int-bucket array, left to right — bit-identical to
+    * the declarative `aggregate(transform(bk, b -> element_at(lut, b+1)),
+    * 0.0, +)` fold (same element order, same IEEE adds). */
+  def lutSum(buckets: ArrayData, lut: Array[Double]): Double = {
+    val n = buckets.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += lut(buckets.getInt(i)); i += 1 }
+    acc
+  }
+
   /** Fused winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
     * tokenize lower(text) (same byte-run scanner as [[minHashText]]),
     * md5-hex each k-token gram, then per sliding window of `w` gram

@@ -441,6 +441,46 @@ object ReplayMinhashExpr {
       nullable = false)))
 }
 
+/** Fused tokenize→shingle→md5-first-byte buckets (0..255) — bit-identical
+  * to `transform(word_shingles(tokens(text), n), g ->
+  * conv(substring(md5(g),1,2),16,10)::int)`. See VectorOps.gramMd5Buckets. */
+case class GramBucketsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram size out of range: $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.gramMd5Buckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.gramMd5Buckets($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Σ lut(bucket) over an int-bucket array — bit-identical to the
+  * declarative element_at fold in the same order. The LUT ships as a
+  * codegen reference object (like PqEncodeExpr's codebooks). */
+case class LutSumExpr(child: Expression, lut: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.lutSum(v.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.lutSum($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused Gopher repetition signals: raw text → struct(dup_line_frac,
   * top_2gram_frac, dup_5gram_frac). Result-identical to the declarative
   * sort+fold form (TextAnalysis.gopherRepetitionDeclarative;

@@ -79,6 +79,16 @@ package object functions {
   def sig_eq_count(a: Column, b: Column): Column =
     col0(SigEqCount(expr0(a), expr0(b)))
 
+  /** Fused md5-first-byte gram buckets (0..255) for hashed-ngram
+    * importance weighting. */
+  def gram_buckets(text: Column, n: Int): Column =
+    col0(GramBucketsExpr(expr0(text), n))
+
+  /** Σ lut(bucket) over an int-bucket array (bit-identical to the
+    * element_at fold). */
+  def lut_sum(buckets: Column, lut: Array[Double]): Column =
+    col0(LutSumExpr(expr0(buckets), lut))
+
   /** Fused md5-majority-vote SimHash signature:
     * struct(n_tokens, bits, h1, h2) — the engine-replayable family. */
   def replay_simhash(text: Column): Column =

@@ -253,19 +253,20 @@ object Sampling {
       topK: Int = 200, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(buckets == 256, "bucket count is fixed at 256 (two md5 hex chars)")
-    def bkt(gr: Column): Column =
-      conv(substring(md5(gr), 1, 2), 16, 10).cast("int")
-    // The grams pipeline (tokenize + shingle + md5 bucketing source) feeds
-    // BOTH the collected count pass and the scoring scan — persist it so
-    // the per-doc shingle work runs once (released by the harness via
-    // Dedup.releaseCaches, same contract as the signature caches).
+    // Fused tokenize→shingle→md5-first-byte kernel (GramBucketsExpr —
+    // bit-identical to conv(substring(md5(gram),1,2),16,10) over
+    // word_shingles, RegressionSpec). The persisted per-doc state is an
+    // array<int> of buckets (4 B/gram) instead of the gram STRINGS the
+    // declarative form staged (~15 B/gram + per-gram interpreted md5 in
+    // both passes). Feeds BOTH the collected count pass and the scoring
+    // scan — persist so the shingle+digest work runs once (released by
+    // the harness via Dedup.releaseCaches).
     val grams = Caches.register(
       Par.ensure(docs, col(idCol)).select(col(idCol).as("id"), isTarget.as("tgt"),
-          word_shingles(tokens(col(textCol)), 2).as("g2"))
-        .filter(size(col("g2")) > 0)
+          gram_buckets(col(textCol), 2).as("bk"))
+        .filter(size(col("bk")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val counts = grams.select(col("tgt"), explode(col("g2")).as("gr"))
-      .select(col("tgt"), bkt(col("gr")).as("b"))
+    val counts = grams.select(col("tgt"), explode(col("bk")).as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cq"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"))
@@ -276,9 +277,8 @@ object Sampling {
       val (cq, cp) = counts.getOrElse(b, (0L, 0L))
       math.log((cp + 1.0) / (np + buckets)) - math.log((cq + 1.0) / (nq + buckets))
     }
-    val logw = aggregate(
-      transform(col("g2"), gr => element_at(typedlit(lut), bkt(gr) + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // Σ lut(bucket) in gram order — bit-identical to the element_at fold
+    val logw = lut_sum(col("bk"), lut)
     // rank/top-k on the ROUND-6 weight + id tiebreak (engine-stable; see
     // scaladoc) — the raw double survives only inside this projection
     val w = org.apache.spark.sql.expressions.Window

@@ -176,6 +176,28 @@ class RegressionSpec extends SparkSuite {
       s"minhash fused/declarative diverge: $onlyF/$onlyD rows")
   }
 
+  test("gram_buckets and lut_sum are bit-identical to their declarative forms") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"doc_id", $"text")
+      .union(Seq((970001L, Some("")), (970002L, None), (970003L, Some("one")))
+        .toDF("doc_id", "text"))
+    def bkt(gr: org.apache.spark.sql.Column) =
+      conv(substring(md5(gr), 1, 2), 16, 10).cast("int")
+    val bad = docs.select(
+        gram_buckets($"text", 2).as("fused"),
+        transform(word_shingles(tokens($"text"), 2), g => bkt(g)).as("composed"))
+      .filter(not($"fused" <=> $"composed")).count()
+    assert(bad == 0, s"$bad docs with differing buckets")
+    val lut = Array.tabulate(256)(b => math.log(b + 2.0) - 1.7)
+    val lbad = docs.select(gram_buckets($"text", 2).as("bk"))
+      .filter(size($"bk") > 0)
+      .select(lut_sum($"bk", lut).as("fused"),
+        aggregate(transform($"bk", b => element_at(typedlit(lut), b + 1)),
+          lit(0.0), (acc, x) => acc + x).as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(lbad == 0, s"$lbad docs where lut_sum differs from the fold")
+  }
+
   test("sig_eq_count equals the zip_with/aggregate fold for both families") {
     val docs = Tables.load(spark, sfDir, "documents").limit(120)
       .select($"doc_id", $"text")
