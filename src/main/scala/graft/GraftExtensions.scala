@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CharEntropyExpr, CosineSimilarity, GopherStatsExpr, LangIdExpr, MinHashSignature, MinHashText, NormalizeText, QualityStatsExpr, ReadCountsExpr, SimHash64}
+import graft.functions.{CharEntropyExpr, CosineSimilarity, GopherStatsExpr, GramBucketsExpr, GramMd5sExpr, LangIdExpr, MinHashSignature, MinHashText, NormalizeText, QualityStatsExpr, ReadCountsExpr, RepStatsExpr, ReplayMinhashExpr, ReplaySimhashExpr, SigEqCount, SimHash64, WinnowFpsExpr}
 
 /** SparkSessionExtensions entry point — the idiomatic injection path for
   * the custom expressions, so any session (including spark-sql / thrift /
@@ -84,7 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("char_entropy", classOf[CharEntropyExpr], CharEntropyExpr(_)),
       ("quality_stats", classOf[QualityStatsExpr], QualityStatsExpr(_)),
       ("gopher_stats", classOf[GopherStatsExpr], GopherStatsExpr(_)),
-      ("read_counts", classOf[ReadCountsExpr], ReadCountsExpr(_))
+      ("read_counts", classOf[ReadCountsExpr], ReadCountsExpr(_)),
+      ("rep_stats", classOf[RepStatsExpr], RepStatsExpr(_)),
+      ("replay_simhash", classOf[ReplaySimhashExpr], ReplaySimhashExpr(_))
     ).foreach { case (name, cls, mk) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -94,5 +96,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           mk(exprs(0))
         }))
     }
+    // text + integer-literal gram/window params
+    Seq[(String, Class[_], (Expression, Int) => Expression, Int)](
+      ("gram_md5s", classOf[GramMd5sExpr], GramMd5sExpr(_, _), 10),
+      ("gram_buckets", classOf[GramBucketsExpr], GramBucketsExpr(_, _), 2),
+      ("replay_minhash", classOf[ReplayMinhashExpr], ReplayMinhashExpr(_, _), 3)
+    ).foreach { case (name, cls, mk, dflt) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => {
+          arity(name, exprs, 1, 2)
+          val n = if (exprs.size >= 2) litNum(exprs(1), name, "n").toInt else dflt
+          mk(exprs(0), n)
+        }))
+    }
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        arity("winnow_fps", exprs, 1, 3)
+        val k = if (exprs.size >= 2) litNum(exprs(1), "winnow_fps", "k").toInt else 5
+        val w = if (exprs.size >= 3) litNum(exprs(2), "winnow_fps", "w").toInt else 4
+        WinnowFpsExpr(exprs(0), k, w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sig_eq_count"),
+      new ExpressionInfo(classOf[SigEqCount].getName, "sig_eq_count"),
+      (exprs: Seq[Expression]) => {
+        arity("sig_eq_count", exprs, 2, 2)
+        SigEqCount(exprs(0), exprs(1))
+      }))
   }
 }

@@ -36,7 +36,11 @@ private[graft] object Caches {
 
   /** Snapshot of THIS thread's live registrations — test introspection
     * (lets specs assert on the exact DataFrames a job persisted instead
-    * of racy global persistent-RDD counts). */
+    * of racy global persistent-RDD counts). The returned list is an
+    * immutable copy, but the DataFrames are LIVE references: a
+    * concurrent release() on the owning thread may unpersist them while
+    * a caller inspects storage state — fine under the single-owner
+    * contract (only the registering thread snapshots and releases). */
   private[graft] def registeredHere: Seq[DataFrame] = local.get.toList
 
   /** Unpersist every DataFrame registered BY THIS THREAD. Contract: call

@@ -341,6 +341,19 @@ class RegressionSpec extends SparkSuite {
     assert(row.getString(0) == "en", s"lang_id via SQL: $row")
     assert(row.getDouble(1) > 0.0 && row.getDouble(2) > 0.0, s"$row")
     assert(row.getInt(3) >= 1 && row.getLong(4) == 2L, s"$row")
+    // the md5-replay kernel family is SQL-callable too
+    val r2 = spark.sql(
+      """SELECT size(gram_md5s(text, 3)) AS ng,
+        |  gram_buckets(text, 2)[0] AS b0,
+        |  rep_stats(text).dup_line_frac AS dl,
+        |  winnow_fps(text, 2, 2).n_grams AS wn,
+        |  replay_simhash(text).n_tokens AS nt,
+        |  replay_minhash(text, 2).n_grams AS mg,
+        |  sig_eq_count(array(1L, 2L), array(1L, 3L)) AS eq
+        |FROM kern_docs""".stripMargin).collect().head
+    assert(r2.getInt(0) == 4 && r2.getInt(1) >= 0 && r2.getInt(1) <= 255, s"$r2")
+    assert(r2.getDouble(2) == 0.0 && r2.getInt(3) == 5, s"$r2")
+    assert(r2.getInt(4) == 6 && r2.getInt(5) == 5 && r2.getInt(6) == 1, s"$r2")
   }
 
   test("fused quality_stats is bit-identical to the declarative battery") {
