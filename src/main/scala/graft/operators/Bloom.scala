@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{tokens, word_shingles}
+
+/** Deterministic Bloom-filter membership — the scale path for ban-list /
+  * decontamination joins whose ban side is too large to broadcast exactly.
+  *
+  * An exact broadcast of 10⁹ seen-URL or banned-gram strings is tens of GB;
+  * the Bloom bitmap for the same set at 1% fpp is ~1.2 GB, and at the fpp
+  * a decontamination pass tolerates (flagging 0.1% extra docs) far less.
+  * The reference exposes no sketch joins; this is a superset in the same
+  * family as the HLL workflow (SURVEY.md §2 supersets).
+  *
+  * Everything here is deliberately DETERMINISTIC and built from Spark
+  * built-in functions only (md5 → two 60-bit halves → double hashing,
+  * Kirsch–Mitzenmacher), so the whole pipeline — including which false
+  * positives fire — is replayable bit-for-bit by the DuckDB oracle: the
+  * `dedup_bloom_decontaminate` query is hash-exact-checked, not a
+  * rows-only twin.
+  *
+  * Scale shape:
+  *  - build: keys → k positions each (map-side), partial `bit_or` per
+  *    32-bit word collapses the shuffle to ≤ m/32 rows regardless of key
+  *    count; the dense bitmap materializes as ONE row holding an
+  *    array<long> of m/32 words (m=2²⁷ → 16 MB — broadcast-joined model
+  *    state, the k-means-centroid pattern).
+  *  - probe: corpus side never shuffles — broadcast the one-row bitmap,
+  *    membership is a codegen'd forall over element_at/bitwiseAND.
+  *
+  * Words are 32 bits stored in BIGINT so every shifted value stays
+  * positive and two's-complement-free — DuckDB `<<`/`&`/`bit_or` then
+  * agree with Spark on every word value.
+  */
+object Bloom {
+
+  /** Sizing per the standard Bloom formulae: m = -n·ln(p)/ln(2)², rounded
+    * up to a multiple of 32; k = round(m/n·ln 2), clamped to [1,16].
+    */
+  def derivedParams(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
+    val mRaw = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+    val m = (((mRaw.toLong + 31) / 32) * 32).min(Int.MaxValue.toLong / 2).toInt
+    val k = math.max(1, math.min(16, math.round(m.toDouble / n * math.log(2)).toInt))
+    (m, k)
+  }
+
+  /** The k bit positions of `key`: h1,h2 = the two 60-bit halves of
+    * md5(key) reduced mod m, position i = (h1 + i·h2) mod m. Reducing
+    * BEFORE the multiply keeps every intermediate < m·k ≪ 2⁶³ (h1 + i·h2
+    * on raw 60-bit halves would overflow signed 64 at i ≥ 8).
+    */
+  def positions(key: Column, m: Int, k: Int): Column = {
+    val h = md5(key)
+    val h1 = pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(m.toLong))
+    val h2 = pmod(conv(substring(h, 16, 15), 16, 10).cast("long"), lit(m.toLong))
+    transform(sequence(lit(0L), lit((k - 1).toLong)),
+      i => pmod(h1 + i * h2, lit(m.toLong)))
+  }
+
+  private def wordOf(p: Column): Column = floor(p / lit(32)).cast("long")
+  private def bitOf(p: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(p, lit(32L)).cast("int"))
+
+  /** Build the bitmap over `keys(keyCol)`: ONE row, column `bits` =
+    * array<long> of m/32 32-bit words ordered by word index. The explode
+    * is map-side only — partial `bit_or` aggregation collapses each
+    * partition's positions to ≤ m/32 words before the single exchange.
+    */
+  def buildBits(keys: DataFrame, keyCol: Column, m: Int, k: Int): DataFrame = {
+    require(m % 32 == 0 && m > 0, s"m must be a positive multiple of 32; got $m")
+    val words = m / 32
+    val set = keys
+      .select(explode(positions(keyCol, m, k)).as("p"))
+      .select(wordOf(col("p")).as("w"), bitOf(col("p")).as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("b"))
+    keys.sparkSession.range(words).select(col("id").as("w"))
+      .join(set, Seq("w"), "left")
+      .select(col("w"), coalesce(col("b"), lit(0L)).as("b"))
+      .agg(collect_list(struct(col("w"), col("b"))).as("wb"))
+      .select(transform(array_sort(col("wb")), s => s.getField("b")).as("bits"))
+  }
+
+  /** Membership probe against a `bits` column (the array from
+    * [[buildBits]], normally attached via one broadcast crossJoin).
+    * No false negatives; false positives are the deterministic ones the
+    * double-hash family produces at the chosen m,k.
+    */
+  def mightContain(bits: Column, key: Column, m: Int, k: Int): Column =
+    forall(positions(key, m, k), p =>
+      element_at(bits, wordOf(p).cast("int") + 1)
+        .bitwiseAND(bitOf(p)) =!= lit(0L))
+
+  /** N-gram benchmark decontamination through the Bloom filter — the
+    * 100 TB form of [[TextAnalysis.ngramDecontaminate]]: instead of
+    * broadcasting the benchmark gram SET, broadcast its m-bit bitmap.
+    * Returns (idCol, n_bloom_hits, flagged); `n_bloom_hits` counts the
+    * doc's distinct grams the filter claims are in the benchmark (≥ the
+    * true contaminated-gram count, never less — no false negatives).
+    */
+  def ngramDecontaminate(docs: DataFrame, benchmark: DataFrame, n: Int,
+      m: Int, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) =
+      explode(array_distinct(word_shingles(tokens(df(textCol)), n))).as("gram")
+    val bits = buildBits(benchmark.select(grams(benchmark)).distinct(),
+      col("gram"), m, k)
+    val hits = docs.select(col(idCol), grams(docs))
+      .crossJoin(broadcast(bits))
+      .filter(mightContain(col("bits"), col("gram"), m, k))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram")).as("n_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_bloom_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
+  }
+}

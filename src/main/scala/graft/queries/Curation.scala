@@ -462,6 +462,53 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    QuerySpec(
+      "text_decontaminate_bloom",
+      // The 100 TB form of text_decontaminate_ngram: the benchmark gram
+      // SET is replaced by its 4096-bit Bloom bitmap (k=4, md5 double
+      // hashing) — at real scale the bitmap broadcast is ~50x smaller
+      // than the exact gram set. Deterministic md5 double hashing means
+      // even the false positives replay bit-for-bit in DuckDB, so this
+      // is hash-exact-checked, not a rows-only twin.
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END)) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |pos AS (
+        |  SELECT unnest(list_transform(generate_series(0, 3), i -> (h1 + i*h2) % 4096)) AS p
+        |  FROM (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS h1,
+        |               ('0x' || substr(md5(gram), 16, 15))::BIGINT % 4096 AS h2
+        |        FROM bench)),
+        |setw AS (SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS b
+        |         FROM pos GROUP BY 1),
+        |bits AS (SELECT list(coalesce(b, 0) ORDER BY w) AS bits
+        |         FROM (SELECT range AS w FROM range(0, 128)) allw LEFT JOIN setw USING (w)),
+        |probe AS (
+        |  SELECT doc_id, gram,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS h1,
+        |    ('0x' || substr(md5(gram), 16, 15))::BIGINT % 4096 AS h2
+        |  FROM grams),
+        |hits AS (
+        |  SELECT p.doc_id, count(DISTINCT p.gram) AS n_hits
+        |  FROM probe p, bits
+        |  WHERE len(list_filter(list_transform(generate_series(0, 3), i -> (p.h1 + i*p.h2) % 4096),
+        |        q -> (bits.bits[CAST(q // 32 AS INT) + 1] & (1::BIGINT << CAST(q % 32 AS INT))) != 0)) = 4
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(n_hits, 0) AS n_bloom_hits,
+        |  coalesce(n_hits, 0) > 0 AS flagged
+        |FROM toks t LEFT JOIN hits USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Bloom.ngramDecontaminate(
+          docs, docs.filter(col("doc_id") % 97 === 0), n = 3, m = 4096, k = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- dataset assembly: packing and mixing ----------------------------
     QuerySpec(
       "pack_sequences",

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bloom, TextAnalysis}
+
+/** [[Bloom]] — the deterministic sketch-join path for oversized ban
+  * lists. The contract under test: zero false negatives (every inserted
+  * key probes true), a false-positive rate near the analytic bound at
+  * the chosen (m,k), bitmap shape invariants that the DuckDB oracle's
+  * replay relies on (word count, 32-bit-positive words), and the
+  * decontamination superset law n_bloom_hits ≥ exact n_contaminated.
+  */
+class BloomSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val M = 4096
+  private val K = 4
+
+  private def keys(n: Int, tag: String) =
+    (1 to n).map(i => s"$tag-key-$i").toDF("gram")
+
+  test("bitmap shape: m/32 words, every word a positive 32-bit value") {
+    val bits = Bloom.buildBits(keys(200, "in"), col("gram"), M, K)
+      .collect()(0).getSeq[Long](0)
+    assert(bits.length === M / 32)
+    assert(bits.forall(w => w >= 0L && w < (1L << 32)), "words must stay in [0, 2^32)")
+    assert(bits.exists(_ != 0L), "200 keys must set at least one bit")
+  }
+
+  test("no false negatives: every inserted key probes true") {
+    val in = keys(500, "in")
+    val bits = Bloom.buildBits(in, col("gram"), M, K)
+    val missed = in.crossJoin(broadcast(bits))
+      .filter(!Bloom.mightContain(col("bits"), col("gram"), M, K))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("false-positive rate tracks the analytic bound") {
+    val in = keys(400, "in")
+    val bits = Bloom.buildBits(in, col("gram"), M, K)
+    val probes = 5000
+    val fp = keys(probes, "out").crossJoin(broadcast(bits))
+      .filter(Bloom.mightContain(col("bits"), col("gram"), M, K))
+      .count()
+    // analytic fpp at n=400, m=4096, k=4: (1 - e^(-kn/m))^k ≈ 0.0079
+    val expected = math.pow(1 - math.exp(-K * 400.0 / M), K)
+    assert(fp < probes * expected * 3 + 10,
+      s"fp=$fp way above analytic ${probes * expected}")
+  }
+
+  test("derivedParams matches the standard formulae") {
+    val (m, k) = Bloom.derivedParams(1000000L, 0.01)
+    assert(m % 32 === 0)
+    // -n ln p / ln^2 2 ≈ 9.59 bits/key at 1% fpp
+    assert(m > 9000000 && m < 10000000, s"m=$m")
+    assert(k === 7, s"k=$k") // round(m/n * ln 2)
+  }
+
+  test("bloom decontamination is a superset of the exact ngram pass") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val bloom = Bloom.ngramDecontaminate(docs, bench, n = 3, m = M, k = K)
+    val exact = TextAnalysis.ngramDecontaminate(docs, bench, n = 3)
+    val joined = bloom.join(exact, Seq("doc_id")).cache()
+    try {
+      val undercount = joined
+        .filter(col("n_bloom_hits") < col("n_contaminated_grams")).count()
+      assert(undercount === 0L, "bloom may overcount (fp) but never undercount")
+      // benchmark docs are contaminated with themselves — all must flag
+      val benchMissed = joined
+        .filter(col("doc_id") % 97 === 0 && !col("flagged")).count()
+      assert(benchMissed === 0L)
+    } finally joined.unpersist()
+  }
+}
