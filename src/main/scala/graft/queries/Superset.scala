@@ -429,6 +429,36 @@ object Superset {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(20)
+    },
+
+    QuerySpec(
+      "layout_zorder",
+      // Z-order (Morton) layout key over (l_partkey, l_suppkey): exact
+      // integer grid quantization + bit interleave, so the multi-column
+      // clustering key the write path sorts by — and the fixed-grid
+      // zbucket — replay bit-for-bit in DuckDB. The write-side locality
+      // effect (per-file min/max tightening on BOTH columns) is asserted
+      // in ZOrderSpec; this query pins the arithmetic.
+      """WITH stats AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS mn1, CAST(max(l_partkey) AS BIGINT) AS mx1,
+        |         CAST(min(l_suppkey) AS BIGINT) AS mn2, CAST(max(l_suppkey) AS BIGINT) AS mx2
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ((CAST(l_partkey AS BIGINT) - mn1) * 256) // (mx1 - mn1 + 1) AS c1,
+        |    ((CAST(l_suppkey AS BIGINT) - mn2) * 256) // (mx2 - mn2 + 1) AS c2
+        |  FROM lineitem, stats)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |    (((c1 >> i) & 1) << (2*i)) + (((c2 >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval,
+        |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |    (((c1 >> i) & 1) << (2*i)) + (((c2 >> i) & 1) << (2*i + 1)))) AS BIGINT) >> 12 AS zbucket
+        |FROM cells ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.operators.ZOrder.zvalues(
+          t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
+          bits = 8, bucketBits = 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zval"), col("zbucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }
