@@ -342,12 +342,27 @@ class GraftContext(val spark: SparkSession) {
     * control when upstream parallelism is much wider than the partition
     * cardinality (a task writes one file PER partition value it sees,
     * so W tasks × P values can otherwise emit W·P tiny files).
+    *
+    * `zorderBy` clusters rows along the Morton curve over the given
+    * columns before writing ([[graft.operators.ZOrder]]), so per-file
+    * parquet min/max stats stay tight on EVERY listed column and later
+    * scans filtering any of them prune files. Mutually exclusive with
+    * `clusterFirst` (both decide the pre-write partitioning).
     */
   def writeSharded(df: DataFrame, path: String, format: String = "parquet",
       partitionBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
-      clusterFirst: Boolean = false): Unit = {
+      clusterFirst: Boolean = false, zorderBy: Seq[String] = Nil): Unit = {
+    require(!(clusterFirst && zorderBy.nonEmpty),
+      "clusterFirst and zorderBy are mutually exclusive pre-write clusterings")
     val src =
-      if (clusterFirst && partitionBy.nonEmpty)
+      if (zorderBy.nonEmpty)
+        // shard count = spark.sql.shuffle.partitions (the session's write
+        // parallelism); AQE coalesces small ranges
+        graft.operators.ZOrder.zvalues(df, zorderBy)
+          .repartitionByRange(org.apache.spark.sql.functions.col("zval"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("zval"))
+          .drop("zval", "zbucket")
+      else if (clusterFirst && partitionBy.nonEmpty)
         df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df
     var w = src.write.mode("overwrite").format(format)

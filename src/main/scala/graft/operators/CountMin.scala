@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Count-Min sketch — bounded-memory frequency estimation
+  * over a key stream whose exact histogram is too wide to shuffle.
+  *
+  * The exact token histogram of a 100 TB corpus is vocabulary-sized (a
+  * full (token, count) shuffle of billions of keys); the CMS is a fixed
+  * d×w grid of counters (d=4, w=2²⁰ → 32 MB) with the classic
+  * guarantees: never an underestimate, overestimate ≤ εN with
+  * probability 1−δ (ε=e/w, δ=e^−d). Heavy-hitter detection, frequency
+  * capping, and stop-list derivation all run off the sketch without the
+  * vocabulary shuffle.
+  *
+  * Hashing is [[Bloom.positions]] — the same md5 double-hash family —
+  * so build and probe replay bit-for-bit in DuckDB: `sketch_heavyhitters`
+  * is hash-exact-checked including every deterministic overestimate.
+  *
+  * Scale shape:
+  *  - build: each key occurrence emits d (row, cell) longs map-side;
+  *    partial sum aggregation collapses every partition to ≤ d·w cells
+  *    before the single exchange. The dense sketch is ONE row holding
+  *    array<array<long>> — broadcast model state, mergeable by cellwise
+  *    add (see [[merge]] — the per-shard → union → estimate workflow of
+  *    the HLL family).
+  *  - probe: broadcast crossJoin of the one-row sketch; the estimate is
+  *    an array_min over d element_at lookups — codegen'd built-ins.
+  */
+object CountMin {
+
+  /** Build the d×w sketch over `keys(keyCol)` (one count per ROW — use
+    * a pre-exploded occurrence stream for token frequency). One row,
+    * column `cms` = d arrays of w counts, row-major by hash row.
+    */
+  def build(keys: DataFrame, keyCol: Column, w: Int, d: Int): DataFrame = {
+    require(w > 0 && d > 0 && d <= 16, s"need w>0, 0<d<=16; got w=$w d=$d")
+    val cells = keys
+      .select(posexplode(Bloom.positions(keyCol, w, d)).as(Seq("r", "p")))
+      .groupBy(col("r"), col("p")).agg(count(lit(1)).as("c"))
+    val grid = keys.sparkSession.range(d.toLong * w)
+      .select((col("id") / w).cast("long").as("r"), pmod(col("id"), lit(w.toLong)).as("p"))
+    grid.join(cells, Seq("r", "p"), "left")
+      .select(col("r"), col("p"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("r"))
+      .agg(collect_list(struct(col("p"), col("c"))).as("pc"))
+      .select(col("r"), transform(array_sort(col("pc")), s => s.getField("c")).as("row"))
+      .agg(collect_list(struct(col("r"), col("row"))).as("rr"))
+      .select(transform(array_sort(col("rr")), s => s.getField("row")).as("cms"))
+  }
+
+  /** Point estimate for `key` against a `cms` column (attached via one
+    * broadcast crossJoin): min over the d row counters — never below
+    * the true count.
+    */
+  def estimate(cms: Column, key: Column, w: Int, d: Int): Column =
+    array_min(zip_with(
+      cms,
+      Bloom.positions(key, w, d),
+      (row, p) => element_at(row, p.cast("int") + 1)))
+
+  /** Cellwise sum of two sketches with identical (w, d) — the mergeable
+    * path: shards sketch independently, the union is one zip_with add.
+    */
+  def merge(a: Column, b: Column): Column =
+    zip_with(a, b, (ra, rb) => zip_with(ra, rb, (x, y) => x + y))
+}

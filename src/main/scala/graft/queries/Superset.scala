@@ -459,6 +459,43 @@ object Superset {
           bits = 8, bucketBits = 4)
         .select(col("l_orderkey"), col("l_linenumber"), col("zval"), col("zbucket"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    QuerySpec(
+      "sketch_heavyhitters",
+      // Count-Min heavy hitters: token frequencies estimated from a
+      // 4×1024 counter grid instead of the vocabulary-sized exact
+      // histogram shuffle. The md5 double-hash family is deterministic,
+      // so DuckDB rebuilds the identical grid and the identical
+      // (over)estimates — hash-exact including collision noise.
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |pos AS (
+        |  SELECT token,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS h1,
+        |    ('0x' || substr(md5(token), 16, 15))::BIGINT % 1024 AS h2
+        |  FROM toks),
+        |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (
+        |  SELECT r, (h1 + r*h2) % 1024 AS p, count(*) AS c
+        |  FROM pos, rs GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT token, h1, h2 FROM pos),
+        |est AS (
+        |  SELECT p.token, min(coalesce(c.c, 0)) AS est
+        |  FROM probe p CROSS JOIN rs
+        |  LEFT JOIN cells c ON c.r = rs.r AND c.p = (p.h1 + rs.r*p.h2) % 1024
+        |  GROUP BY 1)
+        |SELECT token, est FROM est ORDER BY est DESC, token LIMIT 25""".stripMargin) { (s, dir) =>
+      import graft.operators.CountMin
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.tokens(col("text"))).as("token"))
+      val cms = CountMin.build(toks, col("token"), w = 1024, d = 4)
+      toks.distinct().crossJoin(broadcast(cms))
+        .select(col("token"),
+          CountMin.estimate(col("cms"), col("token"), w = 1024, d = 4).as("est"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(25)
     }
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CountMin
+
+/** [[CountMin]] — the bounded-memory frequency sketch. Contracts under
+  * test: shape (d rows × w counters, total mass = d·N), the one-sided
+  * error law (never an underestimate; overestimates bounded near the
+  * analytic εN), and mergeability (shard sketches cellwise-summed equal
+  * the whole-corpus sketch — the property that makes the build
+  * embarrassingly parallel at 100 TB).
+  */
+class CountMinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val W = 256
+  private val D = 4
+
+  // skewed stream: key-1 appears 100x, key-2 50x, 200 singletons
+  private def stream = {
+    val rows = Seq.fill(100)("key-1") ++ Seq.fill(50)("key-2") ++
+      (1 to 200).map(i => s"tail-$i")
+    rows.toDF("k")
+  }
+
+  test("sketch shape and conserved mass") {
+    val cms = CountMin.build(stream, col("k"), W, D)
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+    assert(cms.length === D)
+    assert(cms.forall(_.length === W))
+    val n = stream.count()
+    cms.foreach(row => assert(row.sum === n, "each hash row counts every occurrence once"))
+  }
+
+  test("estimates never undercount; overestimates stay near eN/w") {
+    val cms = CountMin.build(stream, col("k"), W, D)
+    val exact = stream.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val est = exact.crossJoin(broadcast(cms))
+      .select(col("k"), col("cnt"),
+        CountMin.estimate(col("cms"), col("k"), W, D).as("est"))
+      .collect()
+    assert(est.forall(r => r.getLong(2) >= r.getLong(1)), "CMS must never undercount")
+    val n = stream.count()
+    val bound = math.ceil(math.E * n / W).toLong // classic εN, ε=e/w
+    val violators = est.count(r => r.getLong(2) - r.getLong(1) > bound)
+    // the bound holds per-key with prob 1-e^-d ≈ 98%; allow a thin tail
+    assert(violators <= est.length / 10, s"$violators/${est.length} beyond εN=$bound")
+  }
+
+  test("shard sketches merge to the whole-corpus sketch") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(graft.functions.tokens(col("text"))).as("k"))
+    val whole = CountMin.build(docs, col("k"), W, D)
+    val a = CountMin.build(docs.filter(col("doc_id") % 2 === 0), col("k"), W, D)
+    val b = CountMin.build(docs.filter(col("doc_id") % 2 === 1), col("k"), W, D)
+    val merged = a.crossJoin(b.withColumnRenamed("cms", "cms2"))
+      .select(CountMin.merge(col("cms"), col("cms2")).as("cms"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+}

@@ -312,6 +312,40 @@ class GraftContextSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == docs.count())
   }
 
+  test("writeSharded zorderBy clusters files on the Morton curve") {
+    val ctx = GraftContext(spark)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = java.nio.file.Files.createTempDirectory("graft_zshards").toString
+    // the record cap splits the zval-sorted stream into consecutive
+    // curve slices even when AQE coalesces the tiny fixture to one task
+    ctx.writeSharded(li, out, zorderBy = Seq("l_partkey", "l_suppkey"),
+      maxRecordsPerFile = 500L)
+    val rt = spark.read.parquet(out)
+    assert(rt.count() == li.count())
+    // the helper columns must not leak into the written schema
+    assert(!rt.columns.contains("zval") && !rt.columns.contains("zbucket"))
+    // the layout contract: per-file spans on the SECOND layout column
+    // beat a random/arrival layout (a single-key sort could not deliver
+    // this for both columns; the stronger both-column assert lives in
+    // ZOrderSpec — here we check the sink wiring actually clustered)
+    val span = rt.groupBy(input_file_name())
+      .agg((max(col("l_suppkey")) - min(col("l_suppkey"))).as("s"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 50) // ignore tiny tail shards
+    val (mn, mx) = {
+      val r = li.agg(min("l_suppkey"), max("l_suppkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val full = (mx - mn).max(1L)
+    val tight = span.filter(col("s") < full).count()
+    assert(tight > 0, "no written file has a sub-full-range suppkey span")
+    intercept[IllegalArgumentException] {
+      ctx.writeSharded(li, out, partitionBy = Seq("l_partkey"),
+        clusterFirst = true, zorderBy = Seq("l_suppkey"))
+    }
+  }
+
   test("sqlAsync returns the same result as sql") {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
