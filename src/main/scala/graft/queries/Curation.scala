@@ -509,6 +509,54 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    QuerySpec(
+      "graph_pagerank",
+      // Domain-authority scoring: PageRank over the cross-source content
+      // syndication graph (sources sharing an exact-dup fingerprint).
+      // Fixed-point integer arithmetic (scale 1e9, damping 85/100) makes
+      // all three unrolled iterations bit-exact in any engine — no
+      // float-summation-order latitude, no rounding caveats.
+      """WITH fpsrc AS (
+        |  SELECT DISTINCT md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp,
+        |         source
+        |  FROM documents),
+        |e AS (SELECT DISTINCT a.source AS src, b.source AS dst
+        |      FROM fpsrc a JOIN fpsrc b USING (fp) WHERE a.source <> b.source),
+        |vs AS (SELECT DISTINCT source AS node FROM documents),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |c AS (SELECT count(*) AS n FROM vs),
+        |r0 AS (SELECT node, 1000000000 // n AS r FROM vs CROSS JOIN c),
+        |d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r0 LEFT JOIN deg ON r0.node = deg.src WHERE deg.deg IS NULL),
+        |ct1 AS (SELECT e.dst AS node, CAST(sum(r0.r // deg.deg) AS BIGINT) AS contrib
+        |        FROM r0 JOIN deg ON r0.node = deg.src JOIN e ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT vs.node,
+        |         CAST(((15::BIGINT * 1000000000) // 100) // n + (85 * (coalesce(contrib, 0) + dm // n)) // 100 AS BIGINT) AS r
+        |       FROM vs CROSS JOIN c CROSS JOIN d1 LEFT JOIN ct1 ON vs.node = ct1.node),
+        |d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r1 LEFT JOIN deg ON r1.node = deg.src WHERE deg.deg IS NULL),
+        |ct2 AS (SELECT e.dst AS node, CAST(sum(r1.r // deg.deg) AS BIGINT) AS contrib
+        |        FROM r1 JOIN deg ON r1.node = deg.src JOIN e ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT vs.node,
+        |         CAST(((15::BIGINT * 1000000000) // 100) // n + (85 * (coalesce(contrib, 0) + dm // n)) // 100 AS BIGINT) AS r
+        |       FROM vs CROSS JOIN c CROSS JOIN d2 LEFT JOIN ct2 ON vs.node = ct2.node),
+        |d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm FROM r2 LEFT JOIN deg ON r2.node = deg.src WHERE deg.deg IS NULL),
+        |ct3 AS (SELECT e.dst AS node, CAST(sum(r2.r // deg.deg) AS BIGINT) AS contrib
+        |        FROM r2 JOIN deg ON r2.node = deg.src JOIN e ON e.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT vs.node,
+        |         CAST(((15::BIGINT * 1000000000) // 100) // n + (85 * (coalesce(contrib, 0) + dm // n)) // 100 AS BIGINT) AS r
+        |       FROM vs CROSS JOIN c CROSS JOIN d3 LEFT JOIN ct3 ON vs.node = ct3.node)
+        |SELECT node, r AS rank_fp FROM r3 ORDER BY rank_fp DESC, node""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fpsrc = docs.select(
+          md5(substring(normalize_text(col("text")), 1, 60)).as("fp"),
+          col("source")).distinct()
+      val edges = fpsrc.as("a").join(fpsrc.as("b"), Seq("fp"))
+        .filter(col("a.source") =!= col("b.source"))
+        .select(col("a.source").as("src"), col("b.source").as("dst"))
+      val nodes = docs.select(col("source").as("node"))
+      graft.operators.PageRank.fixedPoint(edges, Some(nodes), iters = 3)
+        .orderBy(col("rank_fp").desc, col("node"))
+    },
+
     // ---- dataset assembly: packing and mixing ----------------------------
     QuerySpec(
       "pack_sequences",

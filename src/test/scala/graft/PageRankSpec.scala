@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** [[PageRank.fixedPoint]] — integer-arithmetic PageRank. The key
+  * property is BIT-EXACT agreement with an independent single-threaded
+  * reference simulation of the same fixed-point recurrence (that is
+  * what lets the DuckDB oracle replay all iterations hash-exact), plus
+  * the structural facts: hubs outrank leaves, dangling mass is
+  * redistributed not lost, and total mass never exceeds the scale.
+  */
+class PageRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val SCALE = 1000000000L
+
+  /** reference model: the identical recurrence in plain Scala Longs */
+  private def simulate(edges: Seq[(String, String)], nodes: Seq[String],
+      iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val base = 15L * SCALE / 100L / n
+    var r = nodes.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val dshare = dangling / n
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(v => v -> (base + 85L * (contrib.getOrElse(v, 0L) + dshare) / 100L)).toMap
+    }
+    r
+  }
+
+  test("bit-exact vs the reference simulation on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val edges = Seq.fill(120)((nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30))))
+      .filter { case (a, b) => a != b }
+    val expected = simulate(edges, nodes, iters = 3)
+    val got = PageRank.fixedPoint(
+        edges.toDF("src", "dst"), Some(nodes.toDF("node")), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("hubs outrank leaves; dangling mass is redistributed") {
+    // star: every leaf links to the hub; hub links nowhere (dangling)
+    val leaves = (1 to 8).map(i => s"leaf$i")
+    val edges = leaves.map(l => (l, "hub")).toDF("src", "dst")
+    val ranks = PageRank.fixedPoint(edges,
+        Some(("hub" +: leaves).toDF("node")), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(leaves.forall(l => ranks("hub") > ranks(l)))
+    // leaves get base + dangling share, strictly above bare base
+    val n = 9L
+    val base = 15L * SCALE / 100L / n
+    assert(leaves.forall(l => ranks(l) > base), "dangling mass must flow back")
+    // fixed-point floors only lose mass, never create it
+    assert(ranks.values.sum <= SCALE)
+  }
+}
