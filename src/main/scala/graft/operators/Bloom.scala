@@ -111,7 +111,10 @@ object Bloom {
       .crossJoin(broadcast(bits))
       .filter(mightContain(col("bits"), col("gram"), m, k))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("gram")).as("n_hits"))
+      // grams are per-doc distinct already (array_distinct before the
+      // explode) — count(1) ≡ count_distinct and saves the Expand + one
+      // (doc_id, gram) exchange
+      .agg(count(lit(1)).as("n_hits"))
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_bloom_hits"),

@@ -319,7 +319,9 @@ object TextAnalysis {
     val hits = docs.select(col(idCol), grams(docs))
       .join(broadcast(bg), Seq("gram"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("gram")).as("n_hits"))
+      // per-doc grams are distinct already (array_distinct before the
+      // explode) — count(1) ≡ count_distinct without the extra exchange
+      .agg(count(lit(1)).as("n_hits"))
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),

@@ -333,4 +333,39 @@ class ScaleSpec extends SparkSuite {
       s"LR scoring should reuse the persisted feature pass:\n$plan")
     operators.Dedup.releaseCaches()
   }
+
+  test("bloom probe broadcasts the bitmap; corpus side stays map-side") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = operators.Bloom.ngramDecontaminate(
+      docs, docs.filter(col("doc_id") % 97 === 0), n = 3, m = 4096, k = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the one-row bitmap must arrive via broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bitmap not broadcast:\n$plan")
+    // corpus grams must not shuffle before the membership filter: the
+    // only exchanges are the per-doc hit count and the final left join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"bloom probe shuffles too much ($exchanges):\n$plan")
+  }
+
+  test("count-min build collapses to cells via partial aggregation") {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.tokens(col("text"))).as("token"))
+    val plan = operators.CountMin.build(toks, col("token"), w = 1024, d = 4)
+      .queryExecution.executedPlan.toString
+    // partial_count before the exchange = per-partition cell collapse,
+    // so the shuffle carries <= d*w rows regardless of corpus size
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no map-side partial aggregation before the cell shuffle:\n$plan")
+  }
+
+  test("zorder zvalue attaches via one broadcast stats row, no extra shuffle") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val plan = operators.ZOrder.zvalues(li, Seq("l_partkey", "l_suppkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"min/max stats row not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"zvalue computation must be map-side after the stats broadcast:\n$plan")
+  }
 }
