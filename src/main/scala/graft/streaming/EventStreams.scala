@@ -83,6 +83,25 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming Count-Min sketch: maintain the d×w counter cells of
+    * [[graft.operators.CountMin]] incrementally over an unbounded key
+    * stream. This is the sketch's streaming raison d'être — the
+    * aggregation STATE is bounded at d·w rows no matter how many
+    * distinct keys flow past (an exact streaming histogram's state
+    * grows with the key domain and eventually evicts or dies). Emit in
+    * Complete mode; the cells are the same grid the batch build
+    * produces, so estimates and merges use the same [[graft.operators
+    * .CountMin.estimate]]/[[graft.operators.CountMin.merge]] math.
+    */
+  def cmsCellStream(stream: DataFrame, keyCol: String, w: Int,
+      d: Int): DataFrame =
+    stream
+      .select(posexplode(
+        graft.operators.Bloom.positions(col(keyCol).cast("string"), w, d))
+        .as(Seq("r", "p")))
+      .groupBy(col("r"), col("p"))
+      .agg(count(lit(1)).as("c"))
+
   // ---- stateful sessionization -------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming count-min cells equal the batch sketch grid") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val W = 256; val D = 4
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.cmsCellStream(stream, "user_id", W, D),
+      "cms_cells", OutputMode.Complete())
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    // streaming state is the sketch itself: never more than d*w cells
+    assert(got.size <= D * W, s"${got.size} cells exceed the d*w bound")
+    val batch = graft.operators.CountMin.build(
+        Tables.load(spark, sfDir, "events")
+          .select(col("user_id").cast("string").as("k")),
+        col("k"), W, D)
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+    // every dense batch cell must agree with the sparse streaming cell
+    for (r <- 0 until D; p <- 0 until W) {
+      val want = batch(r)(p)
+      val have = got.getOrElse((r.toLong, p.toLong), 0L)
+      assert(have === want, s"cell ($r,$p): stream=$have batch=$want")
+    }
+  }
+
   test("streaming dedup removes duplicate event_ids within the watermark") {
     // duplicate the whole fixture: every event appears twice in the source
     val dir = java.nio.file.Files.createTempDirectory("graft_dup_events")
