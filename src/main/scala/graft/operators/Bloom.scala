@@ -93,6 +93,28 @@ object Bloom {
       element_at(bits, wordOf(p).cast("int") + 1)
         .bitwiseAND(bitOf(p)) =!= lit(0L))
 
+  /** Bloom-prefiltered equi-join: build the bitmap over the SMALLER
+    * side's keys, discard left rows that cannot match BEFORE the
+    * exchange, then run the exact join. Semantics-preserving (no false
+    * negatives, and the exact join eliminates the false positives), so
+    * this is purely a shuffle-volume optimization: at 100 TB, a fact
+    * table joining a 1%-selective dimension shuffles ~1% of its rows
+    * instead of all of them — the runtime-filter pattern, but explicit,
+    * deterministic, and available on any join the optimizer can't see
+    * through. The broadcast is the m-bit bitmap, viable even when the
+    * dimension itself is too wide or too tall to broadcast-hash-join.
+    */
+  def prefilterJoin(left: DataFrame, right: DataFrame, key: String,
+      m: Int, k: Int, joinType: String = "inner"): DataFrame = {
+    // hash the STRING form on both sides (the key may be numeric)
+    val bits = buildBits(right.select(col(key).cast("string").as(key)).distinct(),
+      col(key), m, k)
+    val pruned = left.crossJoin(broadcast(bits))
+      .filter(mightContain(col("bits"), col(key).cast("string"), m, k))
+      .drop("bits")
+    pruned.join(right, Seq(key), joinType)
+  }
+
   /** N-gram benchmark decontamination through the Bloom filter — the
     * 100 TB form of [[TextAnalysis.ngramDecontaminate]]: instead of
     * broadcasting the benchmark gram SET, broadcast its m-bit bitmap.

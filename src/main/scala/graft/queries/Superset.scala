@@ -462,6 +462,28 @@ object Superset {
     },
 
     QuerySpec(
+      "join_bloom_prefilter",
+      // Bloom-prefiltered fact⋈dim join: the fact side is pruned by the
+      // dimension-key bitmap BEFORE the exchange, then exactly joined —
+      // semantics-preserving, so the oracle is the plain join. At scale
+      // this shuffles ~2% of lineitem instead of all of it.
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 490000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val sel = t(s, dir, "orders").filter(col("o_totalprice") > 490000)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Bloom.prefilterJoin(li, sel, "okey", m = 8192, k = 6)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    QuerySpec(
       "sketch_heavyhitters",
       // Count-Min heavy hitters: token frequencies estimated from a
       // 4×1024 counter grid instead of the vocabulary-sized exact

@@ -57,6 +57,26 @@ class BloomSpec extends SparkSuite {
     assert(k === 7, s"k=$k") // round(m/n * ln 2)
   }
 
+  test("prefilterJoin equals the plain join and prunes before it") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val sel = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val viaBloom = Bloom.prefilterJoin(li, sel, "okey", m = 4096, k = 4)
+    val plain = li.join(sel, Seq("okey"))
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty,
+      "bloom prefilter changed the join result")
+    // the prune must actually discard non-matching fact rows pre-join
+    val bits = Bloom.buildBits(sel.select(col("okey").cast("string").as("okey")),
+      col("okey"), 4096, 4)
+    val kept = li.crossJoin(broadcast(bits))
+      .filter(Bloom.mightContain(col("bits"), col("okey").cast("string"), 4096, 4))
+      .count()
+    assert(kept < li.count() / 2, s"prefilter kept $kept of ${li.count()} rows")
+    assert(kept >= plain.count(), "prefilter may never drop a matching row")
+  }
+
   test("bloom decontamination is a superset of the exact ngram pass") {
     val docs = Tables.load(spark, sfDir, "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
