@@ -1228,4 +1228,88 @@ object VectorOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
+
+  // ---- sketch double-hash family (Bloom / Count-Min) -----------------------
+
+  private def nibbleAt(dg: Array[Byte], i: Int): Long = {
+    val b = dg(i >> 1) & 0xFF
+    (if ((i & 1) == 0) b >> 4 else b & 0xF).toLong
+  }
+
+  /** The two 60-bit md5 halves reduced mod m — bit-identical to
+    * `pmod(conv(substring(md5(key),1,15),16,10) cast long, m)` and the
+    * 16..30 twin (hex chars 1-15 are digest nibbles 0-14, etc.). Fills
+    * `out(0)=h1, out(1)=h2`. One digest per key instead of the two the
+    * declarative tree evaluates (and HOFs re-evaluate per element).
+    */
+  private def doubleHash(key: UTF8String, m: Int, out: Array[Long]): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = md.digest(key.getBytes)
+    var h1 = 0L; var i = 0
+    while (i < 15) { h1 = (h1 << 4) | nibbleAt(dg, i); i += 1 }
+    var h2 = 0L
+    while (i < 30) { h2 = (h2 << 4) | nibbleAt(dg, i); i += 1 }
+    out(0) = h1 % m
+    out(1) = h2 % m
+  }
+
+  /** Kirsch–Mitzenmacher positions (h1 + i·h2) mod m, i in 0..k-1 —
+    * bit-identical to Bloom.positionsDeclarative. */
+  def bloomPositions(key: UTF8String, m: Int, k: Int): ArrayData = {
+    val h = new Array[Long](2)
+    doubleHash(key, m, h)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = (h(0) + i * h(1)) % m; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Membership probe against the 32-bit-word bitmap — bit-identical to
+    * the forall/element_at/bitwiseAND declarative form, with early
+    * exit on the first clear bit and no per-row array allocation. */
+  def bloomContains(bits: ArrayData, key: UTF8String, m: Int, k: Int): Boolean = {
+    val h = new Array[Long](2)
+    doubleHash(key, m, h)
+    var i = 0
+    while (i < k) {
+      val p = (h(0) + i * h(1)) % m
+      if ((bits.getLong((p >> 5).toInt) & (1L << (p & 31))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Count-Min point estimate: min over the d row counters — bit-identical
+    * to the array_min/zip_with declarative form. */
+  def cmsEstimate(cms: ArrayData, key: UTF8String, w: Int, d: Int): Long = {
+    val h = new Array[Long](2)
+    doubleHash(key, w, h)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val p = (h(0) + i * h(1)) % w
+      val c = cms.getArray(i).getLong(p.toInt)
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
+  /** Morton interleave of the low `bits` bits of d cell values (bit i of
+    * cell j → position i·d+j) — bit-identical to the aggregate-fold
+    * declarative form incl. its null propagation (any null cell → null).
+    */
+  def morton(cells: ArrayData, bits: Int): java.lang.Long = {
+    val d = cells.numElements()
+    var z = 0L
+    var j = 0
+    while (j < d) {
+      if (cells.isNullAt(j)) return null
+      val c = cells.getLong(j)
+      var i = 0
+      while (i < bits) { z |= ((c >> i) & 1L) << (i * d + j); i += 1 }
+      j += 1
+    }
+    java.lang.Long.valueOf(z)
+  }
 }

@@ -566,3 +566,95 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Sketch double-hash kernels (Bloom / Count-Min / Morton): each is
+  * bit-identical to its declarative built-in-function formulation (the
+  * form the DuckDB oracles replay), asserted in RegressionSpec — one md5
+  * per key instead of the interpreted-HOF tree that re-evaluates the
+  * digest per lambda element.
+  */
+case class BloomPositionsExpr(child: Expression, m: Int, k: Int)
+    extends UnaryExpression {
+
+  require(m > 0 && k > 0, s"need m>0, k>0; got m=$m k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.bloomPositions(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.bloomPositions($c, $m, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Bitmap membership probe — (bits array<long>, key string) → boolean. */
+case class BloomContainsExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+
+  require(m % 32 == 0 && m > 0 && k > 0, s"need m%32==0, k>0; got m=$m k=$k")
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(bits: Any, key: Any): Any =
+    VectorOps.bloomContains(bits.asInstanceOf[ArrayData],
+      key.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"${ev.value} = graft.functions.VectorOps.bloomContains($b, $c, $m, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Count-Min point estimate — (cms array<array<long>>, key string) → long. */
+case class CmsEstimateExpr(left: Expression, right: Expression, w: Int, d: Int)
+    extends BinaryExpression {
+
+  require(w > 0 && d > 0, s"need w>0, d>0; got w=$w d=$d")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(cms: Any, key: Any): Any =
+    VectorOps.cmsEstimate(cms.asInstanceOf[ArrayData],
+      key.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, c) =>
+      s"${ev.value} = graft.functions.VectorOps.cmsEstimate($s, $c, $w, $d);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Morton interleave over an array of cell values (bit i of cell j →
+  * position i·d+j); a null cell yields null, matching the + fold. */
+case class MortonInterleaveExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0, s"need bits>0; got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.morton(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      |${c.code}
+      |boolean ${ev.isNull} = ${c.isNull};
+      |long ${ev.value} = -1L;
+      |if (!${ev.isNull}) {
+      |  java.lang.Long mz = graft.functions.VectorOps.morton(${c.value}, $bits);
+      |  if (mz == null) { ${ev.isNull} = true; } else { ${ev.value} = mz.longValue(); }
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -117,6 +117,27 @@ package object functions {
   def lang_id(text: Column): Column =
     col0(LangIdExpr(expr0(text)))
 
+  /** Kirsch–Mitzenmacher md5 double-hash positions (bit-identical to the
+    * conv/substring/md5 declarative form — see VectorOps.bloomPositions). */
+  def bloom_positions(key: Column, m: Int, k: Int): Column =
+    col0(BloomPositionsExpr(expr0(key), m, k))
+
+  /** Bloom bitmap membership probe (bit-identical to the forall /
+    * element_at / bitwiseAND declarative form, early-exit, zero
+    * allocation). */
+  def bloom_contains(bits: Column, key: Column, m: Int, k: Int): Column =
+    col0(BloomContainsExpr(expr0(bits), expr0(key), m, k))
+
+  /** Count-Min point estimate (bit-identical to the array_min/zip_with
+    * declarative form). */
+  def cms_estimate(cms: Column, key: Column, w: Int, d: Int): Column =
+    col0(CmsEstimateExpr(expr0(cms), expr0(key), w, d))
+
+  /** Morton interleave of an array of cell values (bit-identical to the
+    * aggregate shift/mask fold incl. null propagation). */
+  def morton_interleave(cells: Column, bits: Int): Column =
+    col0(MortonInterleaveExpr(expr0(cells), bits))
+
   /** Character-unigram entropy in nats (fused kernel — bit-identical to
     * the declarative sorted run-length fold; see VectorOps.charEntropy). */
   def char_entropy(text: Column): Column =

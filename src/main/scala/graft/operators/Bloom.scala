@@ -51,8 +51,15 @@ object Bloom {
     * md5(key) reduced mod m, position i = (h1 + i·h2) mod m. Reducing
     * BEFORE the multiply keeps every intermediate < m·k ≪ 2⁶³ (h1 + i·h2
     * on raw 60-bit halves would overflow signed 64 at i ≥ 8).
+    *
+    * Fused kernel (one digest per key); [[positionsDeclarative]] is the
+    * formulation the DuckDB oracles replay — bit-identity asserted in
+    * RegressionSpec.
     */
-  def positions(key: Column, m: Int, k: Int): Column = {
+  def positions(key: Column, m: Int, k: Int): Column =
+    graft.functions.bloom_positions(key, m, k)
+
+  private[graft] def positionsDeclarative(key: Column, m: Int, k: Int): Column = {
     val h = md5(key)
     val h1 = pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(m.toLong))
     val h2 = pmod(conv(substring(h, 16, 15), 16, 10).cast("long"), lit(m.toLong))
@@ -89,7 +96,11 @@ object Bloom {
     * double-hash family produces at the chosen m,k.
     */
   def mightContain(bits: Column, key: Column, m: Int, k: Int): Column =
-    forall(positions(key, m, k), p =>
+    graft.functions.bloom_contains(bits, key, m, k)
+
+  private[graft] def mightContainDeclarative(bits: Column, key: Column,
+      m: Int, k: Int): Column =
+    forall(positionsDeclarative(key, m, k), p =>
       element_at(bits, wordOf(p).cast("int") + 1)
         .bitwiseAND(bitOf(p)) =!= lit(0L))
 
@@ -106,6 +117,13 @@ object Bloom {
     */
   def prefilterJoin(left: DataFrame, right: DataFrame, key: String,
       m: Int, k: Int, joinType: String = "inner"): DataFrame = {
+    // the prune discards left rows with no right match, which is only
+    // sound for join types that drop them anyway — an outer/anti join
+    // through the prefilter would silently lose its preserved rows
+    val ok = Set("inner", "leftsemi", "left_semi", "semi", "cross")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")) ||
+        ok.contains(joinType.toLowerCase),
+      s"prefilterJoin preserves semantics only for inner/semi joins; got $joinType")
     // hash the STRING form on both sides (the key may be numeric)
     val bits = buildBits(right.select(col(key).cast("string").as(key)).distinct(),
       col(key), m, k)

@@ -55,9 +55,13 @@ object CountMin {
     * the true count.
     */
   def estimate(cms: Column, key: Column, w: Int, d: Int): Column =
+    graft.functions.cms_estimate(cms, key, w, d)
+
+  private[graft] def estimateDeclarative(cms: Column, key: Column,
+      w: Int, d: Int): Column =
     array_min(zip_with(
       cms,
-      Bloom.positions(key, w, d),
+      Bloom.positionsDeclarative(key, w, d),
       (row, p) => element_at(row, p.cast("int") + 1)))
 
   /** Cellwise sum of two sketches with identical (w, d) — the mergeable

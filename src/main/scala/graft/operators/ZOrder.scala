@@ -45,6 +45,12 @@ object ZOrder {
   def interleave(cells: Seq[Column], bits: Int): Column = {
     require(cells.nonEmpty && bits * cells.size <= 62,
       s"bits*columns must fit a positive long; got $bits x ${cells.size}")
+    graft.functions.morton_interleave(array(cells: _*), bits)
+  }
+
+  /** The built-in shift/mask fold the kernel is bit-identical to
+    * (RegressionSpec); interpreted-HOF, kept as the test twin. */
+  private[graft] def interleaveDeclarative(cells: Seq[Column], bits: Int): Column = {
     val d = cells.size
     aggregate(
       sequence(lit(0), lit(bits - 1)), lit(0L),

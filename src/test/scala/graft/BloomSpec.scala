@@ -75,6 +75,10 @@ class BloomSpec extends SparkSuite {
       .count()
     assert(kept < li.count() / 2, s"prefilter kept $kept of ${li.count()} rows")
     assert(kept >= plain.count(), "prefilter may never drop a matching row")
+    // outer joins would silently lose their preserved rows — refuse them
+    intercept[IllegalArgumentException] {
+      Bloom.prefilterJoin(li, sel, "okey", m = 4096, k = 4, joinType = "left")
+    }
   }
 
   test("bloom decontamination is a superset of the exact ngram pass") {

@@ -557,6 +557,43 @@ class RegressionSpec extends SparkSuite {
       "a random far signature slipped under hamming<=3")
   }
 
+  test("sketch kernels are bit-identical to their declarative twins") {
+    import graft.operators.{Bloom, CountMin, ZOrder}
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"doc_id", $"text")
+    // adversarial keys: unicode, empties, long strings, raw fixture text
+    val keys = docs.select($"text".as("k"))
+      .union(Seq("", "é漢字🙂", "a" * 500, "NULL", "0").toDF("k"))
+    val (m, k) = (4096, 5)
+    val posDiff = keys.select(
+        Bloom.positions($"k", m, k).as("a"),
+        Bloom.positionsDeclarative($"k", m, k).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(posDiff === 0L, "bloom positions kernel diverges")
+    val bits = Bloom.buildBits(keys.limit(100), $"k", m, k)
+    val containsDiff = keys.crossJoin(broadcast(bits)).select(
+        Bloom.mightContain($"bits", $"k", m, k).as("a"),
+        Bloom.mightContainDeclarative($"bits", $"k", m, k).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(containsDiff === 0L, "bloom contains kernel diverges")
+    val cms = CountMin.build(keys, $"k", w = 512, d = 4)
+    val estDiff = keys.crossJoin(broadcast(cms)).select(
+        CountMin.estimate($"cms", $"k", 512, 4).as("a"),
+        CountMin.estimateDeclarative($"cms", $"k", 512, 4).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(estDiff === 0L, "cms estimate kernel diverges")
+    // morton: include nulls and boundary cells
+    val cells = Seq((0L, 0L), (65535L, 65535L), (12345L, 54321L), (1L, 0L))
+      .toDF("x", "y")
+      .union(Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
+        .toDF("x", "y"))
+    val mortonDiff = cells.select(
+        ZOrder.interleave(Seq($"x", $"y"), 16).as("a"),
+        ZOrder.interleaveDeclarative(Seq($"x", $"y"), 16).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(mortonDiff === 0L, "morton kernel diverges")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
