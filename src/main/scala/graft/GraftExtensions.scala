@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CharEntropyExpr, CosineSimilarity, GopherStatsExpr, GramBucketsExpr, GramMd5sExpr, LangIdExpr, MinHashSignature, MinHashText, NormalizeText, QualityStatsExpr, ReadCountsExpr, RepStatsExpr, ReplayMinhashExpr, ReplaySimhashExpr, SigEqCount, SimHash64, WinnowFpsExpr}
+import graft.functions.{BloomContainsExpr, BloomPositionsExpr, CharEntropyExpr, CmsEstimateExpr, CosineSimilarity, GopherStatsExpr, GramBucketsExpr, GramMd5sExpr, LangIdExpr, MinHashSignature, MinHashText, MortonInterleaveExpr, NormalizeText, QualityStatsExpr, ReadCountsExpr, RepStatsExpr, ReplayMinhashExpr, ReplaySimhashExpr, SigEqCount, SimHash64, WinnowFpsExpr}
 
 /** SparkSessionExtensions entry point — the idiomatic injection path for
   * the custom expressions, so any session (including spark-sql / thrift /
@@ -126,6 +126,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("sig_eq_count", exprs, 2, 2)
         SigEqCount(exprs(0), exprs(1))
+      }))
+    // sketch double-hash family: (key, m, k) / (bits, key, m, k) /
+    // (cms, key, w, d) / (cells, bits)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_positions"),
+      new ExpressionInfo(classOf[BloomPositionsExpr].getName, "bloom_positions"),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_positions", exprs, 3, 3)
+        BloomPositionsExpr(exprs(0),
+          litNum(exprs(1), "bloom_positions", "m").toInt,
+          litNum(exprs(2), "bloom_positions", "k").toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_contains", exprs, 4, 4)
+        BloomContainsExpr(exprs(0), exprs(1),
+          litNum(exprs(2), "bloom_contains", "m").toInt,
+          litNum(exprs(3), "bloom_contains", "k").toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        arity("cms_estimate", exprs, 4, 4)
+        CmsEstimateExpr(exprs(0), exprs(1),
+          litNum(exprs(2), "cms_estimate", "w").toInt,
+          litNum(exprs(3), "cms_estimate", "d").toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleaveExpr].getName, "morton_interleave"),
+      (exprs: Seq[Expression]) => {
+        arity("morton_interleave", exprs, 2, 2)
+        MortonInterleaveExpr(exprs(0),
+          litNum(exprs(1), "morton_interleave", "bits").toInt)
       }))
   }
 }

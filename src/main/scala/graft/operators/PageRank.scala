@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *  - state is (node, rank) longs; each iteration is one edge join on
   *    src + one dst-keyed integer-sum shuffle — the textbook
   *    edge-partitioned PR schedule, no adjacency materialization.
-  *  - the two per-iteration scalars (dangling mass, node count) are
-  *    single-row aggregates — bounded driver state like the k-means
-  *    centroids; everything node-sized stays distributed.
+  *  - the dangling-mass scalar stays IN the plan (one-row aggregate,
+  *    broadcast-joined), so the whole unrolled recurrence runs as one
+  *    job; only the node count is driver state.
   *  - `iters` is a small constant (authority scores stabilize in ≤10
   *    rounds); the plan unrolls statically, no driver-side convergence
   *    loop over data.
@@ -57,10 +57,13 @@ object PageRank {
     for (_ <- 1 to iters) {
       val withDeg = rank.join(outdeg, col("node") === col("o_src"), "left")
         .select(col("node"), col("r"), col("deg"))
-      // dangling pool: one scalar aggregate (bounded driver state)
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
-      val dshare = dangling / n
+      // dangling pool: a one-row aggregate attached via broadcast —
+      // keeping it IN the plan (instead of a per-iteration collect)
+      // makes the whole unrolled recurrence one job. floor(dm/n) is
+      // exact: dm ≤ scale ≪ 2⁵³.
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(floor(col("dm") / lit(n)).cast("long").as("dshare"))
       val er = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
       val contrib = withDeg.filter(col("deg").isNotNull)
         .join(er, col("node") === col("e_src"))
@@ -68,8 +71,9 @@ object PageRank {
           floor(col("r") / col("deg")).cast("long").as("c"))
         .groupBy(col("cnode")).agg(sum(col("c")).as("contrib"))
       rank = vs.join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
-          (lit(base) + floor(lit(dampNum) * (coalesce(col("contrib"), lit(0L)) + lit(dshare))
+          (lit(base) + floor(lit(dampNum) * (coalesce(col("contrib"), lit(0L)) + col("dshare"))
             / lit(dampDen)).cast("long")).as("r"))
     }
     rank.select(col("node"), col("r").as("rank_fp"))

@@ -354,6 +354,16 @@ class RegressionSpec extends SparkSuite {
     assert(r2.getInt(0) == 4 && r2.getInt(1) >= 0 && r2.getInt(1) <= 255, s"$r2")
     assert(r2.getDouble(2) == 0.0 && r2.getInt(3) == 5, s"$r2")
     assert(r2.getInt(4) == 6 && r2.getInt(5) == 5 && r2.getInt(6) == 1, s"$r2")
+    // the sketch double-hash family is SQL-callable too
+    val r3 = spark.sql(
+      """SELECT size(bloom_positions(text, 4096, 5)) AS np,
+        |  bloom_contains(array_repeat(-1L, 128), text, 4096, 5) AS hit,
+        |  bloom_contains(array_repeat(0L, 128), text, 4096, 5) AS miss,
+        |  cms_estimate(array(array_repeat(7L, 64), array_repeat(9L, 64)), text, 64, 2) AS est,
+        |  morton_interleave(array(5L, 3L), 3) AS z
+        |FROM kern_docs""".stripMargin).collect().head
+    assert(r3.getInt(0) == 5 && r3.getBoolean(1) && !r3.getBoolean(2), s"$r3")
+    assert(r3.getLong(3) == 7L && r3.getLong(4) == 27L, s"$r3")
   }
 
   test("fused quality_stats is bit-identical to the declarative battery") {
