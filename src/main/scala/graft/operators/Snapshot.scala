@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.normalize_text
+
+/** Corpus snapshot diff — the bookkeeping step of every incremental
+  * pipeline: given two versions of a document table, classify each id
+  * as added / removed / changed / unchanged so downstream stages
+  * (dedup index refresh, re-embedding, re-tokenization) touch only the
+  * delta instead of reprocessing the corpus.
+  *
+  * Scale shape: both sides reduce to (id, fp) — the md5 of the
+  * normalized text, never the text itself — before the single id-keyed
+  * full-outer join; the wide text column is pruned at the scan. Output
+  * is (id, status), joinable back to either snapshot to materialize
+  * just the changed slice.
+  */
+object Snapshot {
+
+  private def fps(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol),
+      md5(coalesce(normalize_text(col(textCol)), lit(""))).as("fp"))
+
+  /** Per-id diff: (idCol, status) with status in
+    * {added, removed, changed, unchanged}. `added` = only in `newer`,
+    * `removed` = only in `older`; a null text and an empty text carry
+    * the same fingerprint (both normalize to ""), which is the
+    * tolerant-of-nulls contract the exact-dedup family uses.
+    */
+  def diff(older: DataFrame, newer: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = fps(older, idCol, textCol).withColumnRenamed("fp", "fp_old")
+    val n = fps(newer, idCol, textCol).withColumnRenamed("fp", "fp_new")
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Status histogram — the one-line health check an orchestrator gates
+    * on (e.g. abort the refresh when `removed` spikes). */
+  def diffSummary(older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    diff(older, newer, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+}

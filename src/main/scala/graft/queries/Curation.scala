@@ -557,6 +557,32 @@ object Curation {
         .orderBy(col("rank_fp").desc, col("node"))
     },
 
+    QuerySpec(
+      "snapshot_diff",
+      // Corpus-version delta (incremental-pipeline bookkeeping): old =
+      // ids not divisible by 7, new = ids not divisible by 5 with every
+      // 11th doc's text perturbed — exercising all four statuses.
+      """WITH older AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |newer AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |          FROM documents WHERE doc_id % 5 <> 0),
+        |o AS (SELECT doc_id, md5(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '')) AS fp_old FROM older),
+        |n AS (SELECT doc_id, md5(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '')) AS fp_new FROM newer)
+        |SELECT doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val older = docs.filter(col("doc_id") % 7 =!= 0)
+      val newer = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Snapshot.diff(older, newer).orderBy(col("doc_id"))
+    },
+
     // ---- dataset assembly: packing and mixing ----------------------------
     QuerySpec(
       "pack_sequences",

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+/** [[Snapshot.diff]] — corpus-version delta. Edge cases the query can't
+  * hit: null vs empty text equivalence, whitespace-only normalization
+  * equivalence, and fully disjoint id sets.
+  */
+class SnapshotSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def statuses(o: Seq[(Long, String)], n: Seq[(Long, String)]) =
+    Snapshot.diff(o.toDF("doc_id", "text"), n.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("all four statuses classify correctly") {
+    val m = statuses(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")))
+    assert(m === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("null, empty, and whitespace-variant text share a fingerprint") {
+    val m = statuses(
+      Seq((1L, null), (2L, "a  b"), (3L, " x ")),
+      Seq((1L, ""), (2L, "a b"), (3L, "x")))
+    assert(m.values.forall(_ == "unchanged"), s"$m")
+  }
+
+  test("disjoint snapshots are all added + removed; summary counts agree") {
+    val o = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val n = Seq((3L, "c")).toDF("doc_id", "text")
+    val m = Snapshot.diff(o, n).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "removed", 2L -> "removed", 3L -> "added"))
+    val s = Snapshot.diffSummary(o, n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s === Map("removed" -> 2L, "added" -> 1L))
+  }
+}
