@@ -40,9 +40,17 @@ object PageRank {
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       s"need iters>=1 and 0<dampNum<dampDen; got $iters, $dampNum/$dampDen")
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val vs = nodes.map(_.select(col("node")).distinct()).getOrElse(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    // the edge and vertex sets feed every one of the `iters` unrolled
+    // rounds (plus the count); persisted, or each round re-derives them
+    // from the caller's upstream plan (for the syndication graph: a
+    // full corpus md5 pass per reuse). Harness releases via
+    // Dedup.releaseCaches like the other trainable operators.
+    val e = Caches.register(edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vs = Caches.register(
+      nodes.map(_.select(col("node")).distinct()).getOrElse(
+        e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // every reuse of e/vs below resolves columns by NAME on freshly
     // aliased projections — the rank lineage contains these plans
     // already, and dataset-tagged column references would be ambiguous
