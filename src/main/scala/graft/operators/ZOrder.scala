@@ -70,6 +70,13 @@ object ZOrder {
   def zvalues(df: DataFrame, cols: Seq[String], bits: Int = 16,
       bucketBits: Int = 4): DataFrame = {
     require(cols.nonEmpty, "need at least one layout column")
+    // a non-numeric column would cast-to-null row-by-row and silently
+    // collapse the curve to one cell — refuse instead
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order layout column '$c' must be numeric; got ${dt.simpleString}")
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*)

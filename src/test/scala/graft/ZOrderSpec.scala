@@ -40,6 +40,14 @@ class ZOrderSpec extends SparkSuite {
     assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << 16))
   }
 
+  test("non-numeric layout columns are refused, not silently collapsed") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zvalues(docs, Seq("lang", "n_chars"))
+    }
+    assert(e.getMessage.contains("lang"))
+  }
+
   test("z-ordered files tighten per-file spans on BOTH layout columns") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
