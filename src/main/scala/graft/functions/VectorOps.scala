@@ -1295,6 +1295,11 @@ object VectorOps {
     best
   }
 
+  def buildAc(phrases: Array[String]): AcAutomaton =
+    new AcAutomaton(phrases.map(_.getBytes("UTF-8")))
+
+  def acMatches(ac: AcAutomaton, text: UTF8String): ArrayData = ac.matches(text)
+
   /** Morton interleave of the low `bits` bits of d cell values (bit i of
     * cell j → position i·d+j) — bit-identical to the aggregate-fold
     * declarative form incl. its null propagation (any null cell → null).
@@ -1312,4 +1317,99 @@ object VectorOps {
     }
     java.lang.Long.valueOf(z)
   }
+}
+
+/** Aho–Corasick multi-pattern matcher over UTF-8 BYTES — one pass per
+  * document regardless of ban-list size, vs the O(len·phrases) of a
+  * per-phrase `contains` fold. Byte-level matching is exactly what
+  * both Spark's `UTF8String.contains` and DuckDB's `contains` compute
+  * on UTF-8 text, so `matches` is bit-identical to
+  * `filter(sequence(0, n-1), i -> contains(text, phrases(i)))` —
+  * sorted ascending phrase ids, one entry per matched phrase.
+  *
+  * Built once driver-side from the phrase list (broadcast model
+  * state, the ArgmaxCosine-centroids pattern): goto is a single
+  * int-keyed hash map ((node<<8)|byte — sound while nodes < 2²³,
+  * i.e. ban lists far beyond 10⁵ phrases), fail links by BFS, and
+  * each node's output set pre-chains its fail outputs. Top-level class
+  * so generated code can name it without a `$`.
+  */
+final class AcAutomaton(phrases: Array[Array[Byte]]) extends Serializable {
+    require(phrases.forall(_.nonEmpty), "empty ban phrase")
+    private val goto_ = new java.util.HashMap[Integer, Integer]()
+    private val ends = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    private var nNodes = 1
+    phrases.zipWithIndex.foreach { case (p, id) =>
+      var cur = 0
+      p.foreach { b =>
+        val key = Integer.valueOf((cur << 8) | (b & 0xFF))
+        val nxt = goto_.get(key)
+        if (nxt == null) {
+          goto_.put(key, Integer.valueOf(nNodes))
+          ends += scala.collection.mutable.ArrayBuffer.empty[Int]
+          cur = nNodes
+          nNodes += 1
+          require(nNodes < (1 << 23), "ban list too large for int goto keys")
+        } else cur = nxt.intValue()
+      }
+      ends(cur) += id
+    }
+    private val fail = new Array[Int](nNodes)
+    private val out = new Array[Array[Int]](nNodes)
+    locally {
+      val q = scala.collection.mutable.Queue.empty[(Int, Int, Int)] // (node, parent, byte)
+      out(0) = ends(0).toArray
+      var b = 0
+      while (b < 256) {
+        val v = goto_.get(Integer.valueOf(b))
+        if (v != null) { fail(v.intValue()) = 0; q += ((v.intValue(), 0, b)) }
+        b += 1
+      }
+      while (q.nonEmpty) {
+        val (u, _, _) = q.dequeue()
+        if (out(u) == null)
+          out(u) = (ends(u) ++ out(fail(u))).distinct.sorted.toArray
+        var bb = 0
+        while (bb < 256) {
+          val v = goto_.get(Integer.valueOf((u << 8) | bb))
+          if (v != null) {
+            var f = fail(u)
+            var hop = goto_.get(Integer.valueOf((f << 8) | bb))
+            while (f != 0 && hop == null) {
+              f = fail(f)
+              hop = goto_.get(Integer.valueOf((f << 8) | bb))
+            }
+            fail(v.intValue()) =
+              if (hop != null && hop.intValue() != v.intValue()) hop.intValue() else 0
+            q += ((v.intValue(), u, bb))
+          }
+          bb += 1
+        }
+      }
+    }
+
+    /** Sorted ascending ids of every phrase occurring in `text`. */
+    def matches(text: UTF8String): ArrayData = {
+      val bytes = text.getBytes
+      val hit = new Array[Boolean](phrases.length)
+      var cur = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xFF
+        var nxt = goto_.get(Integer.valueOf((cur << 8) | b))
+        while (cur != 0 && nxt == null) {
+          cur = fail(cur)
+          nxt = goto_.get(Integer.valueOf((cur << 8) | b))
+        }
+        cur = if (nxt == null) 0 else nxt.intValue()
+        val o = out(cur)
+        var j = 0
+        while (j < o.length) { hit(o(j)) = true; j += 1 }
+        i += 1
+      }
+      val ids = (0 until phrases.length).filter(i => hit(i))
+        .map(_.asInstanceOf[AnyRef])
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ids.toArray)
+    }
 }

@@ -658,3 +658,34 @@ case class MortonInterleaveExpr(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Aho–Corasick multi-pattern ban-phrase match: text → sorted array of
+  * matched phrase ids. O(bytes) per document regardless of ban-list
+  * size; bit-identical to the per-phrase `contains` filter fold (the
+  * form the DuckDB oracle replays) — RegressionSpec. The automaton is
+  * built once from the phrase list and shipped as a codegen reference
+  * object (broadcast model state, the ArgmaxCosine-centroids pattern).
+  */
+case class MultiContainsExpr(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+    "need a non-empty ban list of non-empty phrases")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val ac = VectorOps.buildAc(phrases.toArray)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.acMatches(ac,
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.acMatches($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -138,6 +138,12 @@ package object functions {
   def morton_interleave(cells: Column, bits: Int): Column =
     col0(MortonInterleaveExpr(expr0(cells), bits))
 
+  /** Aho–Corasick multi-pattern match: sorted ids of the ban phrases
+    * occurring in `text` — O(bytes) per doc regardless of ban-list
+    * size (bit-identical to the per-phrase contains fold). */
+  def multi_contains(text: Column, phrases: Seq[String]): Column =
+    col0(MultiContainsExpr(expr0(text), phrases))
+
   /** Character-unigram entropy in nats (fused kernel — bit-identical to
     * the declarative sorted run-length fold; see VectorOps.charEntropy). */
   def char_entropy(text: Column): Column =

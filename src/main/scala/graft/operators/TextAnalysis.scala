@@ -328,6 +328,35 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Multi-phrase ban-list matching via Aho–Corasick: one automaton pass
+    * per document regardless of ban-list size — the form literal
+    * decontamination takes when the ban list is 10⁴ phrases, where the
+    * per-phrase `contains` fold of [[graft.queries.Pipeline]]'s
+    * `text_decontaminate` is O(bytes·phrases). Returns (idCol,
+    * matched_ids sorted ascending, n_matched, contaminated).
+    */
+  def banPhraseMatches(docs: DataFrame, phrases: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      // null text ≡ no matches here (size(NULL) is -1, so coalesce first)
+      coalesce(multi_contains(col(textCol), phrases),
+        array().cast("array<int>")).as("ids"))
+      .select(col(idCol),
+        array_join(col("ids"), ",").as("matched_ids"),
+        size(col("ids")).as("n_matched"),
+        (size(col("ids")) > 0).as("contaminated"))
+
+  /** The per-phrase contains fold the kernel is bit-identical to
+    * (RegressionSpec twin; null text → null like the kernel). */
+  private[graft] def multiContainsDeclarative(text: Column,
+      phrases: Seq[String]): Column = {
+    val arr = array(phrases.map(lit): _*)
+    when(text.isNull, lit(null).cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(0), lit(phrases.size - 1)),
+        i => call_function("contains", text, element_at(arr, i + 1))))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order
     * and cut into fixed `seqLen`-token training sequences; a document whose
     * tokens straddle a cut spans consecutive sequences (pretraining packs

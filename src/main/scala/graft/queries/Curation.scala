@@ -558,6 +558,29 @@ object Curation {
     },
 
     QuerySpec(
+      "text_decontaminate_ac",
+      // Aho–Corasick ban-phrase matching: 12 phrases incl. prefix pairs
+      // ("scan" / "scan slow"), overlapping suffixes ("table scan"),
+      // 3-word phrases, and guaranteed misses. The oracle replays the
+      // SEMANTICS (per-phrase contains) — the kernel is the O(bytes)
+      // automaton, bit-identity asserted separately in RegressionSpec.
+      """WITH p AS (SELECT ['customer query', 'spark order', 'hash join', 'scan',
+        |                   'scan slow', 'sort merge', 'vector', 'row fast merge',
+        |                   'table scan', 'merge batch', 'quantum leap', 'zzz'] AS ph)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(generate_series(0, 11), i -> contains(text, ph[i+1])), ','), '') AS matched_ids,
+        |  CAST(len(list_filter(generate_series(0, 11), i -> contains(text, ph[i+1]))) AS INT) AS n_matched,
+        |  len(list_filter(generate_series(0, 11), i -> contains(text, ph[i+1]))) > 0 AS contaminated
+        |FROM documents, p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val phrases = Seq("customer query", "spark order", "hash join", "scan",
+        "scan slow", "sort merge", "vector", "row fast merge",
+        "table scan", "merge batch", "quantum leap", "zzz")
+      graft.operators.TextAnalysis.banPhraseMatches(
+          t(s, dir, "documents"), phrases)
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "snapshot_diff",
       // Corpus-version delta (incremental-pipeline bookkeeping): old =
       // ids not divisible by 7, new = ids not divisible by 5 with every

@@ -604,6 +604,24 @@ class RegressionSpec extends SparkSuite {
     assert(mortonDiff === 0L, "morton kernel diverges")
   }
 
+  test("aho-corasick kernel is bit-identical to the per-phrase contains fold") {
+    import graft.operators.TextAnalysis
+    val phrases = Seq("customer query", "spark order", "scan", "scan slow",
+      "table scan", "an s", "é漢", "aa", "aaa")
+    // fixture text + adversarial: overlapping/prefix patterns, unicode,
+    // repeated chars (aaaa matches both aa and aaa), null
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"text")
+      .union(Seq("aaaa", "scan slow scan", "é漢字", "", "table scan slow")
+        .toDF("text"))
+      .union(Seq(null.asInstanceOf[String]).toDF("text"))
+    val diff = docs.select(
+        graft.functions.multi_contains($"text", phrases).as("a"),
+        TextAnalysis.multiContainsDeclarative($"text", phrases).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff === 0L, "AC kernel diverges from the contains fold")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
