@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` maintaining the k smallest DISTINCT values of a
+  * long column — the bounded-state build path of the KMV (k-minimum
+  * values) distinct sketch ([[graft.operators.Kmv]]).
+  *
+  * The buffer is a sorted distinct array capped at k, so partial
+  * aggregation is map-side and O(k) per partition regardless of input
+  * cardinality: at 100 TB the exchange carries one ≤k-element array per
+  * (group × map task) instead of the full distinct value set that the
+  * declarative `collect_set` twin would shuffle. Merge is a sorted-array
+  * merge-dedup-cap, which keeps the bottom-k-distinct invariant exact:
+  * each partial holds its partition's k smallest distinct values, and the
+  * k smallest distinct of a union are always drawn from the per-part
+  * bottom-k, so the final sketch is bit-identical to the unbounded twin.
+  *
+  * Null handling is the caller's job ([[graft.operators.Kmv.sketch]]
+  * filters null hashes before the aggregate): `Encoders.scalaLong` would
+  * surface SQL NULL as 0L here, silently injecting a phantom minimum.
+  */
+class KmvAggregator(k: Int)
+    extends Aggregator[Long, KmvAggregator.Buf, Array[Long]] {
+  import KmvAggregator.Buf
+  require(k >= 1, s"need k >= 1, got $k")
+
+  override def zero: Buf = Buf(new Array[Long](k), 0)
+
+  override def reduce(b: Buf, v: Long): Buf = {
+    val pos = java.util.Arrays.binarySearch(b.vals, 0, b.n, v)
+    if (pos >= 0) b // already present: KMV is over distinct values
+    else {
+      val ins = -pos - 1
+      if (b.n < k) {
+        System.arraycopy(b.vals, ins, b.vals, ins + 1, b.n - ins)
+        b.vals(ins) = v
+        b.n += 1
+      } else if (ins < k) { // v < current max: displace it
+        System.arraycopy(b.vals, ins, b.vals, ins + 1, k - ins - 1)
+        b.vals(ins) = v
+      }
+      b
+    }
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    if (b.n == 0) a
+    else if (a.n == 0) b
+    else {
+      val out = new Array[Long](k)
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.n || j < b.n)) {
+        val takeA = j >= b.n || (i < a.n && a.vals(i) <= b.vals(j))
+        val v = if (takeA) a.vals(i) else b.vals(j)
+        if (takeA) i += 1 else j += 1
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      Buf(out, n)
+    }
+  }
+
+  override def finish(b: Buf): Array[Long] =
+    java.util.Arrays.copyOfRange(b.vals, 0, b.n)
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvAggregator {
+  /** `vals(0 until n)` is sorted ascending with no duplicates. */
+  final case class Buf(vals: Array[Long], var n: Int)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvAggregator
+
+/** KMV (k-minimum-values) distinct sketch — the mergeable distinct-count
+  * companion to the HLL workflow (SURVEY.md §2 supersets), with one
+  * property HLL lacks: KMV sketches support SET-OPERATION estimates
+  * (union, intersection, Jaccard) between corpus slices, the
+  * "how much does crawl N overlap crawl N+1" question every ingestion
+  * pipeline asks before paying for a full dedup pass.
+  *
+  * Everything is deliberately DETERMINISTIC (Beyer et al., "On synopses
+  * for distinct-value estimation under multiset operations", SIGMOD'07):
+  * the hash is the repo-standard first-60-bits-of-md5 (the
+  * [[Bloom]]/[[CountMin]] convention), the sketch is the k smallest
+  * distinct hash values in ascending order, and the estimators are fixed
+  * IEEE-double arithmetic — so the DuckDB oracle rebuilds the identical
+  * sketch and the identical estimates, hash-exact, collision noise
+  * included. Contrast `agg_hll_merge`, whose Spark/DuckDB sketches can
+  * only be compared through their rsd bound.
+  *
+  * Scale shape: build is a bounded-state typed aggregate
+  * ([[KmvAggregator]] — ≤k longs per group per map task reaches the
+  * exchange); merge of two sketches is pure array arithmetic on ≤k-element
+  * arrays (broadcast-sized model state, the k-means-centroid pattern);
+  * estimates never touch the data again.
+  *
+  * Estimator: with D = distinct count, sketch S = bottom-k of D hashed
+  * values drawn ~uniform on [0, 2^60): if |S| < k the sketch IS the
+  * distinct value set (exact); else E[D] ≈ (k-1) · 2^60 / S(k-1)
+  * (unbiased; rsd ≈ 1/√(k−2)).
+  */
+object Kmv {
+
+  /** 2^60 — exactly representable in double, so Spark and DuckDB compute
+    * the identical literal. */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** First 60 bits of md5 as a non-negative BIGINT — replayed in DuckDB
+    * as `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def h60(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** One sketch row per group: `groupCols :+ array<long> sketch` holding
+    * the k smallest distinct `h60(key)` values ascending. Null keys (and
+    * therefore null hashes) are excluded — a null can't hash and would
+    * otherwise decode as a phantom 0L minimum through the long encoder.
+    */
+  def sketch(df: DataFrame, key: Column, k: Int,
+      groupCols: Seq[Column] = Nil): DataFrame = {
+    val kmv = udaf(new KmvAggregator(k), ExpressionEncoder[Long]())
+    val hashed = df.select(groupCols :+ h60(key).as("h"): _*)
+      .filter(col("h").isNotNull)
+    hashed.groupBy(groupCols: _*).agg(kmv(col("h")).as("sketch"))
+  }
+
+  /** Unbounded declarative twin (`collect_set` → sort → slice) — the
+    * formulation the DuckDB oracles replay; bit-identity with the
+    * bounded aggregator is asserted in KmvSpec. NOT the scale path: the
+    * exchange carries every distinct hash. */
+  private[graft] def sketchDeclarative(df: DataFrame, key: Column, k: Int,
+      groupCols: Seq[Column] = Nil): DataFrame = {
+    val hashed = df.select(groupCols :+ h60(key).as("h"): _*)
+      .filter(col("h").isNotNull)
+    hashed.groupBy(groupCols: _*)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sketch"))
+  }
+
+  /** Distinct-count estimate from a sketch column. Exact below
+    * saturation; (k-1)·2^60/kth at it. */
+  def estimate(sketchCol: Column, k: Int): Column =
+    when(size(sketchCol) < k, size(sketchCol).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) /
+        element_at(sketchCol, k).cast("double"))
+
+  /** Merge two sketches of the same k: the KMV of the underlying union
+    * (bottom-k of the distinct union of the two value sets). */
+  def merge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Set-operation estimates between two sketched slices (Beyer et al.
+    * §4): from sketches A and B, L = merge(A,B) is the union's KMV;
+    * ρ̂ = |{v ∈ L : v ∈ A ∧ v ∈ B}| / |L| estimates Jaccard, and
+    * ρ̂ · est(L) estimates the intersection size. Input: two
+    * single-row DataFrames each holding `sketch`; output one row
+    * (matches, union_size, union_est, jaccard_est, intersect_est).
+    */
+  def setOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val l = merge(col("a"), col("b"), k)
+    a.select(col("sketch").as("a")).crossJoin(b.select(col("sketch").as("b")))
+      .select(col("a"), col("b"), l.as("l"))
+      .select(
+        size(filter(col("l"), v =>
+          array_contains(col("a"), v) && array_contains(col("b"), v)))
+          .as("matches"),
+        size(col("l")).as("union_size"),
+        estimate(col("l"), k).as("union_est"))
+      .select(col("matches"), col("union_size"), col("union_est"),
+        (col("matches").cast("double") / col("union_size")).as("jaccard_est"))
+      .withColumn("intersect_est", col("jaccard_est") * col("union_est"))
+  }
+}

@@ -518,6 +518,66 @@ object Superset {
           CountMin.estimate(col("cms"), col("token"), w = 1024, d = 4).as("est"))
         .orderBy(col("est").desc, col("token"))
         .limit(25)
+    },
+
+    QuerySpec(
+      "sketch_kmv_distinct",
+      // KMV bottom-k distinct sketch (Beyer et al. SIGMOD'07): per-group
+      // distinct-count estimate from the k smallest md5-60bit hash
+      // values. Unlike HLL (agg_hll_merge, rsd-bound only) the sketch
+      // AND the estimate are deterministic, so DuckDB rebuilds them
+      // hash-exact. k=256 ⇒ rsd ≈ 6%; true per-priority cardinality
+      // ≈ 1300 custkeys.
+      """WITH hs AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |sk AS (
+        |  SELECT o_orderpriority, (list_sort(list(h)))[1:256] AS sketch
+        |  FROM hs GROUP BY 1)
+        |SELECT o_orderpriority, CAST(len(sketch) AS INT) AS sketch_size,
+        |  CASE WHEN len(sketch) < 256 THEN CAST(len(sketch) AS DOUBLE)
+        |       ELSE 255.0 * 1152921504606846976.0 / sketch[256] END AS kmv_est
+        |FROM sk ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      Kmv.sketch(t(s, dir, "orders"), col("o_custkey").cast("string"),
+          k = 256, groupCols = Seq(col("o_orderpriority")))
+        .select(col("o_orderpriority"),
+          size(col("sketch")).as("sketch_size"),
+          Kmv.estimate(col("sketch"), 256).as("kmv_est"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    QuerySpec(
+      "sketch_kmv_setops",
+      // KMV set-operation estimates — the capability HLL lacks: overlap
+      // of the URGENT vs LOW customer populations from two 256-value
+      // sketches, no exact distinct or join anywhere. L = bottom-k of
+      // the sketch union is itself the union's KMV; the match fraction
+      // within L estimates Jaccard; their product the intersection.
+      """WITH hs AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |ska AS (SELECT (list_sort(list(h)))[1:256] AS a FROM hs WHERE o_orderpriority = '1-URGENT'),
+        |skb AS (SELECT (list_sort(list(h)))[1:256] AS b FROM hs WHERE o_orderpriority = '5-LOW'),
+        |m AS (SELECT a, b, (list_sort(list_distinct(list_concat(a, b))))[1:256] AS l FROM ska, skb),
+        |c AS (SELECT
+        |    CAST(len(list_filter(l, v -> list_contains(a, v) AND list_contains(b, v))) AS INT) AS matches,
+        |    CAST(len(l) AS INT) AS union_size,
+        |    CASE WHEN len(l) < 256 THEN CAST(len(l) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / l[256] END AS union_est
+        |  FROM m)
+        |SELECT matches, union_size, union_est,
+        |  matches * 1.0 / union_size AS jaccard_est,
+        |  (matches * 1.0 / union_size) * union_est AS intersect_est
+        |FROM c""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      val orders = t(s, dir, "orders")
+      def side(p: String) = Kmv.sketch(
+        orders.filter(col("o_orderpriority") === p),
+        col("o_custkey").cast("string"), k = 256)
+      Kmv.setOps(side("1-URGENT"), side("5-LOW"), k = 256)
     }
   )
 }

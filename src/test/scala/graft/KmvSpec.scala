@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Kmv
+
+/** KMV distinct sketch: bounded aggregator ≡ unbounded declarative twin
+  * (the oracle formulation), estimator accuracy, merge semantics, and the
+  * null/saturation edges.
+  */
+class KmvSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rows(n: Int, dups: Int) =
+    // every value appears `dups` times, shuffled across partitions
+    (0 until n).flatMap(i => Seq.fill(dups)(s"v$i"))
+      .zipWithIndex.map { case (v, i) => (i % 7, v) }
+      .toDF("g", "key").repartition(8)
+
+  test("bounded aggregator is bit-identical to the declarative collect_set twin") {
+    val df = rows(500, 3)
+    val a = Kmv.sketch(df, col("key"), k = 64, groupCols = Seq(col("g")))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val b = Kmv.sketchDeclarative(df, col("key"), k = 64, groupCols = Seq(col("g")))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("below saturation the sketch is the exact distinct hash set") {
+    val df = rows(40, 5)
+    val sk = Kmv.sketch(df, col("key"), k = 256)
+      .collect().head.getSeq[Long](0)
+    assert(sk.size == 40)
+    assert(sk == sk.sorted && sk.distinct.size == sk.size)
+  }
+
+  test("estimator lands within 3/sqrt(k-2) of a 10k-distinct truth") {
+    val df = rows(10000, 1)
+    val k = 256
+    val est = Kmv.sketch(df, col("key"), k)
+      .select(Kmv.estimate(col("sketch"), k)).collect().head.getDouble(0)
+    val rsd = 3.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - 10000.0) / 10000.0 < rsd,
+      s"est=$est off truth 10000 beyond 3 rsd")
+  }
+
+  test("merging per-slice sketches equals sketching the union") {
+    val df = rows(2000, 2)
+    val k = 128
+    def part(p: Int) = Kmv.sketch(df.filter(col("g") === p), col("key"), k)
+    val merged = part(1).select(col("sketch").as("a"))
+      .crossJoin(part(2).select(col("sketch").as("b")))
+      .select(Kmv.merge(col("a"), col("b"), k).as("sketch"))
+      .collect().head.getSeq[Long](0)
+    val direct = Kmv.sketch(df.filter(col("g").isin(1, 2)), col("key"), k)
+      .collect().head.getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("setOps estimates overlap of two slices within 3 rsd") {
+    // A = v0..v1499, B = v1000..v2499: union 2500, intersection 500
+    val a = (0 until 1500).map(i => s"v$i").toDF("key")
+    val b = (1000 until 2500).map(i => s"v$i").toDF("key")
+    val k = 256
+    val row = Kmv.setOps(
+      Kmv.sketch(a, col("key"), k), Kmv.sketch(b, col("key"), k), k)
+      .collect().head
+    val unionEst = row.getAs[Double]("union_est")
+    val interEst = row.getAs[Double]("intersect_est")
+    assert(math.abs(unionEst - 2500) / 2500.0 < 3.0 / math.sqrt(k - 2.0))
+    // intersection inherits both estimators' noise; allow 2x the band
+    assert(math.abs(interEst - 500) / 500.0 < 6.0 / math.sqrt(k - 2.0),
+      s"intersect_est=$interEst far from 500")
+  }
+
+  test("null keys are excluded, not hashed as phantom minima") {
+    val df = Seq(Some("a"), None, Some("b"), None).toDF("key")
+    val sk = Kmv.sketch(df, col("key"), k = 8).collect().head.getSeq[Long](0)
+    assert(sk.size == 2)
+  }
+
+  test("sketch groups with no group columns collapse to one global row") {
+    assert(Kmv.sketch(rows(100, 1), col("key"), k = 16).count() == 1)
+  }
+}
