@@ -47,4 +47,63 @@ object Snapshot {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     diff(older, newer, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Apply a CDC changeset to a base corpus — the write side of the
+    * incremental loop [[diff]] reads. `changes` carries `idCol`, an op
+    * column (`upsert` replaces-or-inserts the row, `delete` removes it),
+    * optionally a sequence column, and every base column an upsert needs.
+    *
+    * Scale shape: the changeset of one ingestion increment is orders of
+    * magnitude smaller than the accumulated corpus, so the base side
+    * NEVER shuffles — the (id, op) projection of the changeset broadcasts
+    * and survivors filter map-side (a broadcast anti-join); upserted rows
+    * union in behind it. Only the changeset itself is ever exchanged
+    * (once, keyed by id, when `seqCol` collapses multi-version ids).
+    * Plan-asserted in SnapshotSpec: no Exchange on the base side. Set
+    * `broadcastChanges = false` for a rare corpus-scale changeset; the
+    * same plan then runs as a shuffled anti-join.
+    *
+    * Multiple change rows per id require `seqCol`: the highest sequence
+    * wins (ties broken by op then the payload fingerprint, so the winner
+    * is deterministic even on malformed input). Without `seqCol`, a
+    * duplicated id in `changes` is a caller bug and the apply FAILS
+    * rather than picking an arbitrary winner.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      idCol: String = "doc_id", opCol: String = "op",
+      seqCol: Option[String] = None,
+      broadcastChanges: Boolean = true): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol)
+    val missing = (idCol +: opCol +: payload).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changeset lacks column(s) ${missing.mkString(", ")} — an upsert " +
+        "must carry every base column")
+
+    val latest = seqCol match {
+      case Some(sq) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col(sq).desc, col(opCol),
+            md5(to_json(struct(payload.map(col): _*))))
+        changes.withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") === 1).drop("graft_rn")
+      case None =>
+        // fail fast instead of applying two conflicting ops for one id
+        val dups = changes.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dups == 0,
+          s"changeset has multiple rows for one $idCol and no seqCol to " +
+            "order them")
+        changes
+    }
+
+    val keys = latest.select(col(idCol), col(opCol))
+    val touched = if (broadcastChanges) broadcast(keys) else keys
+    val survivors = base.join(touched, Seq(idCol), "left_outer")
+      .filter(col(opCol).isNull)
+      .select(base.columns.map(col): _*)
+    val upserts = latest.filter(col(opCol) === "upsert")
+      .select(base.columns.map(col): _*)
+    survivors.unionByName(upserts)
+  }
 }

@@ -606,6 +606,48 @@ object Curation {
       graft.operators.Snapshot.diff(older, newer).orderBy(col("doc_id"))
     },
 
+    QuerySpec(
+      "snapshot_apply",
+      // CDC changeset-apply (the write side of snapshot_diff): deletes
+      // (id%7=3), in-place upserts (id%7=4, uppercased), inserts
+      // (id%7=5 re-keyed +100000), plus a SECOND seq for half the
+      // upserts — exercising highest-sequence-wins. Result pinned by
+      // (doc_id, text fingerprint).
+      """WITH changes AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+        |    FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id, 1, 'upsert', upper(text) FROM documents WHERE doc_id % 7 = 4
+        |  UNION ALL SELECT doc_id + 100000, 1, 'upsert', text || ' v2' FROM documents WHERE doc_id % 7 = 5
+        |  UNION ALL SELECT doc_id, 2, 'upsert', text || ' final' FROM documents WHERE doc_id % 14 = 4),
+        |latest AS (
+        |  SELECT doc_id, op, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1),
+        |applied AS (
+        |  SELECT b.doc_id, b.text FROM documents b LEFT JOIN latest c USING (doc_id)
+        |  WHERE c.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM latest WHERE op = 'upsert')
+        |SELECT doc_id, md5(coalesce(text, '')) AS fp FROM applied
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val changes =
+        base.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), lit(1).as("seq"), lit("delete").as("op"),
+            lit(null).cast("string").as("text"))
+        .unionByName(base.filter(col("doc_id") % 7 === 4)
+          .select(col("doc_id"), lit(1).as("seq"), lit("upsert").as("op"),
+            upper(col("text")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 100000).as("doc_id"), lit(1).as("seq"),
+            lit("upsert").as("op"), concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 14 === 4)
+          .select(col("doc_id"), lit(2).as("seq"), lit("upsert").as("op"),
+            concat(col("text"), lit(" final")).as("text")))
+      graft.operators.Snapshot.applyChanges(base, changes, seqCol = Some("seq"))
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- dataset assembly: packing and mixing ----------------------------
     QuerySpec(
       "pack_sequences",

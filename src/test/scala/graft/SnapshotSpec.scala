@@ -37,4 +37,59 @@ class SnapshotSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s === Map("removed" -> 2L, "added" -> 1L))
   }
+
+  // ---- applyChanges -------------------------------------------------------
+
+  private val base = Seq(
+    (1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+    .toDF("doc_id", "text")
+
+  test("applyChanges deletes, updates in place, and inserts") {
+    val changes = Seq(
+      (2L, "delete", null.asInstanceOf[String]),
+      (3L, "upsert", "THREE"),
+      (9L, "upsert", "nine")).toDF("doc_id", "op", "text")
+    val out = Snapshot.applyChanges(base, changes)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "one", 3L -> "THREE", 4L -> "four", 9L -> "nine"))
+  }
+
+  test("highest sequence wins when one id changes twice") {
+    val changes = Seq(
+      (3L, 1, "upsert", "v1"), (3L, 2, "upsert", "v2"),
+      (4L, 2, "upsert", "kept"), (4L, 3, "delete", null.asInstanceOf[String]))
+      .toDF("doc_id", "seq", "op", "text")
+    val out = Snapshot.applyChanges(base, changes, seqCol = Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "one", 2L -> "two", 3L -> "v2"))
+  }
+
+  test("duplicate change ids without a seqCol fail fast") {
+    val changes = Seq((3L, "upsert", "a"), (3L, "delete", null.asInstanceOf[String]))
+      .toDF("doc_id", "op", "text")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyChanges(base, changes).collect()
+    }
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("an upsert missing a base column is refused, not null-padded") {
+    val changes = Seq((3L, "upsert")).toDF("doc_id", "op")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyChanges(base, changes)
+    }
+    assert(e.getMessage.contains("text"))
+  }
+
+  test("base side applies without an exchange: changeset broadcasts") {
+    val changes = Seq((2L, "delete", null.asInstanceOf[String]))
+      .toDF("doc_id", "op", "text")
+    val plan = Snapshot.applyChanges(base, changes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    // the only exchanges allowed are broadcast ones (changeset side)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"base side shuffles:\n$plan")
+  }
 }
