@@ -578,6 +578,29 @@ object Superset {
         orders.filter(col("o_orderpriority") === p),
         col("o_custkey").cast("string"), k = 256)
       Kmv.setOps(side("1-URGENT"), side("5-LOW"), k = 256)
+    },
+
+    QuerySpec(
+      "layout_compaction",
+      // Small-file compaction plan: docs binned to ~50k-char output
+      // shards by a GLOBAL exclusive running sum of n_chars in doc_id
+      // order. Spark computes the sum distributed (range partition →
+      // per-partition window → broadcast offsets, no single-partition
+      // window over the corpus); the oracle replays the equivalent
+      // global window. Per-bin summary pins every assignment via count,
+      // bytes, and the [first, last] key span.
+      """WITH cum AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM documents)
+        |SELECT cum_before // 5000 AS bin, count(*) AS n_items,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_key, max(doc_id) AS last_key
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.operators.Compaction.planSummary(
+        t(s, dir, "documents"), col("n_chars"), col("doc_id"),
+        targetBytes = 5000L)
     }
   )
 }

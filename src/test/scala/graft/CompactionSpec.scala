@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compaction
+
+/** [[Compaction]] — distributed prefix sum, bin contract, and the
+  * file-level list→plan→rewrite path.
+  */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("distributed prefixSum equals the single-partition global window") {
+    val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 991 + 1).toLong))
+      .toDF("id", "sz").repartition(16)
+    val got = Compaction.prefixSum(df, col("sz"), Seq(col("id")))
+      .select("id", "cum_before").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum(col("sz")).over(w), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("prefixSum runs no single-partition window over the data") {
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "sz")
+    val plan = Compaction.prefixSum(df, col("sz"), Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    // every Window node must be partitioned (by the materialized pid);
+    // the offsets window runs over the tiny distinct-pid table only,
+    // which Spark plans as a Window with partition spec absent — assert
+    // the DATA path: a range exchange exists, and no Window consumes the
+    // raw unpartitioned input
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    // the data-path window is partitioned by the materialized pid:
+    // `Window [...], [graft_pid#N], [id#M ASC ...]`
+    assert("""\], \[graft_pid#\d+\], \[id#""".r.findFirstIn(plan).isDefined,
+      s"expected pid-partitioned window over the data:\n$plan")
+    // exactly one SinglePartition exchange: the model-state-sized
+    // (pid, total) offsets table, never the data
+    val singles = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"expected 1 tiny single-partition exchange, got $singles:\n$plan")
+  }
+
+  test("bins land within one item of the target; nothing is lost") {
+    val df = (0 until 1000).map(i => (i.toLong, 100L)).toDF("id", "sz")
+    val bins = Compaction.planSummary(df, col("sz"), col("id"), 999L)
+      .collect()
+    val all = bins.map(_.getAs[Long]("bytes"))
+    assert(all.init.forall(b => b > 999L - 100L && b < 999L + 100L),
+      s"bin off target beyond one item: ${all.mkString(",")}")
+    assert(all.sum == 100000L)
+    // spans are contiguous and ordered
+    val spans = bins.map(r => (r.getAs[Long]("first_key"), r.getAs[Long]("last_key")))
+    spans.sliding(2).foreach { case Array((_, l1), (f2, _)) =>
+      assert(f2 == l1 + 1, s"gap between bins: $l1 -> $f2")
+    case _ => }
+  }
+
+  test("one oversized item overshoots its bin without disturbing later bins") {
+    val df = Seq((1L, 10L), (2L, 500L), (3L, 10L), (4L, 10L))
+      .toDF("id", "sz")
+    val plan = Compaction.plan(df, col("sz"), Seq(col("id")), 100L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // cum_before: 0, 10, 510, 520 -> bins 0, 0, 5, 5
+    assert(plan == Map(1L -> 0L, 2L -> 0L, 3L -> 5L, 4L -> 5L))
+  }
+
+  test("planFiles + compactFiles collapse many small part files") {
+    val in = Files.createTempDirectory("graft-compact-in").toString
+    val out = Files.createTempDirectory("graft-compact-out").toString + "/c"
+    spark.range(0, 20000).withColumn("payload", md5(col("id").cast("string")))
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val nIn = new java.io.File(in).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nIn == 40)
+    val target = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 4
+    val plan = Compaction.compactFiles(spark, in, out, target)
+    assert(plan.select(countDistinct(col("bin"))).head.getLong(0) <= 6)
+    val nOut = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nOut < nIn / 4, s"expected <10 output files, got $nOut")
+    // rewrite preserves the data exactly
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+}
