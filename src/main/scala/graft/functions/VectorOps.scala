@@ -1317,6 +1317,39 @@ object VectorOps {
     }
     java.lang.Long.valueOf(z)
   }
+  /** Fused sign projection (Achlioptas '01 random projection with the
+    * ±1 distribution): out[j] = Σ_i v[i]·signs[j·dIn+i] / √dOut, the sum
+    * an ascending-i double fold (float input widened first, exactly the
+    * array<double> cast) — bit-identical to the declarative per-term
+    * chain ([[graft.operators.Projection.projectDeclarative]]) and to
+    * DuckDB's `list_sum(list_transform(...))` replay. One generated loop
+    * regardless of dimensions: 768→64 as a built-in expression tree
+    * would be ~50k codegen nodes.
+    */
+  def signProject(vec: ArrayData, signs: Array[Double], dIn: Int, dOut: Int,
+      isFloat: Boolean): ArrayData = {
+    if (vec.numElements() < dIn)
+      throw new IllegalArgumentException(
+        s"signProject: vector dim ${vec.numElements()} < dIn = $dIn")
+    // divide, don't multiply by a reciprocal: x/√d and x·(1/√d) differ in
+    // the last bit, and the DuckDB replay divides
+    val root = math.sqrt(dOut.toDouble)
+    val out = new Array[Double](dOut)
+    var j = 0
+    while (j < dOut) {
+      val off = j * dIn
+      var acc = 0.0
+      var i = 0
+      while (i < dIn) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += x * signs(off + i)
+        i += 1
+      }
+      out(j) = acc / root
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Aho–Corasick multi-pattern matcher over UTF-8 BYTES — one pass per

@@ -481,6 +481,35 @@ case class LutSumExpr(child: Expression, lut: Array[Double])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused ±1 sign projection (Johnson–Lindenstrauss via Achlioptas '01):
+  * array<float|double> of dIn dims → array<double> of dOut dims using a
+  * flat-packed sign matrix (broadcast model state — the signs derive
+  * deterministically from md5, [[graft.operators.Projection.signMatrix]],
+  * so the DuckDB oracle regenerates them). Bit-identical to the
+  * declarative per-term chain (RegressionSpec); see VectorOps.signProject.
+  */
+case class SignProjectExpr(child: Expression, signs: Array[Double],
+    dIn: Int, dOut: Int) extends UnaryExpression {
+
+  require(dIn >= 1 && dOut >= 1 && signs.length == dIn * dOut,
+    s"sign_project: flat signs length ${signs.length} != dIn*dOut = ${dIn * dOut}")
+
+  private lazy val isFloat = VectorOps.isFloatArray(child.dataType)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.signProject(v.asInstanceOf[ArrayData], signs, dIn, dOut, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signsFlat", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.signProject($c, $ref, $dIn, $dOut, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused Gopher repetition signals: raw text → struct(dup_line_frac,
   * top_2gram_frac, dup_5gram_frac). Result-identical to the declarative
   * sort+fold form (TextAnalysis.gopherRepetitionDeclarative;

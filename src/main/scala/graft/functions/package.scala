@@ -179,6 +179,12 @@ package object functions {
   def argmax_cosine(vec: Column, centsFlat: Array[Float], k: Int, dim: Int): Column =
     col0(ArgmaxCosineExpr(expr0(vec), centsFlat, k, dim))
 
+  /** Fused ±1 sign projection dIn → dOut dims (flat signs row-major by
+    * output dim); out[j] = Σᵢ v[i]·s[j·dIn+i] / √dOut. */
+  def sign_project(vec: Column, signsFlat: Array[Double], dIn: Int,
+      dOut: Int): Column =
+    col0(SignProjectExpr(expr0(vec), signsFlat, dIn, dOut))
+
   /** Distinct sorted FNV-1a shingle hashes — hash-space twin of
     * `array_distinct(word_shingles(tokens(text), n))` for Jaccard
     * verification over longs instead of strings. */

@@ -412,6 +412,61 @@ object Pipeline {
     },
 
     QuerySpec(
+      "embed_project",
+      // JL sign projection 64→16 dims (Achlioptas ±1): the sign matrix
+      // derives from md5 parity, so DuckDB regenerates it and replays
+      // every projected coordinate — rounded to 6 on both sides, ranking
+      // nowhere (pure projection pin: two coordinates + the L2 norm,
+      // which stays ~1 because JL preserves norms in expectation).
+      """WITH proj AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 15), j ->
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      e[i] * CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END)) / sqrt(16.0)) AS p
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+        |SELECT vec_id, round(p[1], 6) AS p1, round(p[9], 6) AS p9,
+        |  round(sqrt(list_sum(list_transform(p, x -> x*x))), 6) AS norm
+        |FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Projection.project(t(s, dir, "embeddings"), 64, 16)
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1), 6).as("p1"),
+          round(element_at(col("embedding"), 9), 6).as("p9"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)), 6).as("norm"))
+        .orderBy(col("vec_id"))
+    },
+
+    QuerySpec(
+      "ann_rp_topk",
+      // ANN in the projected space — the 100 TB shape: project once
+      // (fused kernel, broadcast sign matrix), then the same brute
+      // top-k machinery runs on 16-dim vectors instead of 64 (4× less
+      // score compute and shuffle payload; at 768→64 it's 12×). The
+      // oracle replays projection AND ranking end-to-end.
+      """WITH proj AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 15), j ->
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      e[i] * CASE WHEN ('0x' || substr(md5(j::VARCHAR || '_' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END)) / sqrt(16.0)) AS p
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+        |q AS (SELECT vec_id, p FROM proj WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_cosine_similarity(q.p, c.p) AS rawcos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.p, c.p) DESC, c.vec_id) AS rn
+        |  FROM q CROSS JOIN proj c WHERE q.vec_id <> c.vec_id)
+        |SELECT q_id, c_id, round(rawcos, 6) AS cos, rn FROM scored WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val projected = graft.operators.Projection
+        .project(t(s, dir, "embeddings"), 64, 16)
+      Similarity.bruteForceTopK(projected,
+          projected.filter(col("vec_id") < 5), k = 10)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    QuerySpec(
       "ann_ivf_topk",
       // The IVF path is deterministic (centroids every n/nlist-th vector,
       // argmax assignment, nprobe probing), so DuckDB can replay the whole

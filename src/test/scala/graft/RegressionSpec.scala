@@ -622,6 +622,40 @@ class RegressionSpec extends SparkSuite {
     assert(diff === 0L, "AC kernel diverges from the contains fold")
   }
 
+  test("fused sign_project is bit-identical to the declarative term chain") {
+    import graft.operators.Projection
+    val embs = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val a = Projection.project(embs, 64, 16)
+      .select($"vec_id", $"embedding").orderBy($"vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val b = Projection.projectDeclarative(embs, 64, 16)
+      .select($"vec_id", $"embedding").orderBy($"vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(a.toSeq == b.toSeq, "kernel diverges from the declarative chain")
+  }
+
+  test("sign projection preserves pairwise distance within the JL band") {
+    import graft.operators.Projection
+    val embs = Tables.load(spark, sfDir, "embeddings").limit(40)
+    def dists(df: org.apache.spark.sql.DataFrame) = {
+      val vs = df.orderBy($"vec_id").collect()
+        .map(_.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      for (i <- vs.indices; j <- 0 until i) yield
+        math.sqrt(vs(i).zip(vs(j)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val orig = dists(embs.select($"vec_id", $"embedding"))
+    val proj = dists(Projection.project(embs, 64, 16)
+      .select($"vec_id", $"embedding"))
+    // JL with dOut=16 is coarse: assert the distance RATIO distribution
+    // is centered (median within 25%) rather than per-pair tight
+    val ratios = orig.zip(proj).collect { case (o, p) if o > 0 => p / o }
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.75 && med < 1.25, s"median distance ratio $med")
+  }
+
   test("releaseCaches unpersists minhash signature cache") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
