@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_similarity
+
+/** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+  * scaling laws", arXiv:2206.14486): rank every example by cosine to its
+  * cluster centroid — its PROTOTYPICALITY — and drop the most prototypical
+  * fraction per cluster. The paper's core result: with abundant data,
+  * pruning the EASY (prototypical) examples beats random subsampling and
+  * can beat power-law scaling; the kept tail carries the information.
+  *
+  * Deterministic end-to-end like the IVF family it reuses: centroids are
+  * the [[Similarity.centroids]] stride sample, assignment is the fused
+  * map-side argmax ([[Similarity.assign]], zero corpus shuffle), and the
+  * keep rule is pure rank arithmetic — so DuckDB replays the whole
+  * pipeline, ranking on raw doubles, output rounded.
+  *
+  * Scale shape: the derived cluster count grows with the corpus
+  * ([[Dedup.semDedup]]'s rule), pinning mean cluster size, so the one
+  * exchange — the per-cluster ranking window, keyed by centroid_id —
+  * has bounded groups at any corpus size. Centroids stay broadcast
+  * model state.
+  */
+object Prototypes {
+
+  /** Per-example prototypicality: (idCol, centroid_id, proto, rk, nc,
+    * kept) — `proto` = cosine to the assigned centroid, `rk` = rank
+    * within the cluster by proto descending (ties to smaller id),
+    * `nc` = cluster size, `kept` = rk > ceil(dropFrac · nc). */
+  def scores(embs: DataFrame, dropFrac: Double, nlist: Int = 0,
+      targetClusterSize: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1, s"need 0 <= dropFrac < 1, got $dropFrac")
+    val n = embs.count()
+    val k =
+      if (nlist > 0) nlist
+      else math.min(65536L, math.max(8L, n / targetClusterSize)).toInt
+    val cents = Similarity.centroids(embs, k, vecCol, idCol, knownCount = n)
+    val assigned = Similarity.assign(embs, cents, vecCol, idCol, "p", top = 1)
+    val w = Window.partitionBy(col("centroid_id"))
+    val scored = assigned
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("p_id").as(idCol), col("centroid_id"),
+        cosine_similarity(col("p_vec"), col("centroid_vec")).as("proto"))
+      .withColumn("rk",
+        row_number().over(w.orderBy(col("proto").desc, col(idCol))))
+      .withColumn("nc", count(lit(1)).over(w))
+    scored.withColumn("kept",
+      col("rk") > ceil(lit(dropFrac) * col("nc")).cast("long"))
+  }
+
+  /** The pruned corpus itself: input rows minus the dropped fraction. */
+  def prune(embs: DataFrame, dropFrac: Double, nlist: Int = 0,
+      targetClusterSize: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val keep = scores(embs, dropFrac, nlist, targetClusterSize, vecCol, idCol)
+      .filter(col("kept")).select(col(idCol))
+    embs.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -41,6 +41,40 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
 
+  /** Contrastive hard-negative mining — the training-pair prep step for
+    * embedding/reranker models: for each anchor, the `m` MOST similar
+    * candidates inside the band `[lo, hi)`. The upper bound excludes
+    * near-duplicates (those are positives — or dedup fodder — not
+    * negatives); the lower bound excludes easy negatives the model learns
+    * nothing from. Same two-stage partition-local → global top-k shape as
+    * [[bruteForceTopK]], with the band filter INSIDE the scoring stage's
+    * codegen so only in-band (q_id, c_id, cos) triples reach either
+    * window — at a realistic band that kills ~95% of pairs before any
+    * exchange. At corpus scale, run it over [[Projection]]-compressed
+    * vectors or behind an IVF probe like the ANN family.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, m: Int = 5,
+      lo: Double = 0.5, hi: Double = 0.95,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val q = broadcast(anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        spark_partition_id().as("pid"))
+      .join(q)
+      .select(col("q_id"), col("c_id"), col("pid"),
+        cosine_similarity(col("q_vec"), col("c_vec")).as("cos"))
+      .filter(col("q_id") =!= col("c_id"))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val localW = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= m)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= m)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+  }
+
   /** Deterministic coarse centroids: every (n/nlist)-th vector by id.
     * count() on parquet is metadata-only; the filter prunes map-side, so
     * no global sort or single-partition funnel ever happens. Callers that

@@ -467,6 +467,70 @@ object Pipeline {
     },
 
     QuerySpec(
+      "mine_hard_negatives",
+      // Contrastive hard-negative mining: per anchor, the 5 most similar
+      // candidates in the band [0.15, 0.9) — above it is a near-dup
+      // (a positive, not a negative), below it the model learns nothing.
+      // Band filter runs inside the scoring stage; ranking on raw
+      // doubles, emitted cosine rounded (ann_brute_topk pattern).
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_cosine_similarity(q.e, c.embedding::DOUBLE[]) AS rawcos
+        |  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id),
+        |banded AS (
+        |  SELECT q_id, c_id, rawcos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rawcos DESC, c_id) AS rn
+        |  FROM scored WHERE rawcos >= 0.15 AND rawcos < 0.9)
+        |SELECT q_id, c_id, round(rawcos, 6) AS cos, rn FROM banded WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 5),
+          m = 5, lo = 0.15, hi = 0.9)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    QuerySpec(
+      "prune_prototypes",
+      // SSL-prototype pruning (Sorscher et al. 2022): drop the most
+      // prototypical 30% per cluster — with abundant data, pruning EASY
+      // examples beats random subsampling. Centroids/assignment are the
+      // dedup_semantic replay (stride sample + argmax, QUALIFY for
+      // sparse-id corpora); keep rule is pure rank arithmetic. Ranks
+      // compare on raw doubles; proto rounded in the output.
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |params AS (SELECT greatest(n // 64, 8) AS nlist,
+        |                  greatest(n // greatest(n // 64, 8), 1) AS step FROM nn),
+        |cents AS (
+        |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings, params
+        |  WHERE vec_id % step = 0
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= nlist),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) x WHERE crn = 1),
+        |ranked AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_cosine_similarity(a.v, c.cv) AS proto,
+        |    row_number() OVER (PARTITION BY a.centroid_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, a.vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY a.centroid_id) AS nc
+        |  FROM assigned a JOIN cents c ON a.centroid_id = c.centroid_id)
+        |SELECT vec_id, centroid_id, round(proto, 6) AS proto, CAST(rk AS INT) AS rk,
+        |  rk > CAST(ceil(0.3 * nc) AS BIGINT) AS kept
+        |FROM ranked ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Prototypes.scores(t(s, dir, "embeddings"), dropFrac = 0.3)
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("proto"), 6).as("proto"), col("rk"), col("kept"))
+        .orderBy(col("vec_id"))
+    },
+
+    QuerySpec(
       "ann_ivf_topk",
       // The IVF path is deterministic (centroids every n/nlist-th vector,
       // argmax assignment, nprobe probing), so DuckDB can replay the whole

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Prototypes, Similarity}
+
+/** [[Prototypes]] prototype pruning + [[Similarity.hardNegatives]] band
+  * mining — semantics the driver query can't pin: planted-cluster drop
+  * behavior, exact keep counts, and band edge exclusivity.
+  */
+class PrototypesSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Two tight clusters around orthogonal axes; within each, vectors at
+    * increasing angle from the axis — the centroid-nearest are the
+    * prototypes. Ids chosen so the stride centroids (every n/k-th id)
+    * land one per cluster. */
+  private def planted = {
+    def vec(axis: Int, angle: Double): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = math.cos(angle).toFloat
+      v((axis + 1) % 4) = math.sin(angle).toFloat
+      v
+    }
+    // cluster 0: ids 0..15 on axis 0; cluster 1: ids 16..31 on axis 2
+    val rows = (0 until 16).map(i => (i.toLong, vec(0, i * 0.03))) ++
+      (16 until 32).map(i => (i.toLong, vec(2, (i - 16) * 0.03)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("keep counts are exactly nc - ceil(dropFrac * nc) per cluster") {
+    val s = Prototypes.scores(planted, dropFrac = 0.25, nlist = 2,
+      targetClusterSize = 16)
+    val perCluster = s.groupBy("centroid_id")
+      .agg(count(lit(1)).as("nc"),
+        sum(col("kept").cast("long")).as("kept"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    perCluster.foreach { case (nc, kept) =>
+      assert(kept == nc - math.ceil(0.25 * nc).toLong, s"nc=$nc kept=$kept")
+    }
+  }
+
+  test("the dropped examples are the centroid-nearest prototypes") {
+    val s = Prototypes.scores(planted, dropFrac = 0.25, nlist = 2,
+      targetClusterSize = 16).collect()
+    val dropped = s.filter(!_.getAs[Boolean]("kept"))
+    val kept = s.filter(_.getAs[Boolean]("kept"))
+    // every dropped example is at least as prototypical as every kept one
+    // within its cluster
+    for (cid <- s.map(_.getAs[Long]("centroid_id")).distinct) {
+      val dMin = dropped.filter(_.getAs[Long]("centroid_id") == cid)
+        .map(_.getAs[Double]("proto")).min
+      val kMax = kept.filter(_.getAs[Long]("centroid_id") == cid)
+        .map(_.getAs[Double]("proto")).max
+      assert(dMin >= kMax, s"cluster $cid dropped a harder example")
+    }
+  }
+
+  test("prune returns the original rows minus the dropped fraction") {
+    val out = Prototypes.prune(planted, dropFrac = 0.25, nlist = 2,
+      targetClusterSize = 16)
+    assert(out.count() == 24) // 32 - 2 * ceil(0.25*16)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
+  test("dropFrac = 0 keeps everything; dropFrac >= 1 is refused") {
+    assert(Prototypes.prune(planted, dropFrac = 0.0, nlist = 2).count() == 32)
+    intercept[IllegalArgumentException] {
+      Prototypes.scores(planted, dropFrac = 1.0, nlist = 2)
+    }
+  }
+
+  // ---- hardNegatives ------------------------------------------------------
+
+  /** Anchor on axis 0 plus candidates at fixed known cosines to it. */
+  private def banded = {
+    def at(cos: Double, id: Long) = {
+      val s = math.sqrt(1 - cos * cos)
+      (id, Array(cos.toFloat, s.toFloat, 0f, 0f))
+    }
+    (Seq((0L, Array(1f, 0f, 0f, 0f))) ++
+      Seq(at(0.99, 1), at(0.9, 2), at(0.7, 3), at(0.6, 4), at(0.5, 5),
+        at(0.3, 6), at(-0.2, 7)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("band excludes near-dups above and easy negatives below") {
+    // band edges sit between planted cosines (float32 storage wobbles
+    // the planted values by ~1e-8, so edges must not coincide with them)
+    val out = Similarity.hardNegatives(banded,
+        banded.filter(col("vec_id") === 0), m = 10, lo = 0.45, hi = 0.89)
+      .orderBy("rn").collect()
+    val ids = out.map(_.getAs[Long]("c_id")).toSeq
+    assert(ids == Seq(3L, 4L, 5L), s"got $ids") // 0.7, 0.6, 0.5 in band
+    val cosines = out.map(_.getAs[Double]("cos")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("anchors never mine themselves") {
+    val out = Similarity.hardNegatives(banded, banded, m = 10,
+      lo = -1.0, hi = 1.01)
+    assert(out.filter(col("q_id") === col("c_id")).count() == 0)
+  }
+}
