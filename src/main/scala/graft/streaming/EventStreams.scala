@@ -102,6 +102,27 @@ object EventStreams {
       .groupBy(col("r"), col("p"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming KMV distinct sketch: maintain the bottom-k distinct hash
+    * values of [[graft.operators.Kmv]] incrementally over an unbounded
+    * key stream — distinct-count (and, via [[graft.operators.Kmv
+    * .setOps]] against any other slice's sketch, overlap) estimates
+    * that stay ≤ k longs of aggregation state no matter how many
+    * distinct keys flow past; an exact streaming distinct's state grows
+    * with the key domain. Same [[graft.functions.KmvAggregator]] the
+    * batch build runs, so the emitted sketch is BIT-IDENTICAL to
+    * batch-sketching the stream's full history (StreamingSpec) and all
+    * estimate/merge math is shared. Emit in Complete mode.
+    */
+  def kmvSketchStream(stream: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    stream
+      .select(graft.operators.Kmv.h60(col(keyCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull)
+      .agg(kmv(col("h")).as("sketch"))
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -60,6 +60,24 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming KMV sketch is bit-identical to batch-sketching the history") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val K = 64
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.kmvSketchStream(stream, "user_id", K),
+      "kmv_sketch", OutputMode.Complete())
+      .collect()
+    assert(got.length == 1, "expected one global sketch row")
+    val streamSk = got(0).getSeq[Long](0)
+    assert(streamSk.size <= K, "state exceeded the k bound")
+    val batchSk = graft.operators.Kmv.sketch(
+        Tables.load(spark, sfDir, "events"),
+        col("user_id").cast("string"), K)
+      .collect()(0).getSeq[Long](0)
+    assert(streamSk == batchSk, "stream sketch diverges from batch")
+  }
+
   test("streaming dedup removes duplicate event_ids within the watermark") {
     // duplicate the whole fixture: every event appears twice in the source
     val dir = java.nio.file.Files.createTempDirectory("graft_dup_events")
