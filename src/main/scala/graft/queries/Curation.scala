@@ -674,6 +674,36 @@ object Curation {
     },
 
     QuerySpec(
+      "batch_padding",
+      // Length-grouped batching audit (HF LengthGroupedSampler recipe):
+      // within 200-doc shards, batches of 32 formed by (n_tokens, id)
+      // order vs naive id order; waste = n·max − Σlen per batch. Pure
+      // integer window arithmetic, replayed exactly — and the sorted
+      // waste column demonstrates the padding win without GPU time.
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 200 AS shard,
+        |    coalesce(CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT), 0) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS srn,
+        |            row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS nrn
+        |  FROM toks),
+        |b AS (SELECT shard, n_tokens, (srn - 1) // 32 AS sb, (nrn - 1) // 32 AS nb FROM r),
+        |s AS (SELECT shard, sb AS batch, count(*) AS n_docs, max(n_tokens) AS sorted_max,
+        |        CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS sorted_waste
+        |      FROM b GROUP BY 1, 2),
+        |nv AS (SELECT shard, nb AS batch, max(n_tokens) AS naive_max,
+        |        CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS naive_waste
+        |      FROM b GROUP BY 1, 2)
+        |SELECT s.shard, s.batch, n_docs, sorted_max, sorted_waste, naive_max, naive_waste
+        |FROM s JOIN nv ON s.shard = nv.shard AND s.batch = nv.batch
+        |ORDER BY s.shard, s.batch""".stripMargin) { (s, dir) =>
+      graft.operators.TextAnalysis.batchPaddingStats(
+          t(s, dir, "documents"), batchSize = 32, shardSize = 200)
+        .orderBy(col("shard"), col("batch"))
+    },
+
+    QuerySpec(
       "sample_mixture",
       // Domain mixing to a 10k-token budget with power-of-two weights
       // (their sum is EXACTLY 1.0 in binary under any summation order, so

@@ -446,6 +446,34 @@ class OperatorSpec extends SparkSuite {
       (2L, 1L, 2L, 2L), (3L, 2L, 3L, 2L)))
   }
 
+  test("batchPaddingStats: length-grouping never loses to naive batching") {
+    // token counts alternate short/long so naive id-order batches mix
+    // lengths maximally and sorted batches separate them
+    val docs = (0 until 64).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else Seq.fill(20)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.batchPaddingStats(docs, batchSize = 8,
+      shardSize = 1000).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 64)
+    // every batch is exactly batchSize here (64 divides evenly)
+    assert(out.forall(_.getAs[Long]("n_docs") == 8L))
+    val sorted = out.map(_.getAs[Long]("sorted_waste")).sum
+    val naive = out.map(_.getAs[Long]("naive_waste")).sum
+    // sorted batches are homogeneous (waste 0); naive mix 1s and 20s
+    assert(sorted == 0L, s"sorted waste $sorted")
+    assert(naive == 32L * 19L, s"naive waste $naive")
+  }
+
+  test("batchPaddingStats counts a null-text doc as zero tokens") {
+    val docs = Seq((0L, "a b"), (1L, null.asInstanceOf[String]), (2L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.batchPaddingStats(docs, batchSize = 2, shardSize = 10)
+      .orderBy("batch").collect()
+    // lengths 2, 0, 1 → sorted order: ids 1 (0), 2 (1) | 0 (2)
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 1L))
+    assert(out.head.getAs[Long]("sorted_max") == 1L) // batch {null, "c"}
+  }
+
   test("mixtureSample keeps everything under a loose budget, drops unweighted domains") {
     val docs = Seq(
       (1L, "a", "one two three"), (2L, "a", "four five"),
