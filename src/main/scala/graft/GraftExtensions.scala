@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomContainsExpr, BloomPositionsExpr, CharEntropyExpr, CmsEstimateExpr, CosineSimilarity, GopherStatsExpr, GramBucketsExpr, GramMd5sExpr, LangIdExpr, MinHashSignature, MinHashText, MortonInterleaveExpr, NormalizeText, QualityStatsExpr, ReadCountsExpr, RepStatsExpr, ReplayMinhashExpr, ReplaySimhashExpr, SigEqCount, SimHash64, WinnowFpsExpr}
+import graft.functions.{BloomContainsExpr, BloomPositionsExpr, CharEntropyExpr, CmsEstimateExpr, CosineSimilarity, GopherStatsExpr, GramBucketsExpr, GramMd5sExpr, LangIdExpr, MinHashSignature, MinHashText, MortonInterleaveExpr, NfcNormalize, NormalizeText, QualityStatsExpr, ReadCountsExpr, RepStatsExpr, ReplayMinhashExpr, ReplaySimhashExpr, SigEqCount, SimHash64, WinnowFpsExpr}
 
 /** SparkSessionExtensions entry point — the idiomatic injection path for
   * the custom expressions, so any session (including spark-sql / thrift /
@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("normalize_text", exprs, 1, 1)
         NormalizeText(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        arity("nfc_normalize", exprs, 1, 1)
+        NfcNormalize(exprs(0))
       }))
     // the one-pass text kernels, SQL-callable like their Column twins
     Seq[(String, Class[_], Expression => Expression)](

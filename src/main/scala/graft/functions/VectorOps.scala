@@ -288,6 +288,29 @@ object VectorOps {
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  /** Unicode NFC canonical composition (é as one codepoint, not
+    * e + U+0301) — the normalization pass that must run BEFORE any
+    * hash-based dedup, or byte-different spellings of the same text
+    * fingerprint apart. ASCII fast path: NFC is the identity on ASCII,
+    * and the quick-check scan avoids the UTF8String→String→UTF8String
+    * round-trip for the overwhelmingly common case; non-ASCII input
+    * pays one java.text.Normalizer call (same utf8proc-equivalent
+    * tables DuckDB's nfc_normalize uses, so oracles replay it).
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   /** Canonical stopword sets for the langId heuristic (shared with
     * `TextAnalysis.stopwords` — one definition, two surfaces). */
   val stopwords: Map[String, Seq[String]] = Map(

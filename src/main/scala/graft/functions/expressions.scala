@@ -89,6 +89,23 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC canonical composition (see VectorOps.nfcNormalize) —
+  * codegen'd so the normalize-then-hash dedup prologue stays inside
+  * whole-stage codegen; ASCII input short-circuits to the input ref. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct sorted FNV-1a shingle hashes of a raw text column — the
   * hash-space twin of `array_distinct(word_shingles(tokens(text), n))`
   * for cheap Jaccard verification (see VectorOps.shingleHashes). */

@@ -202,6 +202,12 @@ package object functions {
   def normalize_text(text: Column): Column =
     col0(NormalizeText(expr0(text)))
 
+  /** Unicode NFC canonical composition — run before hash-based dedup so
+    * combining-mark and precomposed spellings fingerprint together.
+    * ASCII passes through untouched (identity fast path). */
+  def nfc_normalize(text: Column): Column =
+    col0(NfcNormalize(expr0(text)))
+
   /** Register the SQL-surface names for the custom expressions.
     * Arities are validated and optional k/seed arguments of
     * `minhash_signature(arr[, k[, seed]])` are read from foldable literals —
@@ -239,5 +245,8 @@ package object functions {
     reg.createOrReplaceTempFunction("normalize_text",
       exprs => { arity("normalize_text", exprs, 1, 1)
         NormalizeText(exprs(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => { arity("nfc_normalize", exprs, 1, 1)
+        NfcNormalize(exprs(0)) }, "scala_udf")
   }
 }

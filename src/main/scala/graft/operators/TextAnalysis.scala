@@ -533,6 +533,65 @@ object TextAnalysis {
         col("avg_nll2"), col("ppl2"))
   }
 
+  /** Bigram-LM perplexity with interpolated Kneser-Ney smoothing — the
+    * estimator KenLM actually ships (Heafield 2011; Kneser & Ney 1995),
+    * one rung up from the Jelinek-Mercer mix in [[bigramPerplexity]]:
+    *   P(cur|prev) = max(c(prev,cur) − D, 0) / cctx(prev)
+    *               + D · N1+(prev,·)/cctx(prev) · N1+(·,cur)/N1+(·,·)
+    * with absolute discount D = 0.75 (exactly representable, so both
+    * engines see the same double). cctx(prev) = Σ_w c(prev,w) is the
+    * bigram-context mass (NOT the corpus unigram count — they differ at
+    * document boundaries), N1+ are distinct-continuation counts, and the
+    * backoff distribution is the continuation probability — the KN
+    * insight that "Francisco" is frequent but follows almost nothing.
+    * Every scored bigram has c≥1 and N1+(·,cur)≥1, so P > 0 with no
+    * extra smoothing and the fit is replayable from exact counts.
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — map-side position
+    * pairing (no shuffle), the model is one bigram hash-agg re-aggregated
+    * twice by its two key halves, and only N1+(·,·) (one scalar) reaches
+    * the driver. The bigram-type table is persisted once and feeds all
+    * three aggregations plus the scoring join.
+    *
+    * Returns (idCol, n_bigrams, avg_nll_kn, ppl_kn); docs with < 2
+    * tokens keep NULL scores, n_bigrams 0.
+    */
+  def kneserNeyPerplexity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", discount: Double = 0.75): DataFrame = {
+    val tk = Caches.register(
+      docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
+        .as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val cb = Caches.register(
+      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cctx = cb.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("cv"), count(lit(1)).as("n1fwd"))
+    val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
+    val nBigramTypes = cb.count() // N1+(·,·): the one driver-side scalar
+    val d = lit(discount)
+    // expression shape mirrors the oracle SQL term-for-term (left-assoc
+    // products, computed casts) so the doubles agree to the last ulp
+    // before the round-6 the query applies
+    val p = greatest(col("cb") - d, lit(0.0)) / col("cv") +
+      d * col("n1fwd") / col("cv") *
+        (col("n1bwd") / lit(nBigramTypes.toDouble))
+    val scored = bi
+      .join(cb, Seq("prev", "cur"))
+      .join(cctx, Seq("prev"))
+      .join(ccont, Seq("cur"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("avg_nll_kn"))
+      .withColumn("ppl_kn", exp(col("avg_nll_kn")))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll_kn"), col("ppl_kn"))
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

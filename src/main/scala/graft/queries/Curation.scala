@@ -171,6 +171,78 @@ object Curation {
         .orderBy(col("component"))
     },
 
+    QuerySpec(
+      "dedup_keep_best",
+      // Quality-aware cluster resolution: production near-dup pipelines
+      // keep the BEST document per duplicate cluster (RefinedWeb,
+      // FineWeb), not the min-id one — min-id silently prefers whichever
+      // shard was ingested first. Same edge set + recursive-CTE closure
+      // as dedup_components; the keep rule is argmax over exact integer
+      // quality signals (token count, then distinct-token count, then
+      // min doc_id) so both engines rank identically with no float in
+      // the decision. Singletons (no edge) are their own component and
+      // trivially kept.
+      """WITH RECURSIVE
+        |pref AS (
+        |  SELECT doc_id,
+        |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
+        |  FROM documents),
+        |eexact AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |sets AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS ss
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents WHERE doc_id < 200)),
+        |ejac AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(a.ss || b.ss)) > 0
+        |    AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2),
+        |e0 AS (SELECT id_a, id_b FROM eexact UNION SELECT id_a, id_b FROM ejac),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |          UNION SELECT id_b AS src, id_a AS dst FROM e0),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |        FROM documents)),
+        |lab AS (
+        |  SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+        |         s.n_tokens, s.n_distinct
+        |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.id)
+        |SELECT doc_id, component, n_tokens, n_distinct,
+        |  row_number() OVER (PARTITION BY component
+        |    ORDER BY n_tokens DESC, n_distinct DESC, doc_id) = 1 AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val comp = Components.connectedComponents(exactDedupEdges(docs))
+      // quality signals reduce to two longs BEFORE the component shuffle
+      // and the window — text never moves after the map-side projection
+      val scored = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      val lab = scored.join(comp, scored("doc_id") === comp("id"), "left")
+        .select(scored("doc_id"),
+          coalesce(col("component"), scored("doc_id")).as("component"),
+          col("n_tokens"), col("n_distinct"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("n_distinct").desc, col("doc_id"))
+      lab.withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("component"), col("n_tokens"),
+          col("n_distinct"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- term scoring ----------------------------------------------------
     QuerySpec(
       "tfidf_topterms",
@@ -1266,6 +1338,84 @@ object Curation {
       graft.operators.Sampling.leakageSafeSplit(
           t(s, dir, "documents"), prefixLen = 60)
         .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "validate_constraints",
+      // Deequ-style constraint audit over orders (operators/Validation):
+      // the rule mix exercises every metric family AND both verdicts —
+      // uniqueness(o_custkey) genuinely fails (customers repeat), the
+      // rest pass. All metrics are ratios of exact integer counts; only
+      // the final division is rounded (6) on both sides. Thresholds are
+      // CAST(...AS DOUBLE) in the oracle because a bare DuckDB decimal
+      // literal is DECIMAL, and the driver hash is type-sensitive.
+      """WITH rl AS (
+        |  SELECT 'completeness' AS rule, 'o_custkey' AS col_name,
+        |    round(CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*), 6) AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice',
+        |    round(CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE) BETWEEN 0.0 AND 200000.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*), 6),
+        |    CAST(0.9 AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values', 'o_orderstatus',
+        |    round(CAST(sum(CASE WHEN CAST(o_orderstatus AS VARCHAR) IN ('F', 'O', 'P') THEN 1.0 ELSE 0.0 END) AS DOUBLE) / count(*), 6),
+        |    CAST(1.0 AS DOUBLE)
+        |  FROM orders),
+        |uq AS (
+        |  SELECT 'uniqueness' AS rule, col_name,
+        |    round(CAST(u AS DOUBLE) / n, 6) AS metric, CAST(1.0 AS DOUBLE) AS threshold
+        |  FROM (
+        |    SELECT 'o_orderkey' AS col_name,
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS u, sum(c) AS n
+        |    FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+        |    UNION ALL
+        |    SELECT 'o_custkey',
+        |      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), sum(c)
+        |    FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1))),
+        |fk AS (
+        |  SELECT 'referenced_in' AS rule, 'o_custkey' AS col_name,
+        |    round(1.0 - CAST((SELECT count(*) FROM orders
+        |        WHERE o_custkey IS NULL
+        |           OR o_custkey NOT IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+        |      / (SELECT count(*) FROM orders), 6) AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold),
+        |allr AS (SELECT * FROM rl UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM fk)
+        |SELECT rule, col_name, metric, threshold, metric >= threshold AS passed
+        |FROM allr ORDER BY rule, col_name""".stripMargin) { (s, dir) =>
+      import graft.operators.Validation._
+      audit(t(s, dir, "orders"), Seq(
+        Completeness("o_custkey"),
+        InRange("o_totalprice", 0.0, 200000.0, threshold = 0.9),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        Uniqueness("o_orderkey"),
+        Uniqueness("o_custkey"),
+        ReferencedIn("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    },
+
+    QuerySpec(
+      "profile_columns",
+      // One-pass numeric profile of lineitem's measure columns: the
+      // stack(4 cols) explodes map-side, then a single hash-agg computes
+      // every stat — the scan cost is constant in the column count.
+      // count/nulls/distinct/min/max are exact; the mean sums through
+      // DECIMAL(30,6) (exact, order-insensitive — a double avg flipped
+      // the 6th decimal between engines) then converts once to double.
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows,
+        |  count(*) - count(v) AS n_nulls,
+        |  count(DISTINCT v) AS n_distinct,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS avg_v
+        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.operators.Validation.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }
   )
 }

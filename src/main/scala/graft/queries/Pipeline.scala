@@ -793,6 +793,45 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_perplexity_kn",
+      // Interpolated Kneser-Ney bigram perplexity (the KenLM estimator):
+      // discounted ML head + continuation-probability backoff. D = 0.75
+      // is exactly representable so both engines compute the identical
+      // discount; all counts are exact ints and the oracle's expression
+      // mirrors the Spark term order (left-assoc products). avg-of-ln is
+      // hash-agg order-sensitive at ~1e-14; round-6 absorbs it.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bi AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+        |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |             FROM tk WHERE len(tk) >= 2)),
+        |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cctx AS (SELECT prev, sum(cb) AS cv, count(*) AS n1fwd FROM cb GROUP BY 1),
+        |ccont AS (SELECT cur, count(*) AS n1bwd FROM cb GROUP BY 1),
+        |consts AS (SELECT count(*) AS nb FROM cb),
+        |sc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    -avg(ln(greatest(cb.cb - 0.75, 0.0) / cctx.cv
+        |          + 0.75 * cctx.n1fwd / cctx.cv * (CAST(ccont.n1bwd AS DOUBLE) / consts.nb))) AS nll
+        |  FROM bi b JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+        |    JOIN cctx ON cctx.prev = b.prev
+        |    JOIN ccont ON ccont.cur = b.cur
+        |    CROSS JOIN consts
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  round(sc.nll, 6) AS avg_nll_kn, round(exp(sc.nll), 6) AS ppl_kn
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.kneserNeyPerplexity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll_kn"), 6).as("avg_nll_kn"),
+          round(col("ppl_kn"), 6).as("ppl_kn"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "agg_vector_centroid",
       // Typed Aggregator (functions/VectorMeanAggregator.scala): per-bucket
       // embedding centroid — the k-means/IVF update step as a first-class
@@ -894,6 +933,27 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
+      "text_normalize_unicode",
+      // Unicode NFC normalization — the pass that must precede any
+      // hash-based dedup (é spelled e+U+0301 vs U+00E9 must fingerprint
+      // together). Java's Normalizer and DuckDB's utf8proc implement the
+      // same canonical composition tables, so the md5 replays exactly;
+      // the ASCII fixture exercises the identity fast path end-to-end
+      // and the combining-mark cases are property-tested in
+      // RegressionSpec with planted non-NFC text.
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  (nfc_normalize(text) = text) AS already_nfc,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(nfc_normalize(col("text"))).as("nfc_md5"),
+          (nfc_normalize(col("text")) === col("text")).as("already_nfc"),
+          length(nfc_normalize(col("text"))).cast("long").as("nfc_chars"))
         .orderBy(col("doc_id"))
     },
 

@@ -1144,4 +1144,77 @@ class OperatorSpec extends SparkSuite {
       s"2 GD rounds must already separate the means: $posMean vs $negMean")
     operators.Dedup.releaseCaches()
   }
+
+  test("kneserNeyPerplexity matches hand-computed KN probabilities") {
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    //   c(a,b)=3 c(b,a)=1 c(b,c)=1; cctx(a)=3,N1+(a,·)=1; cctx(b)=2,N1+(b,·)=2
+    //   N1+(·,b)=N1+(·,a)=N1+(·,c)=1; N1+(·,·)=3; D=0.75
+    //   P(b|a) = 2.25/3 + 0.75·(1/3)·(1/3) = 5/6
+    //   P(a|b) = P(c|b) = 0.25/2 + 0.75·(2/2)·(1/3) = 3/8
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val pAB = 2.25 / 3 + 0.75 * (1.0 / 3) * (1.0 / 3)
+    val pXB = 0.25 / 2 + 0.75 * 1.0 * (1.0 / 3)
+    val nll1 = -(2 * math.log(pAB) + math.log(pXB)) / 3
+    val nll2 = -(math.log(pAB) + math.log(pXB)) / 2
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(out(1L).getAs[Double]("avg_nll_kn") - nll1) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("avg_nll_kn") - nll2) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("ppl_kn") - math.exp(nll1)) < 1e-12)
+    operators.Dedup.releaseCaches()
+  }
+
+  test("kneserNey conditionals sum to 1 over the vocabulary (KN normalization)") {
+    // the property that distinguishes a correct KN from an ad-hoc mix:
+    // for every context v, Σ_w [max(c(v,w)−D,0)/cctx(v)
+    //   + D·N1+(v,·)/cctx(v)·Pcont(w)] = 1 because Σ_w Pcont(w) = 1.
+    // Replay the model counts from the same corpus and check both contexts.
+    val docs = Seq((1L, "x y x z x y"), (2L, "y z y x")).toDF("doc_id", "text")
+    val toks = docs.collect().map(r => r.getString(1).split(" ").toSeq)
+    val bigrams = toks.flatMap(t => t.zip(t.tail))
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val vocab = toks.flatten.distinct
+    val cctx = cb.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1fwd = cb.groupBy(_._1._1).map { case (v, m) => v -> m.size.toDouble }
+    val n1bwd = cb.groupBy(_._1._2).map { case (w, m) => w -> m.size.toDouble }
+    val nb = cb.size.toDouble
+    val D = 0.75
+    for (v <- cctx.keys) {
+      val total = vocab.map { w =>
+        math.max(cb.getOrElse((v, w), 0.0) - D, 0.0) / cctx(v) +
+          D * n1fwd(v) / cctx(v) * (n1bwd.getOrElse(w, 0.0) / nb)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $v sums to $total")
+    }
+    // and the operator scores that corpus without NULLs or nonpositive p
+    val out = TextAnalysis.kneserNeyPerplexity(docs).collect()
+    assert(out.forall(r => !r.isNullAt(2) && r.getAs[Double]("ppl_kn") > 0))
+    operators.Dedup.releaseCaches()
+  }
+
+  test("dedup_keep_best keeps exactly one best-quality doc per cluster") {
+    val fn = SparkEntry.queries("dedup_keep_best")
+    val rows = fn(spark, SparkSuite.sfDir).collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    for ((comp, members) <- byComp) {
+      val kept = members.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length == 1, s"component $comp kept ${kept.length}")
+      // the keep rule is argmax(n_tokens, n_distinct, min doc_id):
+      // no dropped member may strictly beat the kept one
+      val k = kept.head
+      val kKey = (k.getAs[Long]("n_tokens"), k.getAs[Long]("n_distinct"),
+        -k.getAs[Long]("doc_id"))
+      for (m <- members if m.getAs[Long]("doc_id") != k.getAs[Long]("doc_id")) {
+        val mKey = (m.getAs[Long]("n_tokens"), m.getAs[Long]("n_distinct"),
+          -m.getAs[Long]("doc_id"))
+        assert(Ordering[(Long, Long, Long)].lteq(mKey, kKey),
+          s"component $comp: dropped $mKey beats kept $kKey")
+      }
+    }
+    // exact duplicates exist in the fixture, so at least one real cluster
+    assert(byComp.exists(_._2.length > 1), "fixture should contain clusters")
+    operators.Dedup.releaseCaches()
+  }
 }

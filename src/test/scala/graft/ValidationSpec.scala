@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Validation
+import graft.operators.Validation._
+
+/** Constraint-audit + profiling semantics on planted data: every rule
+  * family sees a table engineered to violate it by a known fraction, so
+  * each metric is asserted against an exact hand-computed value — and
+  * the plan shape (one agg pass for all row-local rules) is pinned. */
+class ValidationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), Some(10.0), "F"),
+    (2L, Some("b"), Some(20.0), "O"),
+    (3L, None, Some(30.0), "F"),        // null name
+    (4L, Some("d"), None, "X"),         // null price, bad status
+    (5L, Some("e"), Some(999.0), "O"),  // out of range
+    (5L, Some("f"), Some(40.0), "F")    // duplicate id
+  ).toDF("id", "name", "price", "status")
+
+  test("each rule family computes the exact planted metric") {
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("k") // 5 is not referenced
+    val out = Validation.audit(df, Seq(
+        Completeness("name"),
+        InRange("price", 0.0, 100.0),
+        AcceptedValues("status", Seq("F", "O")),
+        Uniqueness("id"),
+        ReferencedIn("id", dim, "k", threshold = 0.9)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+
+    def m(rule: String, c: String): Double =
+      out((rule, c)).getAs[Double]("metric")
+    // metrics are round-6 by contract (the only division in the audit)
+    assert(m("completeness", "name") == 0.833333)
+    // nulls and the 999 row fail in_range: 4/6
+    assert(math.abs(m("in_range", "price") - 0.666667) < 1e-9)
+    assert(m("accepted_values", "status") == 0.833333)
+    // id=5 occurs twice -> 4 of 6 rows carry a unique value
+    assert(math.abs(m("uniqueness", "id") - 0.666667) < 1e-9)
+    // both id=5 rows are unreferenced: 4/6
+    assert(math.abs(m("referenced_in", "id") - 0.666667) < 1e-9)
+    assert(!out(("uniqueness", "id")).getAs[Boolean]("passed"))
+    assert(!out(("referenced_in", "id")).getAs[Boolean]("passed"),
+      "0.667 < 0.9 threshold must fail")
+    assert(out(("completeness", "name")).getAs[Double]("threshold") == 1.0)
+  }
+
+  test("empty table: metrics 0.0, thresholds fail, no division blowup") {
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "name")
+    val out = Validation.audit(empty,
+        Seq(Completeness("name"), Uniqueness("id")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("completeness").getAs[Double]("metric") == 0.0)
+    assert(out("uniqueness").getAs[Double]("metric") == 0.0)
+    assert(out.values.forall(!_.getAs[Boolean]("passed")))
+  }
+
+  test("all row-local rules share one aggregation pass over one scan") {
+    val plan = Validation.audit(df, Seq(
+        Completeness("name"), InRange("price", 0.0, 100.0),
+        AcceptedValues("status", Seq("F", "O"))))
+      .queryExecution.optimizedPlan.toString
+    val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).size
+    assert(scans == 1, s"row-local rules must not re-scan: $plan")
+  }
+
+  test("profileNumeric: exact stats, nulls counted, single scan") {
+    val out = Validation.profileNumeric(df, Seq("price", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = out("price")
+    assert(p.getAs[Long]("n_rows") == 6L && p.getAs[Long]("n_nulls") == 1L)
+    assert(p.getAs[Long]("n_distinct") == 5L)
+    assert(p.getAs[Double]("min_v") == 10.0 && p.getAs[Double]("max_v") == 999.0)
+    assert(p.getAs[Double]("avg_v") == 219.8) // (10+20+30+999+40)/5
+    val i = out("id")
+    assert(i.getAs[Long]("n_distinct") == 5L && i.getAs[Double]("max_v") == 5.0)
+    val plan = Validation.profileNumeric(df, Seq("price", "id"))
+      .queryExecution.optimizedPlan.toString
+    assert("LocalRelation|LogicalRDD".r.findAllIn(plan).size == 1,
+      s"profile must stack columns over ONE scan: $plan")
+  }
+
+  test("nfc_normalize kernel: identity on ASCII, composes combining marks") {
+    import graft.functions.nfc_normalize
+    val decomposed = "e\u0301cole"       // e + combining acute
+    val precomposed = "\u00e9cole"       // NFC form
+    val stacked = "A\u030a\u0308ngstro\u0308m" // A + ring + diaeresis
+    val rows = Seq(
+      (1L, "plain ascii stays untouched"),
+      (2L, decomposed),
+      (3L, precomposed),
+      (4L, stacked)
+    ).toDF("id", "s")
+    val out = rows.select(col("id"), nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def jnfc(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    assert(out(1L) == "plain ascii stays untouched")
+    assert(out(2L) == precomposed && out(2L) == out(3L),
+      "both spellings must converge to the precomposed form")
+    assert(out(4L) == jnfc(stacked) && out(4L) != stacked,
+      "stacked marks must canonically reorder/compose")
+    // SQL surface + null propagation
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS n, " +
+      "nfc_normalize(CAST(NULL AS STRING)) AS z").collect()(0)
+    assert(viaSql.getString(0) == precomposed && viaSql.isNullAt(1))
+  }
+}
