@@ -154,4 +154,34 @@ object Validation {
           .cast("double") / count(col("v"))).as("avg_v"))
       .orderBy(col("col_name"))
   }
+
+  /** Top-k frequent values per categorical column — the other half of a
+    * table profile (skew in a categorical is what decides salting and
+    * partition keys downstream). Same one-scan stack as
+    * [[profileNumeric]]; the only shuffle is the (col_name, value)
+    * count, after which the ranking window runs on the distinct-value
+    * table (cardinality of the columns, not of the data). `share` is a
+    * division of two exact counts — deterministic in IEEE double, no
+    * rounding needed.
+    */
+  def profileFrequent(df: DataFrame, columns: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(columns.nonEmpty, "profileFrequent needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val stacked = df.select(explode(array(columns.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+        .as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
+    val counts = stacked.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val byCol = Window.partitionBy(col("col_name"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(byCol))
+      .withColumn("rn", row_number().over(
+        byCol.orderBy(col("cnt").desc, col("value"))))
+      .filter(col("rn") <= k)
+      .select(col("col_name"), col("value"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"), col("rn"))
+      .orderBy(col("col_name"), col("rn"))
+  }
 }

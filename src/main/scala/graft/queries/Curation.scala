@@ -1416,6 +1416,26 @@ object Curation {
         |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, dir) =>
       graft.operators.Validation.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
+    QuerySpec(
+      "profile_frequent",
+      // Top-5 frequent values per categorical column: one stacked scan,
+      // one (col,value) count shuffle, ranking window on the tiny
+      // distinct-value table. share = exact-count division (IEEE-
+      // deterministic, no rounding).
+      """WITH s AS (
+        |  SELECT 'p_brand' AS col_name, CAST(p_brand AS VARCHAR) AS value FROM part
+        |  UNION ALL SELECT 'p_type', CAST(p_type AS VARCHAR) FROM part),
+        |c AS (SELECT col_name, value, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |t AS (SELECT col_name, value, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS total,
+        |        row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rn
+        |      FROM c)
+        |SELECT col_name, value, cnt, CAST(cnt AS DOUBLE) / total AS share, rn
+        |FROM t WHERE rn <= 5 ORDER BY col_name, rn""".stripMargin) { (s, dir) =>
+      graft.operators.Validation.profileFrequent(t(s, dir, "part"),
+        Seq("p_brand", "p_type"), k = 5)
     }
   )
 }

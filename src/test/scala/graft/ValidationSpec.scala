@@ -82,6 +82,24 @@ class ValidationSpec extends SparkSuite {
       s"profile must stack columns over ONE scan: $plan")
   }
 
+  test("profileFrequent ranks by count then value, share sums to 1 over all values") {
+    val cat = Seq(
+      ("x", "red"), ("x", "red"), ("x", "red"),
+      ("x", "blue"), ("x", "blue"), ("x", "green")
+    ).toDF("k", "color")
+    val out = Validation.profileFrequent(cat, Seq("color"), k = 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("value") == "red" &&
+      out(0).getAs[Long]("cnt") == 3L && out(0).getAs[Int]("rn") == 1)
+    assert(out(0).getAs[Double]("share") == 0.5)
+    assert(out(1).getAs[String]("value") == "blue" &&
+      out(1).getAs[Double]("share") == 2.0 / 6)
+    // tie-break: equal counts rank by value ascending
+    val tied = Seq(("a", "z"), ("a", "y")).toDF("k", "v")
+    val t2 = Validation.profileFrequent(tied, Seq("v"), k = 2).collect()
+    assert(t2(0).getAs[String]("value") == "y" && t2(1).getAs[String]("value") == "z")
+  }
+
   test("nfc_normalize kernel: identity on ASCII, composes combining marks") {
     import graft.functions.nfc_normalize
     val decomposed = "e\u0301cole"       // e + combining acute
