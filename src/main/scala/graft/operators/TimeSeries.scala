@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream statistics operators: an exact 3σ outlier gate and
+  * fixed-grid resampling with gap-fill — the time-series pair every
+  * monitoring/feature pipeline needs and plain SQL makes either slow
+  * (self-joins) or nondeterministic (float moment arithmetic).
+  */
+object TimeSeries {
+
+  /** Per-group 3σ outlier flags with EXACT integer arithmetic.
+    *
+    * The naive form — `abs(v - avg(v)) > 3 * stddev(v)` — is float-
+    * unstable: avg/stddev depend on partial-aggregation order, so a
+    * value sitting near the boundary can flip its flag between runs
+    * (or engines). Scaling to integer micros m = round(v·10⁶) makes
+    * every moment exact, and the predicate has an equivalent
+    * integer-only form:
+    *
+    *   |v − S/n| > 3·σ,  σ² = (n·Q − S²)/n²
+    *   ⟺ (n·m − S)² > 9·(n·Q − S²)
+    *
+    * with S = Σm, Q = Σm² — every side a product of exact integers,
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
+    * SAME rows flag on every engine, every run. Bounds: |m| ≤ 10¹²
+    * and n ≤ 10⁹ keep (n·m − S)² below 10³⁸ — comfortably above any
+    * per-group cardinality a 100 TB events table produces (the group
+    * stats row is one partial-agg output per group either way).
+    *
+    * Scale shape: one hash-agg for the per-group moments (3 longs per
+    * group), broadcast-joined back — the fact table never shuffles.
+    * Null values are excluded (no value, no flag).
+    */
+  def outliers3Sigma(events: DataFrame, valueCol: String = "value",
+      groupCol: String = "event_type", idCol: String = "event_id")
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = events.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        round(col(valueCol) * lit(1000000.0)).cast("long").as("_m"))
+    val st = m.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("_m").cast(dec)).as("_s"),
+        // m² ≤ 10²⁴ exceeds long: square in decimal
+        sum((col("_m").cast(dec) * col("_m").cast(dec))).as("_q"))
+    val dev = col("_n") * col("_m").cast(dec) - col("_s")
+    m.join(broadcast(st), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        (dev * dev > lit(9).cast(dec) *
+          (col("_n") * col("_q") - col("_s") * col("_s"))).as("is_outlier"))
+  }
+
+  /** Fixed-grid hourly resample with gap-fill and LOCF (last
+    * observation carried forward) — turns an irregular event stream
+    * into the dense per-group time series feature pipelines join
+    * against. Empty hours appear with n_events = 0 and the last
+    * non-empty hour's total carried forward (NULL before the first
+    * observation).
+    *
+    * Scale shape: the fact table collapses to one (group, hour) hash-
+    * agg; the dense grid is groups × hours — bounded by time span, not
+    * data volume — built from two broadcast scalars (min/max hour) and
+    * an exploded `sequence`, so the gap-fill window runs over grid-
+    * sized data. Sums ride DECIMAL micros (exact, order-insensitive)
+    * and convert to double once at the end.
+    */
+  def resampleHourlyLocf(events: DataFrame, tsCol: String = "ts",
+      valueCol: String = "value", groupCol: String = "event_type")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val hour = date_trunc("hour", col(tsCol))
+    val hourly = events
+      .select(col(groupCol), hour.as("hour"),
+        round(col(valueCol) * lit(1000000.0)).cast("long").as("_m"))
+      .groupBy(col(groupCol), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_m").cast(dec)).as("_s"))
+    // two scalars + the distinct group set bound the grid; both are
+    // broadcast-sized whatever the fact-table volume
+    val span = events.agg(
+      date_trunc("hour", min(col(tsCol))).as("h0"),
+      date_trunc("hour", max(col(tsCol))).as("h1"))
+    val grid = events.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(span))
+      .select(col(groupCol),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(groupCol, "hour"), "left")
+      .select(col(groupCol), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (last(col("_s"), ignoreNulls = true).over(w).cast("double") /
+          lit(1000000.0)).as("locf_sum"))
+  }
+}

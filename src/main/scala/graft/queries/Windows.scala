@@ -269,6 +269,62 @@ object Windows {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       graft.operators.Funnel.retentionCohorts(t(s, dir, "events"))
         .orderBy(col("cohort"), col("offset"))
+    },
+
+    QuerySpec(
+      "events_outliers",
+      // Exact 3σ outlier gate: |v−mean| > 3σ is float-unstable at the
+      // boundary (avg/stddev depend on partial-agg order), so the
+      // predicate is reformulated over integer micros as
+      // (n·m − S)² > 9·(n·Q − S²) — every term an exact integer in
+      // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). The SAME rows flag
+      // on both engines with no rounding anywhere.
+      """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM m GROUP BY 1)
+        |SELECT m.event_id, m.event_type, m.value,
+        |  (st.n * CAST(m.v AS HUGEINT) - st.s) * (st.n * CAST(m.v AS HUGEINT) - st.s)
+        |    > 9 * (st.n * st.q - st.s * st.s) AS is_outlier
+        |FROM m JOIN st USING (event_type)
+        |ORDER BY m.event_id""".stripMargin) { (s, dir) =>
+      graft.operators.TimeSeries.outliers3Sigma(t(s, dir, "events"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
+      "events_resample",
+      // Fixed-grid hourly resample + gap-fill + LOCF: the dense time
+      // series feature pipelines join against. Grid = groups × hours
+      // (bounded by time span, not volume); empty hours carry 0 events
+      // and the last non-empty hour's total forward. Sums ride integer
+      // micros (exact) and convert to double once.
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n_events,
+        |    sum(CAST(CAST(round(value * 1000000.0) AS BIGINT) AS HUGEINT)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events), span),
+        |j AS (
+        |  SELECT g.event_type, g.hour,
+        |    coalesce(h.n_events, 0) AS n_events, h.s AS s
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour = h.hour)
+        |SELECT event_type, hour, n_events,
+        |  CAST(last_value(s IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS locf_sum
+        |FROM j ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      graft.operators.TimeSeries.resampleHourlyLocf(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("hour"))
     }
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/** Exact-integer outlier gate + resample/LOCF semantics on planted
+  * series where every flag and every filled cell is hand-computable. */
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("outliers3Sigma flags exactly the planted deviant, boundary excluded") {
+    // a single deviant among n-1 identical values sits at z = sqrt(n-1)
+    // exactly (dev = 9δ/10 = 3σ for n=10 — the strict > excludes it, a
+    // fact this test originally tripped over). n = 11 puts the deviant
+    // at z = sqrt(10) ≈ 3.16 > 3.
+    val a = (1L to 10L).map(i => (i, "A", 10.0)) :+ (11L, "A", 120.0)
+    // group B: constant series -> sigma 0, deviation 0; 0 > 0 is FALSE,
+    //   so a constant group flags nothing (the boundary is exclusive)
+    val b = (12L to 15L).map(i => (i, "B", 7.5))
+    // group C: the exact-boundary case (z = 3 precisely) must NOT flag
+    val c = (16L to 24L).map(i => (i, "C", 10.0)) :+ (25L, "C", 110.0)
+    val out = TimeSeries.outliers3Sigma((a ++ b ++ c).toDF("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(11L), "the planted deviant must flag")
+    assert((1L to 10L).forall(!out(_)), "inliers must not flag")
+    assert((12L to 15L).forall(!out(_)), "constant series flags nothing")
+    assert((16L to 25L).forall(!out(_)),
+      "z = 3 exactly sits ON the boundary; strict > must exclude it — " +
+        "and only exact integer arithmetic makes that deterministic")
+  }
+
+  test("outliers3Sigma integer form agrees with the float 3-sigma definition") {
+    // pseudo-random but reproducible values away from the boundary
+    val rows = (1L to 200L).map { i =>
+      val v = 50.0 + (i * 37 % 101) - (if (i % 23 == 0) 400.0 else 0.0)
+      (i, "G", v)
+    }
+    val out = TimeSeries.outliers3Sigma(rows.toDF("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_outlier")).toMap
+    val vs = rows.map(_._3)
+    val mean = vs.sum / vs.size
+    val sigma = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+    for ((i, _, v) <- rows)
+      assert(out(i) == math.abs(v - mean) > 3 * sigma,
+        s"row $i v=$v: integer form disagrees with float definition")
+  }
+
+  test("resampleHourlyLocf fills gaps with 0 events and carries the last sum") {
+    val ts = Seq(
+      (1L, "2024-01-01 00:10:00", "A", 2.0),
+      (2L, "2024-01-01 00:40:00", "A", 3.0),
+      // hour 01 and 02 empty for A
+      (3L, "2024-01-01 03:20:00", "A", 7.0),
+      (4L, "2024-01-01 02:05:00", "B", 1.5)
+      // B: hours 00,01 before first observation -> NULL locf
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = TimeSeries.resampleHourlyLocf(ts).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out.size == 8, s"2 groups x 4 grid hours, got ${out.size}")
+    assert(out(("A", "2024-01-01 00:00:00.0")) == (2L, Some(5.0)))
+    assert(out(("A", "2024-01-01 01:00:00.0")) == (0L, Some(5.0)), "LOCF carries hour 0")
+    assert(out(("A", "2024-01-01 02:00:00.0")) == (0L, Some(5.0)))
+    assert(out(("A", "2024-01-01 03:00:00.0")) == (1L, Some(7.0)))
+    assert(out(("B", "2024-01-01 00:00:00.0")) == (0L, None),
+      "before the first observation LOCF is NULL")
+    assert(out(("B", "2024-01-01 02:00:00.0")) == (1L, Some(1.5)))
+    assert(out(("B", "2024-01-01 03:00:00.0")) == (0L, Some(1.5)))
+  }
+
+  test("outlier stats join broadcasts; fact table does not exchange") {
+    val df = (1L to 100L).map(i => (i, s"t${i % 3}", i * 1.0))
+      .toDF("event_id", "event_type", "value")
+    val plan = TimeSeries.outliers3Sigma(df)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"group stats must broadcast back:\n$plan")
+  }
+}
