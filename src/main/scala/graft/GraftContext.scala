@@ -391,6 +391,48 @@ class GraftContext(val spark: SparkSession) {
       case None => throw new NoSuchElementException(s"table not found: $name")
     }
 
+  private def tableDf(name: String): DataFrame =
+    catalog.get(name) match {
+      case Some(e) => e.df
+      case None => throw new NoSuchElementException(s"table not found: $name")
+    }
+
+  /** Deequ-style constraint audit over a registered table (beyond the
+    * reference — [[graft.operators.Validation.audit]]): one row per rule
+    * with (rule, col_name, metric, threshold, passed); all row-local
+    * rules share one aggregation pass. */
+  def validate(table: String,
+      rules: Seq[graft.operators.Validation.Rule]): DataFrame =
+    graft.operators.Validation.audit(tableDf(table), rules)
+
+  /** One-scan numeric column profile of a registered table
+    * ([[graft.operators.Validation.profileNumeric]]); with no columns
+    * given, profiles every numeric column in the schema. */
+  def profile(table: String, columns: Seq[String] = Nil): DataFrame = {
+    val df = tableDf(table)
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          f.name
+      }.toSeq
+    graft.operators.Validation.profileNumeric(df, cols)
+  }
+
+  /** Top-k frequent values per categorical (string) column of a
+    * registered table ([[graft.operators.Validation.profileFrequent]]);
+    * with no columns given, profiles every string column. */
+  def profileFrequent(table: String, columns: Seq[String] = Nil,
+      k: Int = 5): DataFrame = {
+    val df = tableDf(table)
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+    graft.operators.Validation.profileFrequent(df, cols, k)
+  }
+
   // ---- query surface -----------------------------------------------------
 
   /** Run SQL over the registered tables; returns a lazy DataFrame (the

@@ -356,4 +356,25 @@ class GraftContextSpec extends SparkSuite {
     val n = Await.result(fut, 60.seconds).collect()(0).getLong(0)
     assert(n == ctx.sql("SELECT count(*) AS n FROM gc_orders").collect()(0).getLong(0))
   }
+
+  test("validate/profile surface audits a registered table") {
+    import graft.operators.Validation.{Completeness, Uniqueness}
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_val_orders", s"$sfDir/orders.parquet")
+    val audit = ctx.validate("gc_val_orders",
+        Seq(Completeness("o_custkey"), Uniqueness("o_orderkey")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(audit("completeness").getAs[Double]("metric") == 1.0)
+    assert(audit("uniqueness").getAs[Boolean]("passed"))
+    // no columns given -> every numeric column appears in the profile
+    val prof = ctx.profile("gc_val_orders").collect()
+      .map(_.getString(0)).toSet
+    assert(prof.contains("o_totalprice") && prof.contains("o_custkey"))
+    val freq = ctx.profileFrequent("gc_val_orders",
+        Seq("o_orderstatus"), k = 2).collect()
+    assert(freq.length == 2 && freq(0).getAs[Long]("cnt") >=
+      freq(1).getAs[Long]("cnt"))
+    intercept[NoSuchElementException](ctx.profile("gc_no_such_table"))
+    ctx.dropTable("gc_val_orders")
+  }
 }
