@@ -118,6 +118,74 @@ object Curation {
     sb.toString
   }
 
+  /** Shared DuckDB replay chain for the bpe_apply family: vocab ->
+    * 4 learned rules (greedy max-count, lex tie-break), one recursive
+    * leftmost-first rewrite per rule, final segmented state
+    * `s4 = (word, freq, s)`. bpe_apply emits the rows; bpe_coverage
+    * aggregates tokenizer-QA metrics over the same state.
+    */
+  private val bpeApplyChainSql: String =
+    """WITH RECURSIVE tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |wf AS (SELECT unnest(tk) AS word FROM tk),
+        |vocab AS (SELECT word, count(*) AS freq FROM wf GROUP BY 1),
+        |s0 AS (SELECT word, freq,
+        |        ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' </w> ' AS s
+        |       FROM vocab),
+        |p1 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s0),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p1 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a1 AS (
+        |  SELECT word, freq, s FROM s0
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b1), (SELECT rep FROM b1))
+        |  FROM a1 WHERE contains(s, (SELECT pat FROM b1))),
+        |s1 AS (SELECT word, freq, s FROM a1 WHERE NOT contains(s, (SELECT pat FROM b1))),
+        |p2 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s1),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p2 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a2 AS (
+        |  SELECT word, freq, s FROM s1
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b2), (SELECT rep FROM b2))
+        |  FROM a2 WHERE contains(s, (SELECT pat FROM b2))),
+        |s2 AS (SELECT word, freq, s FROM a2 WHERE NOT contains(s, (SELECT pat FROM b2))),
+        |p3 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s2),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p3 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a3 AS (
+        |  SELECT word, freq, s FROM s2
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b3), (SELECT rep FROM b3))
+        |  FROM a3 WHERE contains(s, (SELECT pat FROM b3))),
+        |s3 AS (SELECT word, freq, s FROM a3 WHERE NOT contains(s, (SELECT pat FROM b3))),
+        |p4 AS (
+        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s3),
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
+        |       FROM p4 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+        |a4 AS (
+        |  SELECT word, freq, s FROM s3
+        |  UNION ALL
+        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b4), (SELECT rep FROM b4))
+        |  FROM a4 WHERE contains(s, (SELECT pat FROM b4))),
+        |s4 AS (SELECT word, freq, s FROM a4 WHERE NOT contains(s, (SELECT pat FROM b4)))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- pair→cluster resolution ----------------------------------------
@@ -1223,66 +1291,7 @@ object Curation {
       // recursive rewrite (a4/s4) and emits the post-merge state; the
       // Spark side re-derives the rules with Bpe.train (model state, 4
       // rows to the driver) and replays them with the greedy fold.
-      """WITH RECURSIVE tk AS (
-        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |wf AS (SELECT unnest(tk) AS word FROM tk),
-        |vocab AS (SELECT word, count(*) AS freq FROM wf GROUP BY 1),
-        |s0 AS (SELECT word, freq,
-        |        ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), ' ') || ' </w> ' AS s
-        |       FROM vocab),
-        |p1 AS (
-        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s0),
-        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
-        |  GROUP BY 1, 2),
-        |b1 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
-        |       FROM p1 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-        |a1 AS (
-        |  SELECT word, freq, s FROM s0
-        |  UNION ALL
-        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b1), (SELECT rep FROM b1))
-        |  FROM a1 WHERE contains(s, (SELECT pat FROM b1))),
-        |s1 AS (SELECT word, freq, s FROM a1 WHERE NOT contains(s, (SELECT pat FROM b1))),
-        |p2 AS (
-        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s1),
-        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
-        |  GROUP BY 1, 2),
-        |b2 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
-        |       FROM p2 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-        |a2 AS (
-        |  SELECT word, freq, s FROM s1
-        |  UNION ALL
-        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b2), (SELECT rep FROM b2))
-        |  FROM a2 WHERE contains(s, (SELECT pat FROM b2))),
-        |s2 AS (SELECT word, freq, s FROM a2 WHERE NOT contains(s, (SELECT pat FROM b2))),
-        |p3 AS (
-        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s2),
-        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
-        |  GROUP BY 1, 2),
-        |b3 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
-        |       FROM p3 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-        |a3 AS (
-        |  SELECT word, freq, s FROM s2
-        |  UNION ALL
-        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b3), (SELECT rep FROM b3))
-        |  FROM a3 WHERE contains(s, (SELECT pat FROM b3))),
-        |s3 AS (SELECT word, freq, s FROM a3 WHERE NOT contains(s, (SELECT pat FROM b3))),
-        |p4 AS (
-        |  SELECT l[i] AS lsym, l[i+1] AS rsym, CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM s3),
-        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) ii
-        |  GROUP BY 1, 2),
-        |b4 AS (SELECT ' ' || lsym || ' ' || rsym || ' ' AS pat, ' ' || lsym || rsym || ' ' AS rep
-        |       FROM p4 ORDER BY cnt DESC, lsym, rsym LIMIT 1),
-        |a4 AS (
-        |  SELECT word, freq, s FROM s3
-        |  UNION ALL
-        |  SELECT word, freq, regexp_replace(s, (SELECT pat FROM b4), (SELECT rep FROM b4))
-        |  FROM a4 WHERE contains(s, (SELECT pat FROM b4))),
-        |s4 AS (SELECT word, freq, s FROM a4 WHERE NOT contains(s, (SELECT pat FROM b4)))
+      bpeApplyChainSql + """
         |SELECT word, CAST(freq AS BIGINT) AS freq,
         |  CAST(len(string_split(trim(s), ' ')) AS INT) AS n_pieces,
         |  trim(s) AS segmented
@@ -1296,6 +1305,53 @@ object Curation {
           size(col("syms")).as("n_pieces"),
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
+    },
+
+    QuerySpec(
+      "bpe_coverage",
+      // Tokenizer-QA metrics over the SAME segmented state the bpe_apply
+      // oracle replays: fertility (pieces/word), compression (chars/
+      // piece), vocabulary size, and the freq-weighted fraction of
+      // pieces still single characters (unmerged residue — the signal a
+      // too-small merge budget leaves). Every metric is a division of
+      // exact integer counts — deterministic IEEE doubles, no rounding.
+      // The chain MUST run MATERIALIZED here: this SELECT references s4
+      // three times (pieces + two scalar subqueries), and DuckDB's
+      // default inlining re-expands the whole recursive rewrite chain
+      // per reference — >300 s planned vs 0.5 s materialized (the same
+      // blowup bpeBatchedOracleSql documents).
+      Seq("tk", "wf", "vocab", "s0", "p1", "b1", "s1", "p2", "b2", "s2",
+        "p3", "b3", "s3", "p4", "b4", "s4")
+        .foldLeft(bpeApplyChainSql)((q, cte) =>
+          q.replace(s"$cte AS (", s"$cte AS MATERIALIZED (")) + """,
+        |pieces AS MATERIALIZED (SELECT freq, unnest(string_split(trim(s), ' ')) AS piece FROM s4)
+        |SELECT CAST((SELECT sum(freq) FROM s4) AS BIGINT) AS total_words,
+        |  CAST(sum(freq) AS BIGINT) AS total_pieces,
+        |  CAST(count(DISTINCT piece) AS BIGINT) AS piece_types,
+        |  CAST(sum(CASE WHEN len(piece) = 1 THEN freq ELSE 0 END) AS DOUBLE) / sum(freq) AS singleton_frac,
+        |  CAST(sum(freq * len(piece)) AS DOUBLE) / sum(freq) AS mean_piece_chars,
+        |  CAST(sum(freq) AS DOUBLE) / (SELECT sum(freq) FROM s4) AS pieces_per_word
+        |FROM pieces""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rules = graft.operators.Bpe.train(docs, merges = 4)
+        .orderBy(col("merge_round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = graft.operators.Bpe.segment(
+        graft.operators.Bpe.vocab(docs), rules)
+      val pieces = seg.select(col("freq"), explode(col("syms")).as("piece"))
+      val tw = seg.agg(sum(col("freq")).as("total_words"))
+      pieces.agg(
+          sum(col("freq")).as("_tp"),
+          count_distinct(col("piece")).as("piece_types"),
+          sum(when(length(col("piece")) === 1, col("freq")).otherwise(0L))
+            .as("_single"),
+          sum(col("freq") * length(col("piece"))).as("_chars"))
+        .crossJoin(tw)
+        .select(col("total_words"), col("_tp").as("total_pieces"),
+          col("piece_types"),
+          (col("_single").cast("double") / col("_tp")).as("singleton_frac"),
+          (col("_chars").cast("double") / col("_tp")).as("mean_piece_chars"),
+          (col("_tp").cast("double") / col("total_words")).as("pieces_per_word"))
     },
 
     QuerySpec(
