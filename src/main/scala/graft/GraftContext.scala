@@ -386,10 +386,8 @@ class GraftContext(val spark: SparkSession) {
 
   /** Column name/type listing (context.py:2618 describe_table). */
   def describeTable(name: String): Seq[(String, String)] =
-    catalog.get(name) match {
-      case Some(e) => e.df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
-      case None => throw new NoSuchElementException(s"table not found: $name")
-    }
+    tableDf(name).schema.fields.toSeq
+      .map(f => f.name -> f.dataType.simpleString)
 
   private def tableDf(name: String): DataFrame =
     catalog.get(name) match {

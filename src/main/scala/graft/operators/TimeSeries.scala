@@ -25,10 +25,15 @@ object TimeSeries {
     *
     * with S = Σm, Q = Σm² — every side a product of exact integers,
     * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
-    * SAME rows flag on every engine, every run. Bounds: |m| ≤ 10¹²
-    * and n ≤ 10⁹ keep (n·m − S)² below 10³⁸ — comfortably above any
-    * per-group cardinality a 100 TB events table produces (the group
-    * stats row is one partial-agg output per group either way).
+    * SAME rows flag on every engine, every run.
+    *
+    * Exactness bound: the largest term is 9·n·Q ≤ 9·n²·max(m)², so the
+    * predicate stays inside DECIMAL(38,0) iff n·max|m| ≤ 3·10¹⁸ —
+    * e.g. 10⁹ rows per group at values up to 3·10³ (micros 3·10⁹), or
+    * 10⁶ rows up to 3·10⁶. A breach would otherwise be SILENT (Spark's
+    * non-ANSI decimal overflow returns NULL, flagging nothing), so the
+    * guard is enforced per group with raise_error — loud, like the
+    * HUGEINT overflow error DuckDB raises on its side.
     *
     * Scale shape: one hash-agg for the per-group moments (3 longs per
     * group), broadcast-joined back — the fact table never shuffles.
@@ -45,12 +50,22 @@ object TimeSeries {
       .agg(count(lit(1)).cast(dec).as("_n"),
         sum(col("_m").cast(dec)).as("_s"),
         // m² ≤ 10²⁴ exceeds long: square in decimal
-        sum((col("_m").cast(dec) * col("_m").cast(dec))).as("_q"))
+        sum((col("_m").cast(dec) * col("_m").cast(dec))).as("_q"),
+        max(abs(col("_m"))).cast(dec).as("_maxm"))
     val dev = col("_n") * col("_m").cast(dec) - col("_s")
+    val flag = dev * dev > lit(9).cast(dec) *
+      (col("_n") * col("_q") - col("_s") * col("_s"))
+    // n·max|m| > 3e18 would overflow DECIMAL(38,0) and silently NULL
+    // the flag (non-ANSI): fail loud instead. The check multiplies two
+    // in-range decimals (≤ ~1e22), never the overflowing terms.
+    val guarded = when(
+      col("_n") * col("_maxm") > lit(BigDecimal("3000000000000000000")).cast(dec),
+      raise_error(concat(lit("outliers3Sigma: group "), col(groupCol).cast("string"),
+        lit(" exceeds the exact-arithmetic bound n*max|micros| <= 3e18"))))
+      .otherwise(flag)
     m.join(broadcast(st), Seq(groupCol))
       .select(col(idCol), col(groupCol), col(valueCol),
-        (dev * dev > lit(9).cast(dec) *
-          (col("_n") * col("_q") - col("_s") * col("_s"))).as("is_outlier"))
+        guarded.as("is_outlier"))
   }
 
   /** Fixed-grid hourly resample with gap-fill and LOCF (last

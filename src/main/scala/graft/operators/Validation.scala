@@ -177,8 +177,12 @@ object Validation {
     val byCol = Window.partitionBy(col("col_name"))
     counts
       .withColumn("total", sum(col("cnt")).over(byCol))
+      // null-category ties: Spark's bare ASC would put NULL FIRST while
+      // DuckDB's default puts it LAST — pin NULLS LAST explicitly so a
+      // NULL value never displaces a real category from the top-k and
+      // both engines rank identically
       .withColumn("rn", row_number().over(
-        byCol.orderBy(col("cnt").desc, col("value"))))
+        byCol.orderBy(col("cnt").desc, col("value").asc_nulls_last)))
       .filter(col("rn") <= k)
       .select(col("col_name"), col("value"), col("cnt"),
         (col("cnt").cast("double") / col("total")).as("share"), col("rn"))

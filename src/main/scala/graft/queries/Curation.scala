@@ -35,6 +35,41 @@ object Curation {
     exact.unionAll(jac).distinct()
   }
 
+  /** Shared DuckDB closure for the components oracles — replays
+    * [[exactDedupEdges]] (exact-prefix pairs ∪ bounded-slice 3-gram
+    * Jaccard pairs) and closes it with a recursive CTE; `reach(id, r)`
+    * holds every (node, reachable node) pair, so `min(r) GROUP BY id`
+    * is the component label. dedup_components emits the labels;
+    * dedup_keep_best extends with quality ranking. ONE definition so
+    * an edge-rule tweak cannot desynchronize the pair.
+    */
+  private val componentsChainSql: String =
+    """pref AS (
+      |  SELECT doc_id,
+      |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
+      |  FROM documents),
+      |eexact AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |      ELSE [] END) AS ss
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |        FROM documents WHERE doc_id < 200)),
+      |ejac AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(a.ss || b.ss)) > 0
+      |    AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2),
+      |e0 AS (SELECT id_a, id_b FROM eexact UNION SELECT id_a, id_b FROM ejac),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+      |          UNION SELECT id_b AS src, id_a AS dst FROM e0),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)""".stripMargin
+
   /** Generated DuckDB oracle for `bpe_train_batched` — replays
     * [[graft.operators.Bpe.trainBatched]] exactly: per pass, pair counts
     * over the current symbol table, the top `batch × candidateFactor`
@@ -196,32 +231,7 @@ object Curation {
       // at-scale large-graph algorithm (min-label propagation + pointer
       // jumping), so this checks that the distributed algorithm reaches
       // the true transitive closure.
-      """WITH RECURSIVE
-        |pref AS (
-        |  SELECT doc_id,
-        |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
-        |  FROM documents),
-        |eexact AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |sets AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |      ELSE [] END) AS ss
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |        FROM documents WHERE doc_id < 200)),
-        |ejac AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.ss || b.ss)) > 0
-        |    AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2),
-        |e0 AS (SELECT id_a, id_b FROM eexact UNION SELECT id_a, id_b FROM ejac),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
-        |          UNION SELECT id_b AS src, id_a AS dst FROM e0),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+      "WITH RECURSIVE\n" + componentsChainSql + """
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin) { (s, dir) =>
       Components.connectedComponents(exactDedupEdges(t(s, dir, "documents")))
@@ -249,33 +259,11 @@ object Curation {
       // quality signals (token count, then distinct-token count, then
       // min doc_id) so both engines rank identically with no float in
       // the decision. Singletons (no edge) are their own component and
-      // trivially kept.
-      """WITH RECURSIVE
-        |pref AS (
-        |  SELECT doc_id,
-        |    md5(substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fp
-        |  FROM documents),
-        |eexact AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM pref a JOIN pref b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |sets AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |      list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |      ELSE [] END) AS ss
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |        FROM documents WHERE doc_id < 200)),
-        |ejac AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(a.ss || b.ss)) > 0
-        |    AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) / len(list_distinct(a.ss || b.ss)) >= 0.2),
-        |e0 AS (SELECT id_a, id_b FROM eexact UNION SELECT id_a, id_b FROM ejac),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
-        |          UNION SELECT id_b AS src, id_a AS dst FROM e0),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+      // trivially kept. NULL-text docs score NULL (not size(NULL) = -1)
+      // and rank after every real doc on both engines (DESC NULLS LAST
+      // pinned explicitly — Spark's and DuckDB's defaults agree here but
+      // the contract shouldn't ride on defaults).
+      "WITH RECURSIVE\n" + componentsChainSql + """,
         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
         |scored AS (
         |  SELECT doc_id,
@@ -289,22 +277,27 @@ object Curation {
         |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.id)
         |SELECT doc_id, component, n_tokens, n_distinct,
         |  row_number() OVER (PARTITION BY component
-        |    ORDER BY n_tokens DESC, n_distinct DESC, doc_id) = 1 AS keep
+        |    ORDER BY n_tokens DESC NULLS LAST, n_distinct DESC NULLS LAST, doc_id) = 1 AS keep
         |FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val comp = Components.connectedComponents(exactDedupEdges(docs))
       // quality signals reduce to two longs BEFORE the component shuffle
-      // and the window — text never moves after the map-side projection
+      // and the window — text never moves after the map-side projection.
+      // NULL text → NULL counts (size(NULL) would be -1 under the
+      // legacy sizeOfNull setting and leak a bogus score).
       val scored = docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+        when(col("text").isNotNull,
+          size(tokens(col("text"))).cast("long")).as("n_tokens"),
+        when(col("text").isNotNull,
+          size(array_distinct(tokens(col("text")))).cast("long")).as("n_distinct"))
       val lab = scored.join(comp, scored("doc_id") === comp("id"), "left")
         .select(scored("doc_id"),
           coalesce(col("component"), scored("doc_id")).as("component"),
           col("n_tokens"), col("n_distinct"))
       val w = Window.partitionBy(col("component"))
-        .orderBy(col("n_tokens").desc, col("n_distinct").desc, col("doc_id"))
+        .orderBy(col("n_tokens").desc_nulls_last,
+          col("n_distinct").desc_nulls_last, col("doc_id"))
       lab.withColumn("keep", row_number().over(w) === 1)
         .select(col("doc_id"), col("component"), col("n_tokens"),
           col("n_distinct"), col("keep"))
@@ -1486,7 +1479,7 @@ object Curation {
         |c AS (SELECT col_name, value, count(*) AS cnt FROM s GROUP BY 1, 2),
         |t AS (SELECT col_name, value, cnt,
         |        CAST(sum(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS total,
-        |        row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rn
+        |        row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC NULLS LAST) AS rn
         |      FROM c)
         |SELECT col_name, value, cnt, CAST(cnt AS DOUBLE) / total AS share, rn
         |FROM t WHERE rn <= 5 ORDER BY col_name, rn""".stripMargin) { (s, dir) =>

@@ -1217,4 +1217,24 @@ class OperatorSpec extends SparkSuite {
     assert(byComp.exists(_._2.length > 1), "fixture should contain clusters")
     operators.Dedup.releaseCaches()
   }
+
+  test("dedup_keep_best scores NULL text as NULL, never size(NULL) = -1") {
+    val dir = java.nio.file.Files.createTempDirectory("keepbest").toString
+    Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+        (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the NULL-text doc: no fingerprint -> no edges -> own singleton
+    // component, trivially kept, and its quality scores must be NULL
+    // (the -1 sentinel of size(NULL) would leak a bogus score and
+    // diverge from the oracle's NULL)
+    assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3),
+      s"NULL text must score NULL: ${rows(2L)}")
+    assert(rows(2L).getAs[Boolean]("keep"), "singleton is kept")
+    // docs 1 and 3 are exact duplicates: min-id wins the full tie
+    assert(rows(1L).getAs[Boolean]("keep") && !rows(3L).getAs[Boolean]("keep"))
+    operators.Dedup.releaseCaches()
+  }
 }

@@ -70,6 +70,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out(("B", "2024-01-01 03:00:00.0")) == (0L, Some(1.5)))
   }
 
+  test("outliers3Sigma raises loudly past the exact-arithmetic bound") {
+    // value 4e12 -> micros 4e18; n*max|m| = 4e18 > 3e18. Without the
+    // guard Spark's non-ANSI decimal overflow would return NULL flags
+    // SILENTLY (and DuckDB would error) — the guard must throw instead.
+    val df = Seq((1L, "big", 4.0e12), (2L, "big", 1.0))
+      .toDF("event_id", "event_type", "value")
+    val e = intercept[Exception] {
+      TimeSeries.outliers3Sigma(df).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + messages(t.getCause)
+    assert(messages(e).contains("exact-arithmetic bound"),
+      s"guard must fire with its own message, got: ${messages(e)}")
+    // and a group sitting JUST under the bound (n=1, m = 2.9e18) works
+    val ok = TimeSeries.outliers3Sigma(
+        Seq((1L, "g", 2.9e12), (2L, "h", 1.0)).toDF("event_id", "event_type", "value"))
+      .collect()
+    assert(ok.length == 2)
+  }
+
   test("outlier stats join broadcasts; fact table does not exchange") {
     val df = (1L to 100L).map(i => (i, s"t${i % 3}", i * 1.0))
       .toDF("event_id", "event_type", "value")

@@ -98,6 +98,13 @@ class ValidationSpec extends SparkSuite {
     val tied = Seq(("a", "z"), ("a", "y")).toDF("k", "v")
     val t2 = Validation.profileFrequent(tied, Seq("v"), k = 2).collect()
     assert(t2(0).getAs[String]("value") == "y" && t2(1).getAs[String]("value") == "z")
+    // a NULL category tied with a real value must rank LAST (the bare
+    // ASC default would put NULL first and evict the real value at k)
+    val withNull = Seq(Some("a"), Some("a"), None, None, Some("b"))
+      .toDF("v")
+    val t3 = Validation.profileFrequent(withNull, Seq("v"), k = 1).collect()
+    assert(t3.length == 1 && t3(0).getAs[String]("value") == "a",
+      s"NULL must not displace 'a' from top-1: ${t3.mkString}")
   }
 
   test("nfc_normalize kernel: identity on ASCII, composes combining marks") {
