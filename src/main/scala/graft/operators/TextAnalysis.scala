@@ -592,6 +592,81 @@ object TextAnalysis {
         col("avg_nll_kn"), col("ppl_kn"))
   }
 
+  /** Trigram interpolated Kneser-Ney perplexity — the full recursive KN
+    * ladder (order 3 → 2 → continuation unigram), with the defining
+    * subtlety implemented correctly: the MIDDLE order does not use raw
+    * bigram counts but continuation counts ĉ(v,w) = N1+(·vw) = |{u :
+    * c(u,v,w) > 0}| (Chen & Goodman 1999 eq. 18) —
+    *   P₃(w|u,v) = max(c(uvw)−D,0)/c(uv·) + D·N1+(uv,·)/c(uv·) · P₂'(w|v)
+    *   P₂'(w|v)  = max(ĉ(v,w)−D,0)/ĉ(v,·) + D·N1+'(v,·)/ĉ(v,·) · Pcont(w)
+    *   Pcont(w)  = N1+(·,w)/N1+(·,·)  (over bigram types, as in order 2)
+    * Fixed D = 0.75 at both levels (exactly representable). Every count
+    * is an exact integer, so the whole model replays in an independent
+    * engine; Σ_w P₃(w|u,v) = 1 is property-tested.
+    *
+    * Scale shape: trigrams pair map-side from the token array (no
+    * shuffle); the model is ONE trigram hash-agg re-aggregated down the
+    * ladder (c3 → cctx3/ĉ → cctx2 → Pcont via the bigram table), each a
+    * shrinking keyed agg; scoring joins the occurrence table against
+    * the model tables by their natural keys; one scalar (N1+(·,·)) to
+    * the driver. Docs with < 3 tokens keep NULL scores.
+    */
+  def kneserNeyTrigramPerplexity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", discount: Double = 0.75): DataFrame = {
+    val tk = Caches.register(
+      docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tri = tk.filter(size(col("tk")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> struct(tk[i-1] AS u, tk[i] AS v, tk[i+1] AS w))"))
+        .as("t"))
+      .select(col(idCol), col("t.u").as("u"), col("t.v").as("v"),
+        col("t.w").as("w"))
+    val c3 = Caches.register(
+      tri.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cctx3 = c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).as("cv3"), count(lit(1)).as("n1f3"))
+    // continuation counts: c3 rows are distinct (u,v,w), so count(*)
+    // per (v,w) IS |{u : c(u,v,w) > 0}|
+    val chat = Caches.register(
+      c3.groupBy(col("v"), col("w")).agg(count(lit(1)).as("chat"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cctx2 = chat.groupBy(col("v"))
+      .agg(sum(col("chat")).as("cv2"), count(lit(1)).as("n1f2"))
+    // bottom level over bigram TYPES of the same corpus (shared with
+    // the order-2 model): Pcont(w) = N1+(·,w) / N1+(·,·)
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
+        .as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val cbTypes = Caches.register(
+      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ccont = cbTypes.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
+    val nBigramTypes = cbTypes.count()
+    val d = lit(discount)
+    // term order mirrors the oracle SQL exactly (left-assoc products)
+    val p2 = greatest(col("chat") - d, lit(0.0)) / col("cv2") +
+      d * col("n1f2") / col("cv2") *
+        (col("n1bwd") / lit(nBigramTypes.toDouble))
+    val p3 = greatest(col("c3") - d, lit(0.0)) / col("cv3") +
+      d * col("n1f3") / col("cv3") * p2
+    val scored = tri
+      .join(c3, Seq("u", "v", "w"))
+      .join(cctx3, Seq("u", "v"))
+      .join(chat, Seq("v", "w"))
+      .join(cctx2, Seq("v"))
+      .join(ccont.withColumnRenamed("cur", "w"), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), (-avg(log(p3))).as("avg_nll_kn3"))
+      .withColumn("ppl_kn3", exp(col("avg_nll_kn3")))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_nll_kn3"), col("ppl_kn3"))
+  }
+
   /** All analysis columns materialized for a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =

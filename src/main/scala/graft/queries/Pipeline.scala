@@ -937,6 +937,56 @@ object Pipeline {
     },
 
     QuerySpec(
+      "text_perplexity_kn3",
+      // Trigram interpolated Kneser-Ney (Chen & Goodman 1999): the
+      // middle order uses CONTINUATION counts ĉ(v,w) = |{u}|, not raw
+      // bigram counts — the detail that separates real KN from an
+      // ad-hoc backoff stack. D = 0.75 at both levels; every count
+      // exact; term order mirrors the Spark expression. Round-6 on the
+      // order-sensitive avg-of-ln only.
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tri AS (SELECT doc_id, tk[i] AS u, tk[i+1] AS v, tk[i+2] AS w
+        |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) AS i
+        |              FROM tk WHERE len(tk) >= 3)),
+        |c3 AS (SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+        |cctx3 AS (SELECT u, v, sum(c3) AS cv3, count(*) AS n1f3 FROM c3 GROUP BY 1, 2),
+        |chat AS (SELECT v, w, count(*) AS chat FROM c3 GROUP BY 1, 2),
+        |cctx2 AS (SELECT v, sum(chat) AS cv2, count(*) AS n1f2 FROM chat GROUP BY 1),
+        |bi AS (SELECT tk[i] AS prev, tk[i+1] AS cur
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |             FROM tk WHERE len(tk) >= 2)),
+        |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |ccont AS (SELECT cur, count(*) AS n1bwd FROM cb GROUP BY 1),
+        |consts AS (SELECT count(*) AS nb FROM cb),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_trigrams,
+        |    -avg(ln(greatest(c3.c3 - 0.75, 0.0) / cctx3.cv3
+        |          + 0.75 * cctx3.n1f3 / cctx3.cv3 *
+        |            (greatest(chat.chat - 0.75, 0.0) / cctx2.cv2
+        |             + 0.75 * cctx2.n1f2 / cctx2.cv2 * (CAST(ccont.n1bwd AS DOUBLE) / consts.nb)))) AS nll
+        |  FROM tri t
+        |    JOIN c3 ON t.u = c3.u AND t.v = c3.v AND t.w = c3.w
+        |    JOIN cctx3 ON cctx3.u = t.u AND cctx3.v = t.v
+        |    JOIN chat ON chat.v = t.v AND chat.w = t.w
+        |    JOIN cctx2 ON cctx2.v = t.v
+        |    JOIN ccont ON ccont.cur = t.w
+        |    CROSS JOIN consts
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+        |  round(sc.nll, 6) AS avg_nll_kn3, round(exp(sc.nll), 6) AS ppl_kn3
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.kneserNeyTrigramPerplexity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_nll_kn3"), 6).as("avg_nll_kn3"),
+          round(col("ppl_kn3"), 6).as("ppl_kn3"))
+        .orderBy(col("doc_id"))
+    },
+
+    QuerySpec(
       "text_normalize_unicode",
       // Unicode NFC normalization — the pass that must precede any
       // hash-based dedup (é spelled e+U+0301 vs U+00E9 must fingerprint

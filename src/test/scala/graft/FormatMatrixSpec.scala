@@ -57,7 +57,13 @@ class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
     "q2_min_cost", "q11_stock_value", "q16_supplier_cnt", "q20_excess",
     "events_sessions", "events_funnel", "events_retention", "asof_join",
     "topk_per_group", "pivot_wide", "unpivot_long",
-    "expr_case", "expr_cond", "expr_math", "expr_date", "expr_cast")
+    "expr_case", "expr_cond", "expr_math", "expr_date", "expr_cast",
+    // validation/time-series family: the nulls variant is precisely
+    // where their null paths earn their keep (value nulls → outlier
+    // filter, lineitem nulls → n_nulls > 0, orders nulls → completeness
+    // metrics < 1)
+    "events_outliers", "events_resample", "validate_constraints",
+    "profile_columns", "profile_frequent")
 
   /** Canonical row rendering: doubles through 12-significant-digit
     * formatting (CSV/JSON round-trips are value-exact, but scan split

@@ -1193,6 +1193,47 @@ class OperatorSpec extends SparkSuite {
     operators.Dedup.releaseCaches()
   }
 
+  test("trigram KN conditionals sum to 1 and use continuation counts at order 2") {
+    val docs = Seq((1L, "x y z x y w x y z"), (2L, "y z w x")).toDF("doc_id", "text")
+    val toks = docs.collect().map(_.getString(1).split(" ").toSeq)
+    val tris = toks.flatMap(t => t.indices.dropRight(2).map(i => (t(i), t(i + 1), t(i + 2))))
+    val bigs = toks.flatMap(t => t.zip(t.tail))
+    val c3 = tris.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val vocab = toks.flatten.distinct
+    val cctx3 = c3.groupBy(k => (k._1._1, k._1._2)).map { case (k, m) => k -> m.values.sum }
+    val n1f3 = c3.groupBy(k => (k._1._1, k._1._2)).map { case (k, m) => k -> m.size.toDouble }
+    val chat = c3.keys.groupBy(k => (k._2, k._3)).map { case (k, us) => k -> us.size.toDouble }
+    val cctx2 = chat.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f2 = chat.groupBy(_._1._1).map { case (v, m) => v -> m.size.toDouble }
+    val cbT = bigs.distinct
+    val n1bwd = cbT.groupBy(_._2).map { case (w, m) => w -> m.size.toDouble }
+    val nb = cbT.size.toDouble
+    val D = 0.75
+    def pcont(w: String) = n1bwd.getOrElse(w, 0.0) / nb
+    def p2(v: String, w: String) =
+      math.max(chat.getOrElse((v, w), 0.0) - D, 0.0) / cctx2(v) +
+        D * n1f2(v) / cctx2(v) * pcont(w)
+    def p3(u: String, v: String, w: String) =
+      math.max(c3.getOrElse((u, v, w), 0.0) - D, 0.0) / cctx3((u, v)) +
+        D * n1f3((u, v)) / cctx3((u, v)) * p2(v, w)
+    for ((u, v) <- cctx3.keys) {
+      val total = vocab.map(w => p3(u, v, w)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context ($u,$v) sums to $total")
+    }
+    // the operator agrees with the replica on every scored trigram doc
+    val out = TextAnalysis.kneserNeyTrigramPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expected1 = {
+      val ts = toks(0).indices.dropRight(2).map(i =>
+        p3(toks(0)(i), toks(0)(i + 1), toks(0)(i + 2)))
+      -ts.map(math.log).sum / ts.size
+    }
+    assert(out(1L).getAs[Long]("n_trigrams") == 7L)
+    assert(math.abs(out(1L).getAs[Double]("avg_nll_kn3") - expected1) < 1e-12,
+      s"operator ${out(1L)} vs replica $expected1")
+    operators.Dedup.releaseCaches()
+  }
+
   test("dedup_keep_best keeps exactly one best-quality doc per cluster") {
     val fn = SparkEntry.queries("dedup_keep_best")
     val rows = fn(spark, SparkSuite.sfDir).collect()
