@@ -401,4 +401,45 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
+
+  /** Incremental IVF maintenance: append a fresh batch to an existing
+    * index WITHOUT refitting the quantizer. Centroids are derived from
+    * (and frozen on) the `old` corpus; the batch rides the same
+    * map-side argmax assignment the bulk path uses — zero shuffle for
+    * either side, the only aggregation is the per-cell count. The
+    * output is the post-append occupancy table plus the rebalance
+    * signal an index-maintenance job keys on: a cell holding more than
+    * 2× its fair share (n_total·nlist > 2·total, exact ints) means the
+    * frozen quantizer has drifted from the data and a refit is due —
+    * the decision is surfaced, never silently absorbed.
+    *
+    * Returns (centroid_id, n_old, n_new, n_total, occupancy_ratio,
+    * rebalance) ordered by centroid_id; every cell appears even when a
+    * side contributed nothing to it.
+    */
+  def ivfAppend(old: DataFrame, fresh: DataFrame, nlist: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(old, nlist, vecCol, idCol)
+    val nOld = assign(old, cents, vecCol, idCol, "o", top = 1)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_old"))
+    val nNew = assign(fresh, cents, vecCol, idCol, "n", top = 1)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_new"))
+    val cells = cents.select(col("centroid_id"))
+      .join(nOld, Seq("centroid_id"), "left")
+      .join(nNew, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_old") + col("n_new"))
+    // the cell table is nlist rows: the totals window is free
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("_total", sum(col("n_total")).over(wAll))
+      .select(col("centroid_id"), col("n_old"), col("n_new"), col("n_total"),
+        (col("n_total") * lit(nlist.toLong)).cast("double")
+          ./(col("_total")).as("occupancy_ratio"),
+        (col("n_total") * lit(nlist.toLong) > lit(2L) * col("_total"))
+          .as("rebalance"))
+      .orderBy(col("centroid_id"))
+  }
 }

@@ -568,6 +568,47 @@ object Pipeline {
     },
 
     QuerySpec(
+      "ann_ivf_append",
+      // Incremental IVF maintenance: centroids frozen on the 90% "old"
+      // slice, the 10% batch assigned map-side without refit; output =
+      // post-append cell occupancy + the exact-integer rebalance signal
+      // (n_total·nlist > 2·total). DuckDB replays centroid derivation,
+      // both argmax assignments, and the occupancy arithmetic.
+      """WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+        |newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |params AS (SELECT greatest((SELECT count(*) FROM old) // 16, 1) AS step),
+        |cents AS (
+        |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
+        |  FROM old, params WHERE vec_id % step = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |ao AS (
+        |  SELECT centroid_id, count(*) AS n_old FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM old e CROSS JOIN cents c) x WHERE crn = 1 GROUP BY 1),
+        |an AS (
+        |  SELECT centroid_id, count(*) AS n_new FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid_id) AS crn
+        |    FROM newb e CROSS JOIN cents c) x WHERE crn = 1 GROUP BY 1),
+        |cells AS (
+        |  SELECT c.centroid_id, coalesce(ao.n_old, 0) AS n_old,
+        |    coalesce(an.n_new, 0) AS n_new,
+        |    coalesce(ao.n_old, 0) + coalesce(an.n_new, 0) AS n_total
+        |  FROM cents c LEFT JOIN ao USING (centroid_id) LEFT JOIN an USING (centroid_id))
+        |SELECT centroid_id, n_old, n_new, n_total,
+        |  CAST(n_total * 16 AS DOUBLE) / (SELECT sum(n_total) FROM cells) AS occupancy_ratio,
+        |  n_total * 16 > 2 * (SELECT sum(n_total) FROM cells) AS rebalance
+        |FROM cells ORDER BY centroid_id""".stripMargin) { (s, dir) =>
+      val embs = t(s, dir, "embeddings")
+      Similarity.ivfAppend(
+        embs.filter(col("vec_id") % 10 =!= 0),
+        embs.filter(col("vec_id") % 10 === 0), nlist = 16)
+    },
+
+    QuerySpec(
       "ann_int8_topk",
       // Brute-force top-k over int8-QUANTIZED vectors (the 4x-memory scale
       // path): DuckDB replays quantization (trunc matches Spark's

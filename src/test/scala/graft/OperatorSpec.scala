@@ -285,6 +285,38 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("ivfAppend conserves counts, fills empty cells, flags planted skew") {
+    import graft.operators.Similarity
+    // 3 tight clusters in 4-d; the "new" batch lands entirely in one
+    // cluster, driving that cell past 2x fair share
+    def v(base: Array[Float], i: Int) =
+      base.zipWithIndex.map { case (x, j) => x + (if (j == i % 4) 0.001f else 0f) }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val old = (0 until 30).map(i =>
+      (i.toLong, v(Seq(a, b, c)(i % 3), i).toSeq))
+    // 31, not 30: 30 would land the hot cell EXACTLY on the 2x-fair-share
+    // boundary (40·3 = 2·60) and the strict > must not flag it
+    val fresh = (100 until 131).map(i => (i.toLong, v(a, i).toSeq))
+    val spark0 = spark; import spark0.implicits._
+    val out = Similarity.ivfAppend(
+        old.toDF("vec_id", "embedding"), fresh.toDF("vec_id", "embedding"),
+        nlist = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_old")).sum == 30L)
+    assert(out.map(_.getAs[Long]("n_new")).sum == 31L)
+    assert(out.forall(r => r.getAs[Long]("n_total") ==
+      r.getAs[Long]("n_old") + r.getAs[Long]("n_new")))
+    // occupancy ratios average 1 by construction
+    val ratios = out.map(_.getAs[Double]("occupancy_ratio"))
+    assert(math.abs(ratios.sum / ratios.length - 1.0) < 1e-9)
+    // the a-cluster cell took all 31 new vectors: 41·3 > 2·61
+    val hot = out.filter(_.getAs[Boolean]("rebalance"))
+    assert(hot.length == 1, s"exactly the flooded cell flags: ${out.mkString}")
+    assert(hot.head.getAs[Long]("n_new") == 31L)
+    operators.Dedup.releaseCaches()
+  }
+
   test("NaiveBayes separates a vocabulary-disjoint corpus perfectly") {
     import spark.implicits._
     val docs = Seq(
