@@ -325,6 +325,42 @@ object Windows {
         |FROM j ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
       graft.operators.TimeSeries.resampleHourlyLocf(t(s, dir, "events"))
         .orderBy(col("event_type"), col("hour"))
+    },
+
+    QuerySpec(
+      "events_rate_spikes",
+      // Rate-spike detection: hourly event counts per type pushed
+      // through the SAME exact-integer 3σ gate (counts are already
+      // exact ints — micros scaling is a no-op on integers, so the
+      // predicate is pure integer arithmetic end to end). The composed
+      // shape — resample then gate — is the monitoring query every
+      // event pipeline runs; output only the flagged hours.
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, hour, n_events,
+        |        CAST(round(CAST(n_events AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+        |      FROM hourly),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM m GROUP BY 1)
+        |SELECT m.event_type, m.hour, m.n_events
+        |FROM m JOIN st USING (event_type)
+        |WHERE (st.n * CAST(m.v AS HUGEINT) - st.s) * (st.n * CAST(m.v AS HUGEINT) - st.s)
+        |    > 9 * (st.n * st.q - st.s * st.s)
+        |ORDER BY m.event_type, m.hour""".stripMargin) { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.TimeSeries.outliers3Sigma(hourly,
+          valueCol = "n_events", groupCol = "event_type", idCol = "hour")
+        .filter(col("is_outlier"))
+        .select(col("event_type"), col("hour"), col("n_events"))
+        .orderBy(col("event_type"), col("hour"))
     }
   )
 }
