@@ -58,7 +58,7 @@ object Validation {
     val rule = "referenced_in"
   }
 
-  private def rowLocalIndicator(df: DataFrame, r: Rule): Option[Column] =
+  private[graft] def rowLocalIndicator(df: DataFrame, r: Rule): Option[Column] =
     r match {
       case Completeness(c, _) =>
         Some(when(col(c).isNotNull, 1.0).otherwise(0.0))

@@ -83,6 +83,40 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming data-quality monitor: the row-local half of
+    * [[graft.operators.Validation.audit]] (completeness / in-range /
+    * accepted-values) evaluated per event-time window, so an ingest
+    * pipeline watches its quality DRIFT instead of auditing once after
+    * the damage lands. Each rule is an avg-of-indicator over the
+    * window's rows — one partial sum per (window, rule) of state,
+    * bounded by the watermark; metrics are round-6 like the batch
+    * audit. Keyed/cross-row rules (uniqueness, referential) need the
+    * full key domain and are rejected here — they stay batch audits.
+    * Emitted rows equal the identical batch windowed aggregation
+    * (StreamingSpec).
+    */
+  def qualityMetricsStream(stream: DataFrame,
+      rules: Seq[graft.operators.Validation.Rule],
+      window_ : String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val inds = rules.map { r =>
+      val ind = graft.operators.Validation.rowLocalIndicator(stream, r)
+        .getOrElse(throw new IllegalArgumentException(
+          s"qualityMetricsStream: rule ${r.rule}(${r.column}) needs " +
+            "cross-row state; run it as a batch audit"))
+      r -> ind
+    }
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_rows"),
+        inds.map { case (r, ind) =>
+          round(avg(ind), 6).as(s"${r.rule}_${r.column}") }: _*)
+      .select(col("window.start").as("w_start") +:
+        col("window.end").as("w_end") +: col("n_rows") +:
+        inds.map { case (r, _) => col(s"${r.rule}_${r.column}") }: _*)
+  }
+
   /** Streaming Count-Min sketch: maintain the d×w counter cells of
     * [[graft.operators.CountMin]] incrementally over an unbounded key
     * stream. This is the sketch's streaming raison d'être — the

@@ -37,6 +37,38 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming quality metrics equal the batch windowed audit") {
+    import graft.operators.Validation.{AcceptedValues, InRange, Uniqueness}
+    val rules = Seq(InRange("value", 0.0, 100.0),
+      AcceptedValues("event_type", Seq("view", "click")))
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.qualityMetricsStream(stream, rules, "1 hour"), "qm_stream")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(when(col("value").between(0.0, 100.0), 1.0).otherwise(0.0)), 6)
+          .as("in_range_value"),
+        round(avg(when(col("event_type").isin("view", "click"), 1.0).otherwise(0.0)), 6)
+          .as("accepted_values_event_type"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty, "stream emitted nothing")
+    got.foreach { case (w, m) =>
+      assert(batch.get(w).contains(m), s"window $w: stream=$m batch=${batch.get(w)}")
+    }
+    // a metric that actually varies (not constant 1.0) proves the
+    // indicators measure the data, not the schema
+    assert(got.values.map(_._3).toSet.size > 1,
+      "accepted-values share should vary across windows")
+    // cross-row rules are refused, not silently mis-streamed
+    intercept[IllegalArgumentException] {
+      EventStreams.qualityMetricsStream(stream, Seq(Uniqueness("event_id")))
+    }
+  }
+
   test("streaming count-min cells equal the batch sketch grid") {
     import org.apache.spark.sql.streaming.OutputMode
     val W = 256; val D = 4
