@@ -419,7 +419,15 @@ object Similarity {
     */
   def ivfAppend(old: DataFrame, fresh: DataFrame, nlist: Int = 16,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = centroids(old, nlist, vecCol, idCol)
+    // persisted: centroid derivation scans `old` (count + stride
+    // sample); without the persist each assign() would re-collect the
+    // whole derivation, tripling the old-corpus scans. Note the stride
+    // sample is by idCol VALUE — an `old` slice that excludes every
+    // multiple of the derived step yields no centroids and assign()
+    // throws its loud empty-set error (callers choose slices that keep
+    // id 0 / stride points, as ann_ivf_append does).
+    val cents = Caches.register(centroids(old, nlist, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nOld = assign(old, cents, vecCol, idCol, "o", top = 1)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_old"))
     val nNew = assign(fresh, cents, vecCol, idCol, "n", top = 1)
@@ -431,14 +439,19 @@ object Similarity {
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("n_total", col("n_old") + col("n_new"))
-    // the cell table is nlist rows: the totals window is free
+    // the cell table is ≤nlist rows: the totals window is free. Fair
+    // share divides by the number of cells actually MATERIALIZED —
+    // when the stride sample yields fewer than nlist centroids a
+    // perfectly balanced index must not flag (dividing by the
+    // requested nlist would mark every cell hot).
     val wAll = Window.partitionBy()
     cells
       .withColumn("_total", sum(col("n_total")).over(wAll))
+      .withColumn("_cells", count(lit(1)).over(wAll))
       .select(col("centroid_id"), col("n_old"), col("n_new"), col("n_total"),
-        (col("n_total") * lit(nlist.toLong)).cast("double")
+        (col("n_total") * col("_cells")).cast("double")
           ./(col("_total")).as("occupancy_ratio"),
-        (col("n_total") * lit(nlist.toLong) > lit(2L) * col("_total"))
+        (col("n_total") * col("_cells") > lit(2L) * col("_total"))
           .as("rebalance"))
       .orderBy(col("centroid_id"))
   }

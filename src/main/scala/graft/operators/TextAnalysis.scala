@@ -556,6 +556,26 @@ object TextAnalysis {
     * Returns (idCol, n_bigrams, avg_nll_kn, ppl_kn); docs with < 2
     * tokens keep NULL scores, n_bigrams 0.
     */
+  /** Shared bigram machinery for the KN family: from the persisted
+    * (id, tk) table, the (prev, cur, cb) bigram-count table (persisted
+    * — its ROWS are the bigram types), the backward continuation
+    * counts N1+(·,w), and the single N1+(·,·) scalar. One definition:
+    * the subtle KN bottom level (bigram TYPES, not tokens) cannot
+    * desynchronize between the order-2 and order-3 estimators.
+    */
+  private def bigramTypeModel(tk: DataFrame): (DataFrame, DataFrame, Long) = {
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
+        .as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val cb = Caches.register(
+      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
+    (cb, ccont, cb.count()) // count = N1+(·,·), the one driver scalar
+  }
+
   def kneserNeyPerplexity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", discount: Double = 0.75): DataFrame = {
     val tk = Caches.register(
@@ -566,13 +586,9 @@ object TextAnalysis {
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
         .as("b"))
       .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val cb = Caches.register(
-      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (cb, ccont, nBigramTypes) = bigramTypeModel(tk)
     val cctx = cb.groupBy(col("prev"))
       .agg(sum(col("cb")).as("cv"), count(lit(1)).as("n1fwd"))
-    val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
-    val nBigramTypes = cb.count() // N1+(·,·): the one driver-side scalar
     val d = lit(discount)
     // expression shape mirrors the oracle SQL term-for-term (left-assoc
     // products, computed casts) so the doubles agree to the last ulp
@@ -634,18 +650,9 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cctx2 = chat.groupBy(col("v"))
       .agg(sum(col("chat")).as("cv2"), count(lit(1)).as("n1f2"))
-    // bottom level over bigram TYPES of the same corpus (shared with
-    // the order-2 model): Pcont(w) = N1+(·,w) / N1+(·,·)
-    val bi = tk.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
-        .as("b"))
-      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val cbTypes = Caches.register(
-      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val ccont = cbTypes.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
-    val nBigramTypes = cbTypes.count()
+    // bottom level over bigram TYPES of the same corpus — the SAME
+    // shared model the order-2 estimator uses: Pcont(w) = N1+(·,w)/N1+(·,·)
+    val (_, ccont, nBigramTypes) = bigramTypeModel(tk)
     val d = lit(discount)
     // term order mirrors the oracle SQL exactly (left-assoc products)
     val p2 = greatest(col("chat") - d, lit(0.0)) / col("cv2") +

@@ -572,10 +572,15 @@ object Pipeline {
       // Incremental IVF maintenance: centroids frozen on the 90% "old"
       // slice, the 10% batch assigned map-side without refit; output =
       // post-append cell occupancy + the exact-integer rebalance signal
-      // (n_total·nlist > 2·total). DuckDB replays centroid derivation,
-      // both argmax assignments, and the occupancy arithmetic.
-      """WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
-        |newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      // (n_total·cells > 2·total — fair share over the cells actually
+      // materialized). DuckDB replays centroid derivation, both argmax
+      // assignments, and the occupancy arithmetic. The batch is the
+      // ≡7 (mod 10) residue, NOT ≡0: the centroid stride samples ids
+      // divisible by the derived step, and excluding every multiple of
+      // 10 from "old" would empty the sample whenever step lands on a
+      // multiple of 10 (id 0 always survives the ≡7 split).
+      """WITH old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),
+        |newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
         |params AS (SELECT greatest((SELECT count(*) FROM old) // 16, 1) AS step),
         |cents AS (
         |  SELECT vec_id // step AS centroid_id, embedding::DOUBLE[] AS cv
@@ -599,13 +604,14 @@ object Pipeline {
         |    coalesce(ao.n_old, 0) + coalesce(an.n_new, 0) AS n_total
         |  FROM cents c LEFT JOIN ao USING (centroid_id) LEFT JOIN an USING (centroid_id))
         |SELECT centroid_id, n_old, n_new, n_total,
-        |  CAST(n_total * 16 AS DOUBLE) / (SELECT sum(n_total) FROM cells) AS occupancy_ratio,
-        |  n_total * 16 > 2 * (SELECT sum(n_total) FROM cells) AS rebalance
+        |  CAST(n_total * (SELECT count(*) FROM cells) AS DOUBLE)
+        |    / (SELECT sum(n_total) FROM cells) AS occupancy_ratio,
+        |  n_total * (SELECT count(*) FROM cells) > 2 * (SELECT sum(n_total) FROM cells) AS rebalance
         |FROM cells ORDER BY centroid_id""".stripMargin) { (s, dir) =>
       val embs = t(s, dir, "embeddings")
       Similarity.ivfAppend(
-        embs.filter(col("vec_id") % 10 =!= 0),
-        embs.filter(col("vec_id") % 10 === 0), nlist = 16)
+        embs.filter(col("vec_id") % 10 =!= 7),
+        embs.filter(col("vec_id") % 10 === 7), nlist = 16)
     },
 
     QuerySpec(

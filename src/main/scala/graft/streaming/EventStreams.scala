@@ -106,15 +106,24 @@ object EventStreams {
             "cross-row state; run it as a batch audit"))
       r -> ind
     }
+    // two rules of the same type on the same column (e.g. two InRange
+    // bands) would alias-collide and fail the select with an ambiguous
+    // reference — suffix repeats with their occurrence index (first
+    // occurrence keeps the plain name)
+    val base = inds.map { case (r, _) => s"${r.rule}_${r.column}" }
+    val names = base.zipWithIndex.map { case (n, i) =>
+      val priors = base.take(i).count(_ == n)
+      if (priors == 0) n else s"${n}_${priors + 1}"
+    }
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_))
       .agg(count(lit(1)).as("n_rows"),
-        inds.map { case (r, ind) =>
-          round(avg(ind), 6).as(s"${r.rule}_${r.column}") }: _*)
+        inds.zip(names).map { case ((_, ind), n) =>
+          round(avg(ind), 6).as(n) }: _*)
       .select(col("window.start").as("w_start") +:
         col("window.end").as("w_end") +: col("n_rows") +:
-        inds.map { case (r, _) => col(s"${r.rule}_${r.column}") }: _*)
+        names.map(col): _*)
   }
 
   /** Streaming Count-Min sketch: maintain the d×w counter cells of

@@ -67,6 +67,13 @@ class StreamingSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       EventStreams.qualityMetricsStream(stream, Seq(Uniqueness("event_id")))
     }
+    // two rules of the same (type, column) must not alias-collide:
+    // the repeat gets an occurrence suffix
+    val dual = EventStreams.qualityMetricsStream(stream,
+      Seq(InRange("value", 0.0, 100.0), InRange("value", 40.0, 60.0)))
+    assert(dual.schema.fieldNames.contains("in_range_value") &&
+      dual.schema.fieldNames.contains("in_range_value_2"),
+      dual.schema.fieldNames.mkString(","))
   }
 
   test("streaming count-min cells equal the batch sketch grid") {
