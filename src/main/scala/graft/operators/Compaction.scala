@@ -39,9 +39,16 @@ object Compaction {
     require(orderCols.nonEmpty, "prefixSum needs at least one order column")
     // pid is MATERIALIZED before the window's hash exchange on it — the
     // window then groups by the captured range-partition id, not by
-    // whatever partition the exchange lands rows in
-    val ranged = df.repartitionByRange(orderCols: _*)
+    // whatever partition the exchange lands rows in. Persisted: the
+    // `local` and `offsets` branches both descend from this node, and
+    // without a materialization barrier column pruning can narrow one
+    // branch until the two range exchanges stop being sameResult — each
+    // then samples its own boundaries (seeded by RDD id) and graft_pid
+    // diverges between branches, corrupting cum_before. One cached copy
+    // pins a single partitioning for both readers.
+    val ranged = Caches.register(df.repartitionByRange(orderCols: _*)
       .withColumn("graft_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val byPid = Window.partitionBy(col("graft_pid"))
     val localW = byPid.orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -93,10 +100,23 @@ object Compaction {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    // recursive: partitioned layouts nest part files under key=value
+    // dirs, and spark.read.load(dir) discovers those — a non-recursive
+    // listing would silently drop their rows from a rewrite. Hidden-file
+    // convention matches Hadoop/Spark: both '_' (markers) and '.'
+    // (checksums like .part-*.crc) prefixes are metadata, not data.
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    val files = walk(p)
       .map(s => (s.getPath.toString, s.getLen))
       .sortBy(_._1)
+    require(files.nonEmpty,
+      s"compaction: no data files under $dir (only hidden/metadata entries)")
     plan(files.toDF("path", "bytes"), col("bytes"), Seq(col("path")),
       targetBytes)
   }
@@ -106,23 +126,36 @@ object Compaction {
     * task packs contiguous bins and file sizes track the target (the
     * deterministic bin↔item identity lives in the returned plan; range
     * boundaries come from Spark's sampler, so a task may occasionally
-    * carry two adjacent bins). Joins plan to rows on the file NAME —
-    * `input_file_name()` and Hadoop `Path.toString` render the same URI
-    * differently (`file:///` vs `file:/`), and part-file names are
-    * unique within a directory. The caller owns swapping the output
-    * directory in; this never mutates the input. */
+    * carry two adjacent bins). Joins plan to rows on the NORMALIZED full
+    * path — bare file names collide across the key=value subdirectories
+    * of a partitioned layout (one write task reuses its part-file name in
+    * every partition dir), and `input_file_name()` vs Hadoop
+    * `Path.toString` render the same URI differently (`file:///` vs
+    * `file:/`), so both sides collapse repeated slashes after the scheme.
+    * Coverage is ASSERTED, not assumed: an `Observation` on the scan
+    * counts rows whose file the plan missed, and any non-zero count fails
+    * the call (the `outDir` contents must then be discarded). The caller
+    * owns swapping the output directory in; this never mutates the
+    * input. */
   def compactFiles(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long, format: String = "parquet"): DataFrame = {
     val planned = planFiles(spark, dir, targetBytes)
     val nBins = (planned.agg(max(col("bin"))).head.getLong(0) + 1).toInt
-    val fname = (c: Column) => element_at(split(c, "/"), -1)
-    val bins = planned.select(fname(col("path")).as("graft_name"), col("bin"))
+    val norm = (c: Column) => regexp_replace(c, ":/+", ":/")
+    val bins = planned.select(norm(col("path")).as("graft_path"), col("bin"))
+    val obs = new org.apache.spark.sql.Observation()
     val data = spark.read.format(format).load(dir)
-      .withColumn("graft_name", fname(input_file_name()))
-      .join(broadcast(bins), Seq("graft_name"))
-      .drop("graft_name", "cum_before")
+      .withColumn("graft_path", norm(input_file_name()))
+      .join(broadcast(bins), Seq("graft_path"), "left_outer")
+      .observe(obs,
+        count(when(col("bin").isNull, lit(1))).as("graft_unplanned"))
+      .drop("graft_path")
     data.repartitionByRange(nBins, col("bin")).drop("bin")
       .write.mode("overwrite").format(format).save(outDir)
+    val unplanned = obs.get("graft_unplanned").asInstanceOf[Long]
+    require(unplanned == 0L,
+      s"compaction: $unplanned row(s) came from files absent from the " +
+        s"plan — discard $outDir; the source layout changed under the plan")
     planned
   }
 }

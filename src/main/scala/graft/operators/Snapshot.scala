@@ -97,6 +97,17 @@ object Snapshot {
         changes
     }
 
+    // fail loudly on ops outside the domain — a typo'd 'UPSERT'/'update'
+    // would otherwise remove the base row and insert nothing, silently
+    // acting as a delete
+    val badOps = latest
+      .filter(!col(opCol).isin("upsert", "delete") || col(opCol).isNull)
+      .select(col(opCol)).distinct().limit(5)
+      .collect().map(r => String.valueOf(r.get(0)))
+    require(badOps.isEmpty,
+      s"changeset $opCol must be 'upsert' or 'delete'; found: " +
+        badOps.mkString(", "))
+
     val keys = latest.select(col(idCol), col(opCol))
     val touched = if (broadcastChanges) broadcast(keys) else keys
     val survivors = base.join(touched, Seq(idCol), "left_outer")

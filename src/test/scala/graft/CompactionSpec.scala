@@ -69,6 +69,71 @@ class CompactionSpec extends SparkSuite {
     assert(plan == Map(1L -> 0L, 2L -> 0L, 3L -> 5L, 4L -> 5L))
   }
 
+  test("prefixSum stays consistent when payload columns survive pruning") {
+    // regression: with payload columns kept, column pruning used to
+    // narrow only the offsets branch, de-duplicating the two range
+    // exchanges apart — each sampled its own boundaries and graft_pid
+    // diverged between branches. The persisted `ranged` pins one
+    // partitioning for both readers.
+    val df = (0 until 5000)
+      .map(i => (i.toLong, (i * 37 % 991 + 1).toLong,
+        s"payload-$i" * 3, i % 7))
+      .toDF("id", "sz", "body", "tag").repartition(16)
+    val got = Compaction.plan(df, col("sz"), Seq(col("id")), 1000L)
+    assert(got.columns.toSet ==
+      Set("id", "sz", "body", "tag", "cum_before", "bin"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum(col("sz")).over(w), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val gm = got.select("id", "cum_before").as[(Long, Long)].collect().toMap
+    assert(gm == want)
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("planFiles skips '.'-hidden files and refuses an empty directory") {
+    val in = Files.createTempDirectory("graft-compact-hidden").toString
+    spark.range(0, 100).write.mode("overwrite").parquet(in)
+    // local checksummed FS writes .part-*.crc companions; none may be
+    // planned as data items
+    val planned = Compaction.planFiles(spark, in, 1L << 20)
+      .select("path").as[String].collect()
+    assert(planned.nonEmpty)
+    assert(planned.forall(p => p.endsWith(".parquet")),
+      s"hidden/metadata files planned: ${planned.mkString(", ")}")
+    val empty = Files.createTempDirectory("graft-compact-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      Compaction.planFiles(spark, empty, 1L << 20)
+    }
+    assert(e.getMessage.contains("no data files"))
+  }
+
+  test("compactFiles handles a partitioned layout (colliding part names)") {
+    // the same write task reuses its part-file NAME in every key= dir —
+    // the rewrite must key on full path, and must list recursively so
+    // no subdirectory rows are dropped
+    val in = Files.createTempDirectory("graft-compact-part-in").toString
+    val out = Files.createTempDirectory("graft-compact-part-out").toString + "/c"
+    spark.range(0, 8000)
+      .withColumn("k", (col("id") % 4).cast("int"))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .repartition(5)
+      .write.mode("overwrite").partitionBy("k").parquet(in)
+    val target = {
+      def files(d: java.io.File): Seq[java.io.File] =
+        d.listFiles.toSeq.flatMap(f =>
+          if (f.isDirectory) files(f) else Seq(f))
+      files(new java.io.File(in))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 3
+    }
+    Compaction.compactFiles(spark, in, out, target)
+    val a = spark.read.parquet(in).select("id", "k", "payload")
+      .orderBy("id").collect()
+    val b = spark.read.parquet(out).select("id", "k", "payload")
+      .orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("planFiles + compactFiles collapse many small part files") {
     val in = Files.createTempDirectory("graft-compact-in").toString
     val out = Files.createTempDirectory("graft-compact-out").toString + "/c"

@@ -64,6 +64,19 @@ class SnapshotSpec extends SparkSuite {
     assert(out === Map(1L -> "one", 2L -> "two", 3L -> "v2"))
   }
 
+  test("an op outside {upsert, delete} fails loudly, not as a delete") {
+    // regression: a typo'd op used to remove the base row and insert
+    // nothing — a silent delete
+    val changes = Seq((3L, "UPSERT", "three'"), (4L, "update", "four'"))
+      .toDF("doc_id", "op", "text")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyChanges(base, changes).collect()
+    }
+    assert(e.getMessage.contains("upsert"), e.getMessage)
+    assert(e.getMessage.contains("UPSERT") || e.getMessage.contains("update"),
+      e.getMessage)
+  }
+
   test("duplicate change ids without a seqCol fail fast") {
     val changes = Seq((3L, "upsert", "a"), (3L, "delete", null.asInstanceOf[String]))
       .toDF("doc_id", "op", "text")
