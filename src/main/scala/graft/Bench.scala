@@ -17,8 +17,13 @@ object Bench {
     // 200 approximates the task granularity a multi-node cluster sees,
     // surfacing skew that one-wave scheduling hides
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: multi-JVM probe hook (see Verify) — e.g.
+    // local-cluster[2,16,4096] runs executor processes, crossing a real
+    // serialization/classloader boundary; ship this JVM's classpath since
+    // executor JVMs don't inherit it.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName("graft-bench")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -27,7 +32,10 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.props("java.class.path"))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the session (JVM/codegen/catalog init, parquet reader, hash-agg

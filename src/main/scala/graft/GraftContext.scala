@@ -693,6 +693,26 @@ class GraftContext(val spark: SparkSession) {
     spark.sparkContext.hadoopConfiguration
       .set("fs.defaultFS", s"hdfs://$host:$port")
 
+  /** Install a WebHDFS delegation token for `host:port` into the
+    * session's Hadoop credentials — the Kerberized-HDFS access pattern
+    * (reference: HadoopFileSystem_p.cpp:50-63, tests/KrbHDFS/): a
+    * kinit'd admin fetches the token once (`GETDELEGATIONTOKEN`), ships
+    * the opaque (identifier, password) pair to the job, and every data
+    * request then authenticates via the `delegation=` query parameter
+    * instead of a per-request SPNEGO exchange. The Hadoop WebHdfs client
+    * picks the token out of the UGI credentials by service + kind
+    * automatically. `encoded` is the token's url-safe string form
+    * (`Token.encodeToUrlString`, what the namenode JSON returns as
+    * `urlString`). */
+  def registerHdfsDelegationToken(host: String, port: Int,
+      encoded: String): Unit = {
+    val tok = new org.apache.hadoop.security.token.Token()
+    tok.decodeFromUrlString(encoded)
+    tok.setService(new org.apache.hadoop.io.Text(s"$host:$port"))
+    org.apache.hadoop.security.UserGroupInformation.getCurrentUser
+      .addToken(tok)
+  }
+
   /** Register a GCS bucket (reference `bc.gs(...)`, context.py:1794-1827).
     * Two auth modes, like the reference: ADC service-account JSON
     * (`adcJsonFile` — the lite connector runs the OAuth 2.0 JWT-bearer

@@ -21,10 +21,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * data_parser/sql/MySQLParser.cpp), again with no driver jar.
   *
   * Scope: handshake v10 + `mysql_native_password` and
-  * `caching_sha2_password` (fast path) authentication, auth-switch,
-  * COM_QUERY text-protocol result sets. caching_sha2's FULL auth path
-  * (cache miss) needs TLS or server-RSA key exchange and is refused
-  * honestly rather than sending a cleartext password on the wire.
+  * `caching_sha2_password` (fast AND full path) authentication,
+  * auth-switch, COM_QUERY text-protocol result sets. The full path
+  * (server cache miss, no TLS) requests the server's RSA public key and
+  * sends the nonce-XORed password OAEP-encrypted under it — the
+  * protocol's documented plain-TCP key exchange; cleartext never
+  * crosses the wire.
   */
 object MyWire {
 
@@ -90,6 +92,35 @@ object MyWire {
     if (password.isEmpty) return Array.emptyByteArray
     val h1 = sha256(password.getBytes(UTF_8))
     xor(h1, sha256(sha256(h1) ++ nonce))
+  }
+
+  /** caching_sha2_password FULL-auth payload for a non-TLS link: the
+    * NUL-terminated password XORed with the handshake nonce (cycled),
+    * then RSA-encrypted under the server's public key with OAEP
+    * (SHA-1/MGF1 — the padding libmysqlclient uses for
+    * `RSA_PKCS1_OAEP_PADDING`). Public protocol: caching_sha2_password
+    * § "full authentication"; the cleartext never crosses the wire. */
+  def rsaEncryptPassword(password: String, nonce: Array[Byte],
+      pem: String): Array[Byte] = {
+    val b64 = pem
+      .replace("-----BEGIN PUBLIC KEY-----", "")
+      .replace("-----END PUBLIC KEY-----", "")
+    // MimeDecoder skips whitespace and any trailing NUL the server
+    // appends to the key payload
+    val der = java.util.Base64.getMimeDecoder.decode(b64)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val pw = password.getBytes(UTF_8) :+ 0.toByte
+    val xored = new Array[Byte](pw.length)
+    var i = 0
+    while (i < pw.length) {
+      xored(i) = (pw(i) ^ nonce(i % nonce.length)).toByte
+      i += 1
+    }
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xored)
   }
 }
 
@@ -216,6 +247,7 @@ final class MyConnection(host: String, port: Int, database: String,
     buf.write(plugin.getBytes(UTF_8)); buf.write(0)
     writePacket(buf.toByteArray)
 
+    var curNonce = nonce
     var done = false
     while (!done) {
       val r = readPacket()
@@ -227,14 +259,24 @@ final class MyConnection(host: String, port: Int, database: String,
           val newPlugin = new String(r, 1, pe - 1, UTF_8)
           val newNonce = java.util.Arrays.copyOfRange(r, pe + 1,
             math.min(r.length, pe + 21))
+          curNonce = newNonce
           writePacket(scrambleFor(newPlugin, newNonce))
         case 0x01 => // caching_sha2 extra data: 3=fast ok (OK follows), 4=full
           (r(1) & 0xff) match {
             case 3 => // fast path accepted; OK packet follows
-            case 4 => throw new IOException(
-              "mysql: caching_sha2_password full authentication required " +
-                "(needs TLS or RSA key exchange) — prime the server-side " +
-                "cache or use mysql_native_password")
+            case 4 =>
+              // full auth (server cache miss): RSA key exchange — ask
+              // for the server public key (0x02), then send the
+              // nonce-XORed password encrypted under it. The OK/ERR
+              // lands on the next loop turn.
+              writePacket(Array[Byte](0x02))
+              val keyPkt = readPacket()
+              if ((keyPkt(0) & 0xff) == 0xff) throw new IOException(
+                s"mysql: server refused key request: ${errOf(keyPkt)}")
+              require((keyPkt(0) & 0xff) == 0x01,
+                f"mysql: expected AuthMoreData with RSA key, got 0x${keyPkt(0) & 0xff}%02x")
+              val pem = new String(keyPkt, 1, keyPkt.length - 1, UTF_8)
+              writePacket(rsaEncryptPassword(password, curNonce, pem))
             case other =>
               throw new IOException(s"mysql: unexpected auth data $other")
           }

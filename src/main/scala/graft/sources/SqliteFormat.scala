@@ -21,9 +21,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Driver-free SQLite reader: decodes the public, stable SQLite on-disk
   * format (sqlite.org/fileformat2.html) directly — file header, table
-  * b-tree page walk, varint/record decode, overflow chains — so a
-  * `.sqlite`/`.db` file is scannable with no JDBC driver and no native
-  * library, over ANY Hadoop filesystem (local, hdfs://, s3a://).
+  * AND index b-tree page walks (the latter for WITHOUT ROWID tables),
+  * varint/record decode, overflow chains — so a `.sqlite`/`.db` file is
+  * scannable with no JDBC driver and no native library, over ANY Hadoop
+  * filesystem (local, hdfs://, s3a://).
   *
   * Reference parity: the SQLite source pair
   * engine/src/io/data_provider/sql/SQLiteDataProvider.cpp +
@@ -138,8 +139,9 @@ object Sqlite {
         out.toSeq
       case 13 => Nil // leaf — no children
       case 2 | 10 => throw new IOException(
-        s"page $pageNo is an index b-tree page — WITHOUT ROWID tables are " +
-          "not supported by the built-in reader")
+        s"page $pageNo is an index b-tree page in a table-tree walk — " +
+          "corrupt file or wrong root (WITHOUT ROWID roots go through " +
+          "IndexCellIterator)")
       case t => throw new IOException(s"page $pageNo: unknown b-tree type $t")
     }
   }
@@ -170,31 +172,11 @@ object Sqlite {
       val (rowid, n2) = varint(p, cell + n1)
       if (rowid > loEx && rowid <= hiIn) {
         val bodyOff = cell + n1 + n2
-        // local/overflow split (fileformat2 §1.6): for table leaves
-        // X = U-35; K = M + (P-M) % (U-4) with M = ((U-12)*32/255)-23
-        val u = db.usable
-        val x = u - 35
-        if (payloadLen <= x) {
-          pending = (rowid, p, bodyOff, payloadLen.toInt)
-        } else {
-          val m = ((u - 12) * 32 / 255) - 23
-          val k = m + ((payloadLen - m) % (u - 4)).toInt
-          val local = if (k <= x) k else m
-          val full = new Array[Byte](payloadLen.toInt)
-          System.arraycopy(p, bodyOff, full, 0, local)
-          var next = be32(p, bodyOff + local)
-          var got = local
-          while (next != 0 && got < payloadLen) {
-            val op = db.page(next)
-            next = be32(op, 0)
-            val take = math.min(u - 4, payloadLen.toInt - got)
-            System.arraycopy(op, 4, full, got, take)
-            got += take
-          }
-          if (got < payloadLen) throw new IOException(
-            s"overflow chain truncated: $got of $payloadLen bytes (rowid $rowid)")
-          pending = (rowid, full, 0, full.length)
-        }
+        // local/overflow split (fileformat2 §1.6): table leaves use
+        // X = U-35
+        val (buf, boff, blen) =
+          assemblePayload(db, p, bodyOff, payloadLen, db.usable - 35)
+        pending = (rowid, buf, boff, blen)
       }
     }
 
@@ -227,7 +209,8 @@ object Sqlite {
             case 13 =>
               leaf = p; nCells = be16(p, h + 3); ptrs = h + 8; cellIdx = 0
             case 2 | 10 => throw new IOException(
-              "index b-tree page in table walk — WITHOUT ROWID tables are not supported")
+              "index b-tree page in a table-tree walk — corrupt file or " +
+                "wrong root (WITHOUT ROWID roots go through IndexCellIterator)")
             case t => throw new IOException(s"unknown b-tree page type $t")
           }
         } else return
@@ -239,6 +222,134 @@ object Sqlite {
       advance()
       val r = pending; pending = null; r
     }
+  }
+
+  /** Local/overflow payload split shared by table and index cells
+    * (fileformat2 §1.6): `x` is the page-type-specific max local payload
+    * (table leaf: U-35; index pages: ((U-12)*64/255)-23). Local payloads
+    * are returned in-place in the page buffer (zero copy); spilled ones
+    * are reassembled from the overflow chain. */
+  private def assemblePayload(db: Db, p: Array[Byte], bodyOff: Int,
+      payloadLen: Long, x: Int): (Array[Byte], Int, Int) = {
+    if (payloadLen <= x) (p, bodyOff, payloadLen.toInt)
+    else {
+      val u = db.usable
+      val m = ((u - 12) * 32 / 255) - 23
+      val k = m + ((payloadLen - m) % (u - 4)).toInt
+      val local = if (k <= x) k else m
+      val full = new Array[Byte](payloadLen.toInt)
+      System.arraycopy(p, bodyOff, full, 0, local)
+      var next = be32(p, bodyOff + local)
+      var got = local
+      while (next != 0 && got < payloadLen) {
+        val op = db.page(next)
+        next = be32(op, 0)
+        val take = math.min(u - 4, payloadLen.toInt - got)
+        System.arraycopy(op, 4, full, got, take)
+        got += take
+      }
+      if (got < payloadLen) throw new IOException(
+        s"overflow chain truncated: $got of $payloadLen bytes")
+      (full, 0, full.length)
+    }
+  }
+
+  /** Pull-based in-order iterator over an index b-tree (page types
+    * 2/10) — the storage of a WITHOUT ROWID table (fileformat2 §2.2):
+    * every entry, including those on INTERIOR pages, is a full row
+    * record, so the traversal interleaves child subtrees with the
+    * interior page's own entries (child0, entry0, child1, entry1, …,
+    * rightmost). Yields (buf, off, len) payload triples in key order.
+    *
+    * `fromCell`/`toCell`/`withRightmost` bound the ROOT page's cells
+    * only — the partitioning handles: partition i walks root cells
+    * [from, to) (each = subtree + following entry), the last partition
+    * additionally the rightmost subtree. Memory is one page buffer per
+    * tree level (the DFS frame stack), never a whole subtree.
+    */
+  final class IndexCellIterator(db: Db, root: Int, fromCell: Int,
+      toCell: Int, withRightmost: Boolean)
+      extends Iterator[(Array[Byte], Int, Int)] {
+    // maxLocal for index pages: X = ((U-12)*64/255)-23 (fileformat2 §1.6)
+    private val xIndex = ((db.usable - 12) * 64 / 255) - 23
+
+    /** interior frame: pos 2i = descend child i, 2i+1 = yield entry i,
+      * 2n = descend rightmost; leaf frame: pos = cell index. */
+    private final class Frame(val p: Array[Byte], val h: Int,
+        val interior: Boolean, val nCells: Int, var pos: Int, val end: Int)
+
+    private val stack = scala.collection.mutable.Stack.empty[Frame]
+    private var pending: (Array[Byte], Int, Int) = null
+
+    pushPage(root, isRoot = true)
+
+    private def pushPage(pageNo: Int, isRoot: Boolean): Unit = {
+      val p = db.page(pageNo)
+      val h = pageHeaderOff(pageNo)
+      val nCells = be16(p, h + 3)
+      p(h) match {
+        case 2 =>
+          val (pos, end) =
+            if (isRoot) (2 * fromCell,
+              if (withRightmost) 2 * nCells + 1 else 2 * toCell)
+            else (0, 2 * nCells + 1)
+          stack.push(new Frame(p, h, interior = true, nCells, pos, end))
+        case 10 =>
+          val (pos, end) =
+            if (isRoot) (fromCell, math.min(toCell, nCells))
+            else (0, nCells)
+          stack.push(new Frame(p, h, interior = false, nCells, pos, end))
+        case 5 | 13 => throw new IOException(
+          s"page $pageNo is a table b-tree page in an index walk")
+        case t => throw new IOException(s"page $pageNo: unknown b-tree type $t")
+      }
+    }
+
+    private def yieldEntry(f: Frame, cellIdx: Int): Unit = {
+      val ptrs = f.h + (if (f.interior) 12 else 8)
+      val cell = be16(f.p, ptrs + 2 * cellIdx)
+      val keyOff = if (f.interior) cell + 4 else cell
+      val (payloadLen, n1) = varint(f.p, keyOff)
+      pending = assemblePayload(db, f.p, keyOff + n1, payloadLen, xIndex)
+    }
+
+    private def advance(): Unit = {
+      while (pending == null && stack.nonEmpty) {
+        val f = stack.top
+        if (f.pos >= f.end) { stack.pop() }
+        else if (!f.interior) { yieldEntry(f, f.pos); f.pos += 1 }
+        else if (f.pos == 2 * f.nCells) { // rightmost child
+          f.pos += 1
+          pushPage(be32(f.p, f.h + 8), isRoot = false)
+        } else if (f.pos % 2 == 0) { // descend child of cell pos/2
+          val cell = be16(f.p, f.h + 12 + 2 * (f.pos / 2))
+          f.pos += 1
+          pushPage(be32(f.p, cell), isRoot = false)
+        } else { // yield interior entry (pos-1)/2
+          yieldEntry(f, (f.pos - 1) / 2)
+          f.pos += 1
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): (Array[Byte], Int, Int) = {
+      advance()
+      val r = pending; pending = null; r
+    }
+  }
+
+  /** Root-page cell count + leaf/interior flag for an index b-tree —
+    * the driver-side planning input for WITHOUT ROWID partitioning. */
+  def indexRootInfo(db: Db, root: Int): (Int, Boolean) = {
+    val p = db.page(root)
+    val h = pageHeaderOff(root)
+    val interior = p(h) match {
+      case 2 => true
+      case 10 => false
+      case t => throw new IOException(s"index root $root has type $t")
+    }
+    (be16(p, h + 3), interior)
   }
 
   /** Callback walk over leaf cells (driver-side helpers, e.g. the
@@ -322,8 +433,15 @@ object Sqlite {
 
   final case class Column(name: String, declared: String,
       dataType: DataType, rowidAlias: Boolean)
+
+  /** `withoutRowid`: stored as an index b-tree (fileformat2 §2.2).
+    * `recordOrder`: for WITHOUT ROWID tables, record position → declared
+    * column index — on disk the PRIMARY KEY columns come first (in PK
+    * declaration order), then the rest in declaration order. Identity
+    * for rowid tables. */
   final case class TableDef(name: String, rootPage: Int, sql: String,
-      columns: Seq[Column]) {
+      columns: Seq[Column], withoutRowid: Boolean = false,
+      recordOrder: Seq[Int] = Nil) {
     def schema: StructType = StructType(columns.map(c =>
       StructField(c.name, c.dataType, nullable = !c.rowidAlias)))
   }
@@ -477,12 +595,62 @@ object Sqlite {
             " — pass option 'table' to pick one")
         tables.head
     }
-    if (sql.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
-        .contains("WITHOUT ROWID"))
-      throw new IllegalArgumentException(
-        s"table '$name' is WITHOUT ROWID (stored as an index b-tree) — " +
-          "not supported by the built-in reader")
-    TableDef(name, root, sql, parseCreateTable(sql))
+    val withoutRowid = sql.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+      .contains("WITHOUT ROWID")
+    val cols0 = parseCreateTable(sql)
+    if (!withoutRowid) TableDef(name, root, sql, cols0)
+    else {
+      // in a WITHOUT ROWID table "x INTEGER PRIMARY KEY" is an ordinary
+      // stored column, never the rowid alias
+      val cols = cols0.map(_.copy(rowidAlias = false))
+      val pk = parsePrimaryKey(sql)
+      require(pk.nonEmpty,
+        s"WITHOUT ROWID table '$name' must declare a PRIMARY KEY: $sql")
+      val pkIdx = pk.map { c =>
+        val i = cols.indexWhere(_.name.equalsIgnoreCase(c))
+        require(i >= 0, s"PRIMARY KEY column '$c' not found in $sql")
+        i
+      }
+      val order = pkIdx ++ cols.indices.filterNot(pkIdx.contains)
+      TableDef(name, root, sql, cols, withoutRowid = true,
+        recordOrder = order)
+    }
+  }
+
+  /** PRIMARY KEY column names in PK-declaration order — the record
+    * prefix of a WITHOUT ROWID table. Handles both the inline form
+    * (`col TYPE PRIMARY KEY …`) and the table-level constraint
+    * (`[CONSTRAINT n] PRIMARY KEY (a, b DESC, …)`), stripping per-column
+    * COLLATE/ASC/DESC decorations. */
+  def parsePrimaryKey(sql: String): Seq[String] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"cannot parse CREATE TABLE: $sql")
+    val defs = splitTop(sql.substring(open + 1, close), ',').map(_.trim)
+      .filter(_.nonEmpty)
+    val tableLevel = defs.collectFirst {
+      case d if {
+        val l = d.toLowerCase(Locale.ROOT)
+        l.startsWith("primary") ||
+          (l.startsWith("constraint") && l.contains("primary key"))
+      } =>
+        val o = d.indexOf('(')
+        val c = d.lastIndexOf(')')
+        require(o >= 0 && c > o, s"cannot parse PRIMARY KEY constraint: $d")
+        splitTop(d.substring(o + 1, c), ',').map(part =>
+          unquote(tokenize(part.trim).head))
+    }
+    tableLevel.getOrElse {
+      defs.flatMap { d =>
+        val toks = tokenize(d)
+        val headLower = toks.head.toLowerCase(Locale.ROOT)
+        val isColumnDef = !Set("primary", "unique", "check", "foreign",
+          "constraint").contains(headLower)
+        if (isColumnDef && d.toLowerCase(Locale.ROOT).contains("primary key"))
+          Some(unquote(toks.head))
+        else None
+      }
+    }
   }
 
   // ---- cell → Catalyst value coercion ------------------------------------
@@ -683,6 +851,7 @@ class SqliteScan(path: String, table: Option[String], full: StructType,
     val db = Sqlite.open(path, conf)
     try {
       val td = Sqlite.tableDef(db, table, path)
+      if (td.withoutRowid) return planIndexPartitions(db, td)
       // one level of fan-out is enough: an interior page holds hundreds
       // of children, so root children grouped into maxPartitions gives
       // balanced multi-MB partitions without reading leaf pages here
@@ -707,6 +876,26 @@ class SqliteScan(path: String, table: Option[String], full: StructType,
     } finally db.close()
   }
 
+  /** WITHOUT ROWID fan-out: the index root's cells partition the key
+    * space the same way table-root children do — each root cell is one
+    * child subtree plus the interior entry that follows it, so a
+    * contiguous cell range is a contiguous key range. No rowid-range
+    * pruning (there is no rowid; key predicates stay residual). */
+  private def planIndexPartitions(db: Sqlite.Db,
+      td: Sqlite.TableDef): Array[InputPartition] = {
+    val (nCells, interior) = Sqlite.indexRootInfo(db, td.rootPage)
+    if (!interior || nCells == 0)
+      return Array(SqliteIndexPartition(0, td.rootPage, 0, nCells,
+        withRightmost = interior))
+    val nGroups = math.max(1, math.min(maxPartitions, nCells))
+    val step = math.ceil(nCells.toDouble / nGroups).toInt
+    (0 until nCells by step).zipWithIndex.map { case (from, i) =>
+      val to = math.min(from + step, nCells)
+      SqliteIndexPartition(i, td.rootPage, from, to,
+        withRightmost = to == nCells): InputPartition
+    }.toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
@@ -717,12 +906,15 @@ class SqliteScan(path: String, table: Option[String], full: StructType,
 final case class SqlitePartition(index: Int, roots: Array[Int],
     loEx: Array[Long], hiIn: Array[Long]) extends InputPartition
 
+/** One contiguous root-cell range of a WITHOUT ROWID index b-tree. */
+final case class SqliteIndexPartition(index: Int, root: Int, fromCell: Int,
+    toCell: Int, withRightmost: Boolean) extends InputPartition
+
 class SqliteReaderFactory(path: String, table: Option[String],
     full: StructType, required: StructType, loEx: Long, hiIn: Long,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SqlitePartition]
     val db = Sqlite.open(path, conf.conf)
     val td = Sqlite.tableDef(db, table, path)
     val cols = td.columns.toArray
@@ -732,38 +924,74 @@ class SqliteReaderFactory(path: String, table: Option[String],
       cols.indexWhere(_.name == f.name))
     require(outIdx.forall(_ >= 0),
       s"columns ${required.fieldNames.mkString(",")} not all in ${td.name}")
-    val want = new Array[Boolean](nCols)
-    outIdx.foreach(i => want(i) = true)
-    val rowidAliasOut: Array[Boolean] = outIdx.map(i => cols(i).rowidAlias)
 
-    // one flat pull iterator over all subtree groups: memory stays one
-    // leaf page + DFS stack regardless of table size
-    val cells = p.roots.indices.iterator.flatMap { i =>
-      new Sqlite.CellIterator(db, p.roots(i),
-        math.max(p.loEx(i), loEx), math.min(p.hiIn(i), hiIn))
-    }
-
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = null
-      override def next(): Boolean = {
-        if (!cells.hasNext) { current = null; return false }
-        val (rowid, buf, off, len) = cells.next()
-        val decoded = Sqlite.decodeRecord(buf, off, len, nCols, want, db.charset)
-        val vals = new Array[Any](outIdx.length)
-        var j = 0
-        while (j < outIdx.length) {
-          val src = outIdx(j)
-          // INTEGER PRIMARY KEY: record stores NULL, the value is the rowid
-          vals(j) =
-            if (rowidAliasOut(j) && decoded(src) == Sqlite.CellNull) rowid
-            else Sqlite.coerce(decoded(src), required.fields(j).dataType)
-          j += 1
+    partition match {
+      case p: SqliteIndexPartition =>
+        // WITHOUT ROWID: record columns are permuted (PK first); map the
+        // wanted declared columns through recordOrder, decode, map back
+        val posOfDecl = new Array[Int](nCols)
+        td.recordOrder.zipWithIndex.foreach { case (decl, pos) =>
+          posOfDecl(decl) = pos }
+        val want = new Array[Boolean](nCols)
+        outIdx.foreach(i => want(posOfDecl(i)) = true)
+        val cells = new Sqlite.IndexCellIterator(db, p.root, p.fromCell,
+          p.toCell, p.withRightmost)
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = null
+          override def next(): Boolean = {
+            if (!cells.hasNext) { current = null; return false }
+            val (buf, off, len) = cells.next()
+            val decoded = Sqlite.decodeRecord(buf, off, len, nCols, want,
+              db.charset)
+            val vals = new Array[Any](outIdx.length)
+            var j = 0
+            while (j < outIdx.length) {
+              vals(j) = Sqlite.coerce(decoded(posOfDecl(outIdx(j))),
+                required.fields(j).dataType)
+              j += 1
+            }
+            current = new GenericInternalRow(vals)
+            true
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = db.close()
         }
-        current = new GenericInternalRow(vals)
-        true
-      }
-      override def get(): InternalRow = current
-      override def close(): Unit = db.close()
+
+      case sp: SqlitePartition =>
+        val p = sp
+        val want = new Array[Boolean](nCols)
+        outIdx.foreach(i => want(i) = true)
+        val rowidAliasOut: Array[Boolean] = outIdx.map(i => cols(i).rowidAlias)
+
+        // one flat pull iterator over all subtree groups: memory stays one
+        // leaf page + DFS stack regardless of table size
+        val cells = p.roots.indices.iterator.flatMap { i =>
+          new Sqlite.CellIterator(db, p.roots(i),
+            math.max(p.loEx(i), loEx), math.min(p.hiIn(i), hiIn))
+        }
+
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = null
+          override def next(): Boolean = {
+            if (!cells.hasNext) { current = null; return false }
+            val (rowid, buf, off, len) = cells.next()
+            val decoded = Sqlite.decodeRecord(buf, off, len, nCols, want, db.charset)
+            val vals = new Array[Any](outIdx.length)
+            var j = 0
+            while (j < outIdx.length) {
+              val src = outIdx(j)
+              // INTEGER PRIMARY KEY: record stores NULL, the value is the rowid
+              vals(j) =
+                if (rowidAliasOut(j) && decoded(src) == Sqlite.CellNull) rowid
+                else Sqlite.coerce(decoded(src), required.fields(j).dataType)
+              j += 1
+            }
+            current = new GenericInternalRow(vals)
+            true
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = db.close()
+        }
     }
   }
 }

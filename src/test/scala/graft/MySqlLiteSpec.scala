@@ -193,8 +193,35 @@ class MySqlLiteSpec extends SparkSuite {
           if (authed) ok()
           else { authFailures.incrementAndGet(); errPacket(1045, "denied") }
         case "sha2full" =>
-          send(Array[Byte](0x01, 0x04)) // full auth required
-          sock.close(); return
+          // server-side cache miss: demand full auth, serve the RSA
+          // public key on request, then independently decrypt and
+          // un-XOR the client's payload and compare to the password
+          send(Array[Byte](0x01, 0x04))
+          val req = recv()
+          if (req.length != 1 || (req(0) & 0xff) != 0x02) {
+            errPacket(1045, "expected public-key request"); sock.close(); return
+          }
+          val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+            .encodeToString(MySqlLiteSpec.rsa.getPublic.getEncoded)
+          val pem =
+            s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+          send(0x01.toByte +: (pem.getBytes(UTF_8) :+ 0.toByte))
+          val cipherText = recv()
+          val plain = try {
+            val c = javax.crypto.Cipher.getInstance(
+              "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              MySqlLiteSpec.rsa.getPrivate)
+            c.doFinal(cipherText)
+          } catch { case _: Exception => Array.emptyByteArray }
+          val unxored = plain.zipWithIndex.map { case (v, i) =>
+            (v ^ nonce(i % nonce.length)).toByte }
+          // NUL-terminated password
+          authed = unxored.nonEmpty && unxored.last == 0 &&
+            java.util.Arrays.equals(unxored.dropRight(1),
+              password.getBytes(UTF_8))
+          if (authed) ok()
+          else { authFailures.incrementAndGet(); errPacket(1045, "denied") }
         case mode =>
           val plugin = if (mode == "native") "mysql_native_password"
             else "caching_sha2_password"
@@ -412,9 +439,9 @@ class MySqlLiteSpec extends SparkSuite {
     } finally m.stop()
   }
 
-  test("auth matrix: native, caching_sha2 fast path, auth-switch; " +
-      "wrong password and full-auth demand fail loudly") {
-    for (mode <- Seq("native", "sha2fast", "switch")) {
+  test("auth matrix: native, caching_sha2 fast + FULL (RSA key exchange), " +
+      "auth-switch; wrong passwords fail loudly") {
+    for (mode <- Seq("native", "sha2fast", "sha2full", "switch")) {
       val m = new MyMock(mode, "app", "s3cr3t")
       try {
         assert(readDf(m, "app", "s3cr3t").count() == 5, s"mode=$mode")
@@ -425,19 +452,35 @@ class MySqlLiteSpec extends SparkSuite {
               Option(x.getMessage).toSeq ++ messages(x.getCause))
           assert(messages(bad).exists(s => s.contains("auth") ||
             s.contains("denied")), s"mode=$mode: ${messages(bad)}")
+          if (mode == "sha2full")
+            assert(m.authFailures.get() >= 1,
+              "full-auth mock must have DECRYPTED and rejected the bad " +
+                "password, not failed earlier")
         }
       } finally m.stop()
     }
-    // full-auth demand: refuse honestly (no cleartext fallback on plain TCP)
-    val full = new MyMock("sha2full", "app", "pw")
-    try {
-      val e = intercept[Exception](readDf(full, "app", "pw").count())
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x =>
-          Option(x.getMessage).toSeq ++ messages(x.getCause))
-      assert(messages(e).exists(_.contains("full authentication")),
-        messages(e).toString)
-    } finally full.stop()
+  }
+
+  test("full-auth payload round-trips through RSA-OAEP and nonce XOR") {
+    // independent re-derivation of the client's rsaEncryptPassword: the
+    // mock's decrypt already verifies it e2e; this pins the exact layout
+    // (NUL-terminated password XOR cycled nonce) against a local keypair
+    val nonce = (1 to 20).map(_.toByte).toArray
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+      .encodeToString(MySqlLiteSpec.rsa.getPublic.getEncoded)
+    val pem = s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+    val ct = MyWire.rsaEncryptPassword("pw-full-auth", nonce, pem)
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, MySqlLiteSpec.rsa.getPrivate)
+    val plain = c.doFinal(ct)
+    val unxored = plain.zipWithIndex.map { case (v, i) =>
+      (v ^ nonce(i % nonce.length)).toByte }
+    assert(new String(unxored.dropRight(1), UTF_8) == "pw-full-auth")
+    assert(unxored.last == 0, "password must be NUL-terminated before XOR")
+    // two encryptions differ (OAEP is randomized) but decrypt identically
+    val ct2 = MyWire.rsaEncryptPassword("pw-full-auth", nonce, pem)
+    assert(!java.util.Arrays.equals(ct, ct2))
   }
 
   test("createTableMySql surface: registered table queryable via SQL") {
@@ -451,5 +494,16 @@ class MySqlLiteSpec extends SparkSuite {
       assert(n == 2)
       ctx.dropTable("my_events")
     } finally m.stop()
+  }
+}
+
+object MySqlLiteSpec {
+  /** One RSA keypair for the suite — the mock's server key. 2048-bit
+    * generation is ~100 ms; doing it per-connection would dominate the
+    * auth tests. */
+  lazy val rsa: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
   }
 }

@@ -25,10 +25,43 @@ import org.apache.spark.sql.functions._
   */
 class RemoteFsSpec extends SparkSuite {
 
-  /** Tiny WebHDFS "namenode+datanode": serves one directory read-only. */
-  private final class WebHdfsMock(root: Path) {
+  /** Tiny WebHDFS "namenode+datanode": serves one directory read-only.
+    *
+    * With `masterKey` set the mock runs "secure": every request must
+    * carry a `delegation=` token whose password equals
+    * HMAC-SHA1(identifier, masterKey) — the same integrity scheme a real
+    * namenode's DelegationTokenSecretManager uses — and requests without
+    * one get the SPNEGO challenge (401 + `WWW-Authenticate: Negotiate`),
+    * mirroring a Kerberized cluster where the delegation token is what
+    * lets data-path requests skip per-request GSS (reference:
+    * HadoopFileSystem_p.cpp:50-63, tests/KrbHDFS/). */
+  private final class WebHdfsMock(root: Path,
+      masterKey: Option[Array[Byte]] = None) {
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     def port: Int = server.getAddress.getPort
+    val rejected = new java.util.concurrent.atomic.AtomicInteger
+    val accepted = new java.util.concurrent.atomic.AtomicInteger
+
+    def mintToken(identifier: Array[Byte]): String = {
+      val key = masterKey.getOrElse(sys.error("mock is not secure"))
+      val tok = new org.apache.hadoop.security.token.Token(
+        identifier, RemoteFsSpec.hmacSha1(identifier, key),
+        new org.apache.hadoop.io.Text("WEBHDFS delegation"),
+        new org.apache.hadoop.io.Text(s"127.0.0.1:$port"))
+      tok.encodeToUrlString()
+    }
+
+    /** delegation= check: decode, kind + HMAC must verify. */
+    private def tokenOk(q: String): Boolean =
+      param(q, "delegation").exists { enc =>
+        try {
+          val tok = new org.apache.hadoop.security.token.Token()
+          tok.decodeFromUrlString(enc)
+          tok.getKind.toString == "WEBHDFS delegation" &&
+            java.util.Arrays.equals(tok.getPassword,
+              RemoteFsSpec.hmacSha1(tok.getIdentifier, masterKey.get))
+        } catch { case _: Exception => false }
+      }
 
     private def statusJson(p: Path, suffix: Boolean): String = {
       val isDir = Files.isDirectory(p)
@@ -62,6 +95,15 @@ class RemoteFsSpec extends SparkSuite {
         val q = uri.getRawQuery
         val op = param(q, "op").map(_.toUpperCase).getOrElse("")
         val p = root.resolve(rel)
+        if (masterKey.isDefined && !tokenOk(q)) {
+          rejected.incrementAndGet()
+          // the SPNEGO challenge a Kerberized namenode issues when no
+          // (valid) delegation token accompanies the request
+          ex.getResponseHeaders.set("WWW-Authenticate", "Negotiate")
+          send(ex, 401,
+            """{"RemoteException":{"exception":"InvalidToken","javaClassName":"org.apache.hadoop.security.token.SecretManager$InvalidToken","message":"delegation token missing or invalid"}}""".getBytes)
+        } else {
+        if (masterKey.isDefined) accepted.incrementAndGet()
         op match {
           case "GETFILESTATUS" =>
             if (!Files.exists(p))
@@ -103,6 +145,7 @@ class RemoteFsSpec extends SparkSuite {
             send(ex, 400, s"""{"RemoteException":{"exception":"UnsupportedOperationException","javaClassName":"java.lang.UnsupportedOperationException","message":"$op"}}""".getBytes)
           case other =>
             send(ex, 400, s"""{"RemoteException":{"exception":"UnsupportedOperationException","javaClassName":"java.lang.UnsupportedOperationException","message":"op $other"}}""".getBytes)
+        }
         }
       } catch {
         case t: Throwable =>
@@ -174,5 +217,77 @@ class RemoteFsSpec extends SparkSuite {
       mock.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
+  }
+
+  test("secure webhdfs: delegation token authenticates the scan; a " +
+      "tokenless request gets the SPNEGO challenge; a forged token is 401") {
+    val root = Files.createTempDirectory("graft-webhdfs-sec")
+    Files.copy(Paths.get(s"$sfDir/nation.parquet"),
+      root.resolve("nation.parquet"))
+    val key = "graft-master-key".getBytes
+    val mock = new WebHdfsMock(root, masterKey = Some(key))
+    try {
+      // 1) no token: the namenode answers with the Negotiate challenge —
+      //    what a Kerberized cluster does before any GSS exchange
+      val bare = new java.net.URL(s"http://127.0.0.1:${mock.port}" +
+        "/webhdfs/v1/nation.parquet?op=GETFILESTATUS&user.name=root")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(bare.getResponseCode == 401)
+      assert(bare.getHeaderField("WWW-Authenticate") == "Negotiate",
+        "401 must carry the SPNEGO challenge")
+      bare.disconnect()
+
+      // 2) with the minted token installed via the library surface, the
+      //    REAL WebHdfs client attaches delegation=… to namenode AND
+      //    (through the 307 redirect) datanode legs, and the scan works
+      val encoded = mock.mintToken("owner=graft;renewer=;issue=r8".getBytes)
+      val ctx = new GraftContext(spark)
+      ctx.registerHdfsDelegationToken("127.0.0.1", mock.port, encoded)
+      val remote = spark.read.parquet(
+        s"webhdfs://127.0.0.1:${mock.port}/nation.parquet")
+        .orderBy(col("n_nationkey")).collect().toSeq
+      val local = Tables.load(spark, sfDir, "nation")
+        .orderBy(col("n_nationkey")).collect().toSeq
+      assert(remote == local, "authenticated scan rows differ from local")
+      assert(mock.accepted.get() > 0, "no request actually authenticated")
+
+      // 3) forged token (right identifier, wrong password — fails the
+      //    namenode's HMAC check) on a FRESH secure endpoint: rejected
+      val mock2 = new WebHdfsMock(root, masterKey = Some(key))
+      try {
+        val forged = new org.apache.hadoop.security.token.Token(
+          "owner=graft".getBytes, "not-the-hmac".getBytes,
+          new org.apache.hadoop.io.Text("WEBHDFS delegation"),
+          new org.apache.hadoop.io.Text(s"127.0.0.1:${mock2.port}"))
+        ctx.registerHdfsDelegationToken("127.0.0.1", mock2.port,
+          forged.encodeToUrlString())
+        val e = intercept[Exception] {
+          spark.read.parquet(
+            s"webhdfs://127.0.0.1:${mock2.port}/nation.parquet").collect()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(m => m.contains("401") ||
+          m.toLowerCase.contains("unauthorized") ||
+          m.toLowerCase.contains("invalidtoken") ||
+          m.contains("delegation token")),
+          s"expected a 401/Unauthorized failure: ${messages(e)}")
+        assert(mock2.rejected.get() > 0, "mock never rejected the forgery")
+        assert(mock2.accepted.get() == 0,
+          "a forged token must never authenticate")
+      } finally mock2.stop()
+    } finally {
+      mock.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+  }
+}
+
+object RemoteFsSpec {
+  def hmacSha1(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA1"))
+    mac.doFinal(data)
   }
 }

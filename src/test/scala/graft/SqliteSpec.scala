@@ -239,10 +239,10 @@ cur.execute("INSERT INTO only_one VALUES (1, 'hello')")
       db.getParent.toFile)
   }
 
-  test("errors are honest: missing table, WITHOUT ROWID, multi-table default") {
+  test("errors are honest: missing table, multi-table default") {
     val db = buildDb("""
 cur.execute("CREATE TABLE t1 (id INTEGER PRIMARY KEY, v TEXT)")
-cur.execute("CREATE TABLE t2 (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID")
+cur.execute("CREATE TABLE t2 (k TEXT, v TEXT)")
 cur.execute("INSERT INTO t1 VALUES (1, 'x')")
 cur.execute("INSERT INTO t2 VALUES ('a', 'y')")
 """)
@@ -251,14 +251,92 @@ cur.execute("INSERT INTO t2 VALUES ('a', 'y')")
       assert(missing.getMessage.contains("nope") &&
         missing.getMessage.contains("t1"),
         s"missing-table error should list tables: ${missing.getMessage}")
-      val worid = intercept[Exception] { readTable(db, "t2").collect() }
-      assert(worid.getMessage.contains("WITHOUT ROWID"),
-        s"expected WITHOUT ROWID rejection: ${worid.getMessage}")
       val multi = intercept[Exception] {
         spark.read.format("sqlite").load(db.toString).collect()
       }
       assert(multi.getMessage.contains("table"),
         s"multi-table default should demand the option: ${multi.getMessage}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      db.getParent.toFile)
+  }
+
+  test("WITHOUT ROWID: small table scans via the index b-tree") {
+    // reference parity target: SQLiteParser.cpp:62-85 reads these
+    // through libsqlite3; here the index-leaf record layout is decoded
+    // directly (fileformat2 §2.2: PK columns first)
+    val db = buildDb("""
+cur.execute("CREATE TABLE t2 (k TEXT PRIMARY KEY, v TEXT, n INT) WITHOUT ROWID")
+cur.execute("INSERT INTO t2 VALUES ('a', 'y', 1)")
+cur.execute("INSERT INTO t2 VALUES ('b', NULL, 2)")
+cur.execute("INSERT INTO t2 VALUES ('c', 'z', NULL)")
+""")
+    try {
+      val got = readTable(db, "t2").orderBy(col("k")).collect()
+      assert(got.length == 3)
+      assert(got(0).getString(0) == "a" && got(0).getString(1) == "y" &&
+        got(0).getLong(2) == 1L)
+      assert(got(1).getString(0) == "b" && got(1).isNullAt(1) &&
+        got(1).getLong(2) == 2L)
+      assert(got(2).getString(0) == "c" && got(2).getString(1) == "z" &&
+        got(2).isNullAt(2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      db.getParent.toFile)
+  }
+
+  test("WITHOUT ROWID: composite PK out of declaration order is un-permuted") {
+    // on disk the record is (b, a, c, d) — PK declaration order first —
+    // while the declared schema stays (a, b, c, d)
+    val db = buildDb("""
+cur.execute('''CREATE TABLE perm (a TEXT, b INT, c REAL, d BLOB,
+  PRIMARY KEY (b, a)) WITHOUT ROWID''')
+cur.execute("INSERT INTO perm VALUES ('x', 2, 1.5, x'0102')")
+cur.execute("INSERT INTO perm VALUES ('y', 1, -0.5, NULL)")
+""")
+    try {
+      val df = readTable(db, "perm")
+      assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c", "d"),
+        "schema must stay in declaration order")
+      val got = df.orderBy(col("b")).collect()
+      assert(got(0).getString(0) == "y" && got(0).getLong(1) == 1L &&
+        got(0).getDouble(2) == -0.5 && got(0).isNullAt(3))
+      assert(got(1).getString(0) == "x" && got(1).getLong(1) == 2L &&
+        got(1).getDouble(2) == 1.5)
+      assert(got(1).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2))
+      // column pruning through the permutation: project only c
+      assert(df.select(col("c")).collect().map(_.getDouble(0)).sorted.toSeq
+        == Seq(-0.5, 1.5))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      db.getParent.toFile)
+  }
+
+  test("WITHOUT ROWID: multi-page index tree with interior entries and " +
+      "overflow payloads, partitioned scan") {
+    // index b-trees store full rows on INTERIOR pages too — a walk that
+    // only visited leaves would silently drop exactly those rows. 60k
+    // rows forces depth ≥ 2; the 20k-char payload forces an overflow
+    // chain with the index-page maxLocal formula.
+    val db = buildDb("""
+cur.execute("CREATE TABLE big (k TEXT PRIMARY KEY, v INT, s TEXT) WITHOUT ROWID")
+rows = [('k%06d' % i, i * 7 % 1000, 'row%06d' % i) for i in range(60000)]
+cur.executemany("INSERT INTO big VALUES (?,?,?)", rows)
+cur.execute("INSERT INTO big VALUES ('zz-long', -1, ?)", ('x' * 20000,))
+""")
+    try {
+      val df = readTable(db, "big")
+      assert(df.count() == 60001L, "interior-page entries must not be lost")
+      assert(df.rdd.getNumPartitions > 1,
+        s"a 60k-row index tree should fan out, got ${df.rdd.getNumPartitions}")
+      val expectedSum = (0 until 60000).map(i => (i * 7 % 1000).toLong).sum - 1
+      assert(df.agg(sum(col("v"))).head.getLong(0) == expectedSum)
+      assert(df.select(countDistinct(col("k"))).head.getLong(0) == 60001L,
+        "no entry may be duplicated between a subtree and its parent")
+      val long = df.filter(col("k") === "zz-long").select(col("s"))
+        .head.getString(0)
+      assert(long.length == 20000 && long.forall(_ == 'x'),
+        "index-page overflow chain corrupted")
+      val picks = df.filter(col("k").isin("k000000", "k029999", "k059999"))
+        .orderBy(col("k")).select(col("s")).collect().map(_.getString(0))
+      assert(picks.toSeq == Seq("row000000", "row029999", "row059999"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       db.getParent.toFile)
   }
