@@ -289,6 +289,100 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  /** Stage a DataFrame as ONE parquet file at `dest` (the stream-source
+    * dirs in this suite hold plain files, not nested write dirs). */
+  private def stageOneFile(df: org.apache.spark.sql.DataFrame,
+      dest: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dest)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
+  test("dedup stream stopped and restarted from its checkpoint stays " +
+      "exactly-once") {
+    // the production contract an incremental pipeline relies on: run 1
+    // processes part of the input and STOPS; run 2 starts from the same
+    // checkpoint, sees the already-processed file + a file of pure
+    // duplicates, and must emit NOTHING new — possible only if offsets,
+    // dedup state, and the watermark all survived the restart. (A fresh
+    // checkpoint would re-emit every distinct row; lost dedup state
+    // would emit the duplicates.)
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck")
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out")
+      .toString + "/data"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("a.parquet"))
+    def runOnce(): Unit = {
+      val q = EventStreams.dedupStream(
+          EventStreams.readEventStream(spark, src.toString), Seq("event_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // phase 1: file a only
+    val expected = Tables.load(spark, sfDir, "events").count()
+    val afterPhase1 = spark.read.parquet(out).count()
+    assert(afterPhase1 == expected,
+      s"phase 1 should emit every distinct event: $afterPhase1 vs $expected")
+    // phase 2: add a file that duplicates every event, restart from ckpt
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("b.parquet"))
+    runOnce()
+    val afterPhase2 = spark.read.parquet(out).count()
+    assert(afterPhase2 == expected,
+      s"restart re-emitted rows: $afterPhase2 vs $expected — checkpoint " +
+        "state (offsets/dedup/watermark) did not survive the stop")
+  }
+
+  test("KMV sketch stream restarted from its checkpoint equals batch over " +
+      "the full history") {
+    // complete-mode agg state across a stop/restart: phase 1 sketches
+    // half the corpus and stops; phase 2 recovers and folds in the other
+    // half. The final sketch must be bit-identical to batch-sketching
+    // the union — if recovery dropped the agg state it would equal the
+    // second half alone.
+    val K = 64
+    val src = java.nio.file.Files.createTempDirectory("graft_kmv_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ck")
+    val ev = Tables.load(spark, sfDir, "events")
+    stageOneFile(ev.filter(col("event_id") % 2 === 0), src.resolve("a.parquet"))
+    def runOnce(name: String): Seq[Long] = {
+      val q = EventStreams.kmvSketchStream(
+          EventStreams.readEventStream(spark, src.toString), "user_id", K)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).collect()(0).getSeq[Long](0)
+    }
+    val phase1 = runOnce("kmv_restart_1")
+    val batchHalf = graft.operators.Kmv.sketch(
+        ev.filter(col("event_id") % 2 === 0),
+        col("user_id").cast("string"), K)
+      .collect()(0).getSeq[Long](0)
+    assert(phase1 == batchHalf, "phase-1 sketch diverges from batch(half)")
+    stageOneFile(ev.filter(col("event_id") % 2 =!= 0), src.resolve("b.parquet"))
+    val phase2 = runOnce("kmv_restart_2")
+    val batchFull = graft.operators.Kmv.sketch(ev,
+        col("user_id").cast("string"), K)
+      .collect()(0).getSeq[Long](0)
+    assert(phase2 == batchFull,
+      "post-restart sketch diverges from batch(full) — complete-mode agg " +
+        "state did not survive the stop")
+    assert(phase2 != batchHalf || batchFull == batchHalf,
+      "restart visibly folded in the second half")
+  }
+
   test("streaming funnel equals the batch funnel on the same events") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val windowMicros = 24L * 3600 * 1000000
