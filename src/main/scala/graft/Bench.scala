@@ -71,6 +71,25 @@ object Bench {
     // local profiling hook: run a subset (comma-separated names). The
     // driver never sets this — the contract stays "run every query".
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // Spill accounting for constrained-heap legs: task-level
+    // memory/diskBytesSpilled summed across the session; each query
+    // records the delta over its samples. Listener delivery is async, so
+    // attribution can lag a task-end into the next query's window —
+    // fine for the MB-scale signal this records (did the operator spill,
+    // roughly how much), not a precise accounting.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // Repeat-sampled timings: a single sample can absorb a transient
     // stall (GC pause, page-cache miss) and mis-record a query by 4×
     // (r6: bm25_search 17.5 s recorded, 3.9 s on re-run) — enough to
@@ -91,6 +110,7 @@ object Bench {
       // a partition. Recorded per query so scale probes (200-partition
       // runs) can report WHERE skew handling actually fired.
       var skewJoins = 0
+      val spillMem0 = spillMem.get(); val spillDisk0 = spillDisk.get()
       def sample(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try {
@@ -120,16 +140,22 @@ object Bench {
         case two if two.size == 2 => two.min
         case three => three.sorted.apply(1) // median-of-3
       }
-      (name, value, samples, skewJoins)
+      (name, value, samples, skewJoins,
+        (spillMem.get() - spillMem0, spillDisk.get() - spillDisk0))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = results.map { case (k, _, ss, _) =>
+    val sampleJson = results.map { case (k, _, ss, _, _) =>
       "\"" + k + "\":" + ss.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errs = results.filter(_._3.isEmpty).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val skewJson = results.filter(_._4 > 0).map { case (k, _, _, s) =>
+    val skewJson = results.filter(_._4 > 0).map { case (k, _, _, s, _) =>
       "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    // per-query spill deltas in MB, only where nonzero (memory, disk)
+    val spillJson = results.filter(t => t._5._1 > 0 || t._5._2 > 0)
+      .map { case (k, _, _, _, (sm, sd)) =>
+        "\"" + k + "\":[" + (sm >> 20) + "," + (sd >> 20) + "]" }
+      .mkString("{", ",", "}")
     val total = results.filter(_._3.nonEmpty).map(_._2).sum
 
     // Concurrency axis (the reference runs suites with queries in flight
@@ -174,7 +200,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,"skew_joins":$skewJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a

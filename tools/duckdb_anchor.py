@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Cross-engine perf anchor: DuckDB wall-clock for the oracle SQL of the
+22 TPC-H queries + the 10 heaviest oracle-checkable pipeline queries, on
+the same parquet files the Spark bench reads. The repo's 2x perf gate is
+otherwise self-referential (its own round history); this records what a
+best-in-class single-node engine does on identical inputs so "is
+local[32] Spark leaving 10x on the table?" has an answer on the record.
+
+Usage: python3 tools/duckdb_anchor.py <sfDir> <oracle_sql.json> <out.json>
+Timing: min of 2 runs per query (first run warms the page cache for the
+second; DuckDB re-plans each time). Threads default to all cores, same
+as Spark's local[32].
+"""
+import duckdb, json, os, sys, time
+
+TPCH = ["q1_agg", "q2_min_cost", "q3_topk", "q4_late", "q5_local_supplier",
+        "q6_filter", "q7_volume", "q8_share", "q9_profit", "q10_returns",
+        "q11_stock_value", "q12_delay", "q13_orders", "q14_promo",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty",
+        "q18_big_orders", "q19_disjunctive", "q20_excess", "q21_waiting",
+        "q22_idle_rich"]
+HEAVY = ["dedup_minhash_oracle", "dedup_simhash_oracle",
+         "dedup_embedding_oracle", "dedup_spans", "dedup_components",
+         "text_gopher_rep", "text_perplexity_kn3", "nb_langid",
+         "dsir_weights", "bm25_search"]
+
+def main():
+    sf, oracle_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):  # ScaleData writes each table as a part-dir
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    results, errors = {}, {}
+    for name in TPCH + HEAVY:
+        sql = oracle.get(name)
+        if sql is None:
+            errors[name] = "no oracle sql"
+            continue
+        samples = []
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                samples.append(time.monotonic() - t0)
+            results[name] = round(min(samples), 3)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            errors[name] = str(e)[:200]
+    out = {"engine": "duckdb", "version": duckdb.__version__, "sf": sf,
+           "scheme": "min-of-2", "queries": results, "errors": errors,
+           "total": round(sum(results.values()), 2)}
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(json.dumps({"total": out["total"], "n": len(results),
+                      "errors": list(errors)}))
+
+if __name__ == "__main__":
+    main()
