@@ -46,6 +46,13 @@ object NaiveBayes {
       toks.groupBy(col("label"), col("token"))
         .agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    modelFromCounts(cnt, docs, labelCol, alpha)
+  }
+
+  /** Model from materialized (label, token, c) counts — shared by [[fit]]
+    * and the fused [[fitPredict]] path. */
+  private def modelFromCounts(cnt: DataFrame, docs: DataFrame,
+      labelCol: String, alpha: Double): Model = {
     val totals = cnt.groupBy(col("label")).agg(sum(col("c")).as("total"))
     val vocab = cnt.select(col("token")).distinct().count()
     val nDocs = docs.count()
@@ -84,6 +91,13 @@ object NaiveBayes {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val dt = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    predictFromTf(model, docs, dt, idCol)
+  }
+
+  /** Scoring from materialized (idCol, token, tf) rows — shared by
+    * [[predict]] and the fused [[fitPredict]] path. */
+  private def predictFromTf(model: Model, docs: DataFrame, dt: DataFrame,
+      idCol: String): DataFrame = {
     val nTok = dt.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tok"))
     val seenAdj = dt.join(model.weights, Seq("token"))
       .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
@@ -112,9 +126,29 @@ object NaiveBayes {
 
   /** fit + predict on the same corpus (the in-corpus classification most
     * curation filters run: train on the labeled slice, score everything).
+    *
+    * Fused: fit and predict each need a corpus explode + token hash-agg;
+    * run separately that is TWO passes over the heaviest stage. One
+    * persisted (doc, label, token, tf) aggregate serves both — the model
+    * counts are a rollup of it, the scoring rows a projection — so the
+    * corpus text is tokenized exactly once.
     */
   def fitPredict(docs: DataFrame, textCol: String = "text",
       labelCol: String = "lang", idCol: String = "doc_id",
-      alpha: Double = 1.0): DataFrame =
-    predict(fit(docs, textCol, labelCol, alpha), docs, textCol, idCol)
+      alpha: Double = 1.0): DataFrame = {
+    val tf = Caches.register(
+      docs.select(col(idCol), col(labelCol).as("label"),
+          explode(tokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("label"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // cnt feeds totals, the vocab count, and the weights join
+    val cnt = Caches.register(
+      tf.groupBy(col("label"), col("token"))
+        .agg(sum(col("tf")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = modelFromCounts(cnt, docs, labelCol, alpha)
+    predictFromTf(model, docs, tf.select(col(idCol), col("token"), col("tf")),
+      idCol)
+  }
 }
