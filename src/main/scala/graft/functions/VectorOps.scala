@@ -80,6 +80,38 @@ object VectorOps {
     s
   }
 
+  /** Fused tokenizer: lower → whitespace split → drop empties in ONE
+    * byte pass, no regex and no intermediate empty strings.
+    * Bit-identical to the declarative
+    * `filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)`
+    * (asserted in RegressionSpec): tokens are maximal runs of
+    * non-whitespace bytes of `lower(text)`; multi-byte UTF-8 units are
+    * all >= 0x80, never whitespace, so byte scanning cannot split a
+    * code point. The returned UTF8Strings alias the lowered byte array
+    * (no per-token copies). */
+  def tokenize(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    var nTok = 0
+    var out = new Array[AnyRef](8)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= 9 && b <= 13 && b != 11)
+      if (!ws) {
+        val s = i
+        while (i < len && {
+          val c = bytes(i); !(c == ' ' || (c >= 9 && c <= 13 && c != 11))
+        }) i += 1
+        if (nTok == out.length) out = java.util.Arrays.copyOf(out, nTok * 2)
+        out(nTok) = UTF8String.fromBytes(bytes, s, i - s)
+        nTok += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (nTok == out.length) out else java.util.Arrays.copyOf(out, nTok))
+  }
+
   // ---- hashing kernels ------------------------------------------------
 
   /** 64-bit FNV-1a over UTF-8 bytes — stable, dependency-free base hash. */

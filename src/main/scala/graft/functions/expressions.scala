@@ -32,6 +32,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused whitespace tokenizer (lower → split `\s+` → drop empties) —
+  * the entry stage of every text-family pipeline (NB, TF-IDF/BM25,
+  * perplexity, gopher, DSIR). The declarative form is a higher-order
+  * `filter`, which is CodegenFallback and breaks whole-stage codegen at
+  * the hottest operator of the corpus scan; this kernel is one static
+  * call, bit-identity-asserted against the declarative twin in
+  * RegressionSpec. */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.tokenize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.tokenize($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-permutation MinHash signature of an array<string> of shingles. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {

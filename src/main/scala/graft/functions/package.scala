@@ -41,7 +41,12 @@ package object functions {
     * adds \x0B): DuckDB `string_split_regex(_, '\s+')` and the fused
     * kernels ([[graft.functions.VectorOps]]) then segment identically
     * even for documents containing vertical tabs. */
-  def tokens(text: Column): Column =
+  def tokens(text: Column): Column = col0(TokensExpr(expr0(text)))
+
+  /** The declarative twin of [[tokens]] — kept for the bit-identity
+    * regression assert (and as executable documentation of the fused
+    * kernel's exact semantics). */
+  private[graft] def tokensDeclarative(text: Column): Column =
     filter(split(lower(text), "[ \t\n\f\r]+"), t => length(t) > 0)
 
   /** Word n-gram shingles: joins each n consecutive tokens with one space.

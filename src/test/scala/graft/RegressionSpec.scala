@@ -567,6 +567,30 @@ class RegressionSpec extends SparkSuite {
       "a random far signature slipped under hamming<=3")
   }
 
+  test("tokenize kernel is bit-identical to filter(split(lower)) ") {
+    // the entry stage of every text pipeline — fused to one codegen'd
+    // call (TokensExpr); adversarial inputs: unicode (multi-byte must
+    // never split), vertical tab (NOT whitespace in the RE2 class),
+    // leading/trailing/repeated separators, empties, null
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+      .select($"text")
+      .union(Seq("", "  ", "ab", " é漢字 🙂x ", "A\tB\nC\fD\rE",
+        "one", "\t\n\f\r ", "MiXeD CaSe", "a" * 500 + " b",
+        "xy z" /* VT stays INSIDE a token (RE2 \s excludes it) */)
+        .toDF("text"))
+      .union(Seq(null.asInstanceOf[String]).toDF("text"))
+    val diff = docs.select(
+        graft.functions.tokens($"text").as("a"),
+        graft.functions.tokensDeclarative($"text").as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff === 0L, "tokenize kernel diverges from the declarative twin")
+    // and the fused path really is the custom expression, not a rewrite
+    val plan = docs.select(graft.functions.tokens($"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("tokensexpr") || plan.contains("TokensExpr"),
+      s"expected TokensExpr in plan:\n$plan")
+  }
+
   test("sketch kernels are bit-identical to their declarative twins") {
     import graft.operators.{Bloom, CountMin, ZOrder}
     val docs = Tables.load(spark, sfDir, "documents").limit(300)
