@@ -62,12 +62,18 @@ object Sqlite {
       val raw = ((header(16) & 0xff) << 8) | (header(17) & 0xff)
       if (raw == 1) 65536 else raw // value 1 means 65536 (fileformat2 §1.3)
     }
+    /** File-format write version (header offset 18): 1 = rollback
+      * journal, 2 = WAL (fileformat2 §1.3). */
+    val writeVersion: Int = header(18) & 0xff
     val reservedBytes: Int = header(20) & 0xff
     /** usable bytes per page: page size minus the per-page reserved tail */
     val usable: Int = pageSize - reservedBytes
-    /** 1=UTF-8, 2=UTF-16le, 3=UTF-16be (header offset 56) */
+    /** 1=UTF-8, 2=UTF-16le, 3=UTF-16be (header offset 56). Lazy: a
+      * WAL-mode file whose schema lives only in uncheckpointed frames
+      * has 0 here, and [[Sqlite.open]]'s hot-WAL refusal (the actionable
+      * error) must win over this one. */
     val textEncoding: Int = be32(header, 56)
-    val charset: Charset = textEncoding match {
+    lazy val charset: Charset = textEncoding match {
       case 1 => StandardCharsets.UTF_8
       case 2 => StandardCharsets.UTF_16LE
       case 3 => StandardCharsets.UTF_16BE
@@ -87,7 +93,30 @@ object Sqlite {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    new Db(fs.open(p), st.getLen)
+    val db = new Db(fs.open(p), st.getLen)
+    // WAL-mode safety: committed rows may live only in the -wal sidecar
+    // until a checkpoint, and this reader walks the main file's b-trees
+    // only — reading such a database would be SILENTLY STALE (missing
+    // recent commits), the worst failure mode for a pipeline input.
+    // A WAL-mode file with an absent or headers-only (<= 32 bytes, no
+    // frames) -wal is fully checkpointed and safe; anything else is
+    // refused with the remedy named. (libsqlite3 checkpoints+truncates
+    // on last close, so cleanly-closed databases always pass.)
+    if (db.writeVersion == 2) {
+      val wal = new HPath(path + "-wal")
+      val walLen = try {
+        if (fs.exists(wal)) fs.getFileStatus(wal).getLen else 0L
+      } catch { case _: Exception => 0L }
+      if (walLen > 32L) {
+        db.close()
+        throw new IOException(
+          s"$path is in WAL mode with ${walLen}B of uncheckpointed frames " +
+            s"in $path-wal — the built-in reader would silently miss those " +
+            "commits. Run `PRAGMA wal_checkpoint(TRUNCATE)` (or close the " +
+            "writing connection) and retry.")
+      }
+    }
+    db
   }
 
   private def be16(b: Array[Byte], off: Int): Int =

@@ -341,6 +341,43 @@ cur.execute("INSERT INTO big VALUES ('zz-long', -1, ?)", ('x' * 20000,))
       db.getParent.toFile)
   }
 
+  test("WAL mode: hot -wal refused (stale read risk); checkpointed reads fine") {
+    // python copies db + wal to hot_/cold_ prefixes BEFORE vs AFTER the
+    // writing connection closes — a real libsqlite3 WAL lifecycle, not a
+    // synthetic header
+    val db = buildDb("""
+import shutil, os
+cur.execute("PRAGMA journal_mode=WAL")
+cur.execute("CREATE TABLE w (id INTEGER PRIMARY KEY, v TEXT)")
+cur.execute("INSERT INTO w VALUES (1, 'committed-into-wal')")
+con.commit()
+d = os.path.dirname(sys.argv[1])
+# hot snapshot: frames still live in the -wal sidecar
+shutil.copy(sys.argv[1], d + '/hot.sqlite')
+shutil.copy(sys.argv[1] + '-wal', d + '/hot.sqlite-wal')
+con.close()  # checkpoints + truncates the wal
+shutil.copy(sys.argv[1], d + '/cold.sqlite')
+if os.path.exists(sys.argv[1] + '-wal'):
+    shutil.copy(sys.argv[1] + '-wal', d + '/cold.sqlite-wal')
+con = sqlite3.connect(sys.argv[1])  # reopen so the trailer's close works
+cur = con.cursor()
+""")
+    val dir = db.getParent
+    try {
+      val hot = intercept[Exception] {
+        spark.read.format("sqlite").option("table", "w")
+          .load(s"$dir/hot.sqlite").collect()
+      }
+      assert(hot.getMessage.contains("uncheckpointed") ||
+        Option(hot.getCause).exists(_.getMessage.contains("uncheckpointed")),
+        s"hot WAL must be refused loudly: ${hot.getMessage}")
+      val cold = spark.read.format("sqlite").option("table", "w")
+        .load(s"$dir/cold.sqlite").collect()
+      assert(cold.length == 1 && cold(0).getString(1) == "committed-into-wal",
+        "checkpointed WAL-mode db must read completely")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("UTF-16 text encoding decodes per the header") {
     val db = buildDb("""
 cur.execute("PRAGMA encoding = 'UTF-16le'")
