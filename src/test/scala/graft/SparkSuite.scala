@@ -10,8 +10,12 @@ object SparkSuite {
     // exercise metastore-backed tables + catalog partition pruning — the
     // reference reads schema/partitions from a live metastore
     // (hive.py:96-294); everything else behaves identically.
+    // local[8, 3]: 3 task attempts, so RetrySpec can inject first-attempt
+    // failures and assert operator determinism under retry — the
+    // recompute semantics a 1000-executor cluster exercises constantly.
+    // With no failing task the scheduler behaves exactly like local[8].
     val s = SparkSession.builder()
-      .master("local[8]")
+      .master("local[8, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.GraftExtensions")
