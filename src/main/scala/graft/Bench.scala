@@ -35,6 +35,10 @@ object Bench {
     val spark = (if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         sys.props("java.class.path"))
+        // executor heap for the multi-JVM probe (default 1g): the worker
+        // memory figure in the master string is a capacity, not the heap
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "1g"))
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
