@@ -1,0 +1,97 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Executor-loss probe: run a query under `local-cluster` (real executor
+  * processes), KILL one executor mid-query once a post-shuffle stage is
+  * running, and assert the result is bit-identical to the undisturbed
+  * run. This exercises the recovery path a 1000-executor cluster hits
+  * daily — lost shuffle outputs (FetchFailed → parent-stage
+  * resubmission), lost cached blocks (lineage recompute) — none of which
+  * a single-JVM run can reach.
+  *
+  * One session PER QUERY: standalone `killExecutors` permanently lowers
+  * the app's executor target (no replacement without dynamic
+  * allocation), so a second kill in the same session would starve the
+  * scheduler; a fresh session restores the full complement.
+  *
+  * Usage: SPARK_SCALA_VERSION=2.13 must be in the env (worker launcher);
+  *   runMain graft.tools.ChaosCluster <sfDir> [queryName ...]
+  * Prints one JSON line per query: {"query":…,"match":true,"kills":1}.
+  * Exits non-zero on any mismatch or never-fired kill.
+  */
+object ChaosCluster {
+
+  private def fingerprint(df: DataFrame): String = {
+    val rows = df.collect().map(_.toString).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    s"${rows.length}:${md.digest().map(b => f"$b%02x").mkString}"
+  }
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,8,2048]"))
+      .appName("graft-chaos")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "2g"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q9_profit", "dedup_components")
+    var failed = false
+    for (name <- names) {
+      val spark = session()
+      try {
+        val fn = graft.SparkEntry.queries(name)
+        // undisturbed reference first (also warms codegen/catalog)
+        val want = fingerprint(fn(spark, sfDir))
+        graft.operators.Dedup.releaseCaches()
+
+        // chaos leg: once a task of a LATER stage (post-shuffle) starts,
+        // kill that task's executor — its map outputs and cached blocks
+        // die with it, forcing FetchFailed recovery + lineage recompute
+        val firstStage = new AtomicInteger(-1)
+        val killed = new AtomicBoolean(false)
+        val kills = new AtomicInteger(0)
+        val listener = new SparkListener {
+          override def onTaskStart(e: SparkListenerTaskStart): Unit = {
+            firstStage.compareAndSet(-1, e.stageId)
+            if (e.stageId > firstStage.get() &&
+                killed.compareAndSet(false, true)) {
+              val exec = e.taskInfo.executorId
+              new Thread(() => {
+                if (spark.sparkContext.killExecutors(Seq(exec)))
+                  kills.incrementAndGet()
+              }, "chaos-killer").start()
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val got = try fingerprint(fn(spark, sfDir))
+        finally {
+          spark.sparkContext.removeSparkListener(listener)
+          graft.operators.Dedup.releaseCaches()
+        }
+        val ok = got == want && kills.get() >= 1
+        if (!ok) failed = true
+        println(s"""{"query":"$name","match":${got == want},"kills":${kills.get()}}""")
+      } finally spark.stop()
+    }
+    if (failed) sys.exit(1)
+  }
+}
