@@ -383,6 +383,68 @@ class StreamingSpec extends SparkSuite {
       "restart visibly folded in the second half")
   }
 
+  test("sessionize GroupState survives a checkpoint restart (straddling " +
+      "sessions merge, not split)") {
+    // flatMapGroupsWithState keeps each user's OPEN session in GroupState;
+    // the input splits at the median timestamp so thousands of sessions
+    // straddle the stop. If recovery dropped the state, every straddler
+    // would close as two sessions — caught by multiset-comparing against
+    // an uninterrupted single-run stream of the same data.
+    val ev = Tables.load(spark, sfDir, "events")
+    val cutMicros = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head.getLong(0)
+    def run(src: java.nio.file.Path, ckpt: java.nio.file.Path,
+        out: String): Unit = {
+      val q = EventStreams.sessionize(spark,
+          EventStreams.readEventStream(spark, src.toString)).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt.toString).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sessions(dir: String): Map[(Long, Long, Long, Double), Long] =
+      spark.read.parquet(dir)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("total_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    // two-phase restarted run
+    val src = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ck")
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out")
+      .toString + "/data"
+    stageOneFile(ev.filter(unix_micros(col("ts")) < cutMicros),
+      src.resolve("a.parquet"))
+    run(src, ckpt, out)
+    stageOneFile(ev.filter(unix_micros(col("ts")) >= cutMicros),
+      src.resolve("b.parquet"))
+    run(src, ckpt, out)
+
+    // uninterrupted single-run twin over the identical event set
+    val src2 = java.nio.file.Files.createTempDirectory("graft_sess_src2")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sess_ck2")
+    val out2 = java.nio.file.Files.createTempDirectory("graft_sess_out2")
+      .toString + "/data"
+    stageOneFile(ev, src2.resolve("all.parquet"))
+    run(src2, ckpt2, out2)
+
+    val restarted = sessions(out)
+    val single = sessions(out2)
+    assert(restarted.nonEmpty, "restarted run emitted no closed sessions")
+    assert(restarted == single,
+      s"restart diverged: only-restarted=${(restarted.toSet -- single.toSet).take(3)} " +
+        s"only-single=${(single.toSet -- restarted.toSet).take(3)}")
+    // and the single-run twin still matches the batch session count
+    val batchSessions = SparkEntry.queries("events_sessions")(spark, sfDir)
+    val expectClosed = batchSessions.count() -
+      batchSessions.select(col("user_id")).distinct().count()
+    assert(restarted.values.sum == expectClosed,
+      s"closed=${restarted.values.sum} expected=$expectClosed")
+  }
+
   test("streaming funnel equals the batch funnel on the same events") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val windowMicros = 24L * 3600 * 1000000
