@@ -68,6 +68,14 @@ object Tables {
   val variantJsonOptions: Map[String, String] = Map(
     "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** XML variant options (Spark 4 built-in XML source): same µs
+    * timestamp contract; explicit nullValue token so NULL and empty
+    * string stay distinguishable, exactly like the CSV contract. */
+  val variantXmlOptions: Map[String, String] = Map(
+    "rowTag" -> "row", "nullValue" -> "\\N",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "dateFormat" -> "yyyy-MM-dd")
+
   /** Read one fixture table. Column pruning + predicate pushdown reach the
     * scan automatically because callers compose on the returned DataFrame.
     * Looks for `<dir>/<name>.parquet` first, then the CSV/ORC/JSON variant
@@ -81,10 +89,10 @@ object Tables {
       val fs = pq.getFileSystem(conf)
       if (fs.exists(pq)) readParquet(spark, path(dir, name))
       else {
-        val fmt = Seq("csv", "psv", "orc", "json")
+        val fmt = Seq("csv", "psv", "orc", "json", "xml")
           .find(e => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.$e")))
           .getOrElse(throw new java.io.FileNotFoundException(
-            s"no $name.{parquet,csv,psv,orc,json} under $dir"))
+            s"no $name.{parquet,csv,psv,orc,json,xml} under $dir"))
         val p = s"$dir/$name.$fmt"
         fmt match {
           case "orc" => spark.read.orc(p)
@@ -97,6 +105,9 @@ object Tables {
           case "json" =>
             spark.read.options(variantJsonOptions)
               .schema(variantSchema(spark, dir, name)).json(p)
+          case "xml" =>
+            spark.read.options(variantXmlOptions)
+              .schema(variantSchema(spark, dir, name)).format("xml").load(p)
         }
       }
     })

@@ -81,6 +81,8 @@ object FixtureVariants {
       case "psv" => w.options(Tables.variantCsvOptions)
         .option("sep", "|").csv(tmp.toString)
       case "json" => w.options(Tables.variantJsonOptions).json(tmp.toString)
+      case "xml" => w.options(Tables.variantXmlOptions)
+        .format("xml").save(tmp.toString)
     })
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-")).get
@@ -107,8 +109,9 @@ object FixtureVariants {
   def generate(spark: SparkSession, srcDir: String, outRoot: String): Unit = {
     val cells = Seq(
       ("plain", "csv"), ("plain", "psv"), ("plain", "orc"), ("plain", "json"),
+      ("plain", "xml"),
       ("nulls", "parquet"), ("nulls", "csv"), ("nulls", "psv"),
-      ("nulls", "orc"), ("nulls", "json"))
+      ("nulls", "orc"), ("nulls", "json"), ("nulls", "xml"))
     for ((variant, fmt) <- cells) {
       val outDir = s"$outRoot/${variant}_$fmt"
       for (t <- relational) {
