@@ -51,6 +51,9 @@ class GraftContext(val spark: SparkSession) {
         spark.read.options(options).format("jdbc").load()
       case "sqlite" => // driver-free file-format reader (sources/SqliteFormat)
         spark.read.options(options).format("sqlite").load(path)
+      case "xml" => // Spark 4 built-in XML; rowTag defaults like the matrix
+        spark.read.options(Map("rowTag" -> "row") ++ options)
+          .format("xml").load(path)
       case other => spark.read.options(options).format(other).load(path)
     }
     register(name, df, Some(path), fmt)
@@ -980,6 +983,7 @@ object GraftContext {
     else if (p.endsWith(".csv")) "csv"
     else if (p.endsWith(".psv")) "psv"
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+    else if (p.endsWith(".xml")) "xml"
     else if (p.endsWith(".txt")) "text"
     else if (p.endsWith(".sqlite") || p.endsWith(".sqlite3") ||
       p.endsWith(".db")) "sqlite"

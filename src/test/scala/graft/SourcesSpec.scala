@@ -212,6 +212,29 @@ class SourcesSpec extends SparkSuite {
     ctx.dropTable("gc_bin")
   }
 
+  test("xml source: .xml extension infers the format, rowTag defaults, " +
+      "types/nulls/escapes survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.write(dir.resolve("t.xml"),
+      ("""<rows>""" +
+        """<row><id>1</id><name>a &amp; b</name><score>1.5</score></row>""" +
+        """<row><id>2</id><score>-0.25</score></row>""" +
+        """<row><id>3</id><name>&lt;tag&gt;</name></row>""" +
+        """</rows>""").getBytes("UTF-8"))
+    val ctx = GraftContext(spark)
+    ctx.createTable("gc_xml", s"$dir/t.xml")
+    val got = ctx.sql(
+      "SELECT id, name, score FROM gc_xml ORDER BY id").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(0) == 1L && got(0).getString(1) == "a & b" &&
+      got(0).getDouble(2) == 1.5)
+    assert(got(1).isNullAt(1) && got(1).getDouble(2) == -0.25,
+      "omitted element must read as NULL")
+    assert(got(2).getString(1) == "<tag>" && got(2).isNullAt(2),
+      "XML entity escapes must decode")
+    ctx.dropTable("gc_xml")
+  }
+
   test("text source reads raw lines for corpus ingestion") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt")
     java.nio.file.Files.write(dir.resolve("docs.txt"),
