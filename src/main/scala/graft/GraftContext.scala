@@ -711,7 +711,12 @@ class GraftContext(val spark: SparkSession) {
       encoded: String): Unit = {
     val tok = new org.apache.hadoop.security.token.Token()
     tok.decodeFromUrlString(encoded)
-    tok.setService(new org.apache.hadoop.io.Text(s"$host:$port"))
+    // the service must match how the CLIENT builds its lookup key —
+    // SecurityUtil resolves host→IP unless
+    // hadoop.security.token.service.use_ip=false, so a literal
+    // "namenode.prod:9870" would silently never be selected
+    tok.setService(org.apache.hadoop.security.SecurityUtil.buildTokenService(
+      new java.net.InetSocketAddress(host, port)))
     org.apache.hadoop.security.UserGroupInformation.getCurrentUser
       .addToken(tok)
   }

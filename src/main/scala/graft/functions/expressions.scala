@@ -40,6 +40,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * call, bit-identity-asserted against the declarative twin in
   * RegressionSpec. */
 case class TokensExpr(child: Expression) extends UnaryExpression {
+  // string-only by contract — the `tokens()` builder casts non-string
+  // inputs (the declarative twin accepted any type via lower()'s
+  // implicit cast); a direct construction with a wrong type fails at
+  // ANALYSIS time here, never as a runtime ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"tokens() needs a string input, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(v: Any): Any =

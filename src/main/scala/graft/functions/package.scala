@@ -41,7 +41,10 @@ package object functions {
     * adds \x0B): DuckDB `string_split_regex(_, '\s+')` and the fused
     * kernels ([[graft.functions.VectorOps]]) then segment identically
     * even for documents containing vertical tabs. */
-  def tokens(text: Column): Column = col0(TokensExpr(expr0(text)))
+  // .cast("string") restores the declarative twin's implicit-cast
+  // contract for non-string inputs; Catalyst folds it away when the
+  // column is already a string
+  def tokens(text: Column): Column = col0(TokensExpr(expr0(text.cast("string"))))
 
   /** The declarative twin of [[tokens]] — kept for the bit-identity
     * regression assert (and as executable documentation of the fused

@@ -112,8 +112,12 @@ object Compaction {
           !n.startsWith("_") && !n.startsWith(".")
         }
         .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    // URI form, not Path.toString: `input_file_name()` renders the
+    // URL-ENCODED Path.toUri (SparkPath.fromFileStatus does exactly
+    // this), so a space or '%' in a file/dir name would otherwise make
+    // every row of that file "unplanned" in compactFiles' join
     val files = walk(p)
-      .map(s => (s.getPath.toString, s.getLen))
+      .map(s => (s.getPath.toUri.toString, s.getLen))
       .sortBy(_._1)
     require(files.nonEmpty,
       s"compaction: no data files under $dir (only hidden/metadata entries)")

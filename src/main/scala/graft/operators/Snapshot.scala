@@ -79,7 +79,7 @@ object Snapshot {
       s"changeset lacks column(s) ${missing.mkString(", ")} — an upsert " +
         "must carry every base column")
 
-    val latest = seqCol match {
+    val latest0 = seqCol match {
       case Some(sq) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol))
@@ -96,6 +96,14 @@ object Snapshot {
             "order them")
         changes
     }
+
+    // persisted: the op-domain check below is an eager job, and the
+    // returned plan reads `latest` twice more (keys + upserts) — without
+    // a cache the changeset pipeline (incl. the seqCol window) would
+    // re-run three times. Released by the harness via
+    // Dedup.releaseCaches, like the other operator intermediates.
+    val latest = Caches.register(latest0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // fail loudly on ops outside the domain — a typo'd 'UPSERT'/'update'
     // would otherwise remove the base row and insert nothing, silently

@@ -103,18 +103,19 @@ object Sqlite {
     // refused with the remedy named. (libsqlite3 checkpoints+truncates
     // on last close, so cleanly-closed databases always pass.)
     if (db.writeVersion == 2) {
-      val wal = new HPath(path + "-wal")
-      val walLen = try {
-        if (fs.exists(wal)) fs.getFileStatus(wal).getLen else 0L
-      } catch { case _: Exception => 0L }
-      if (walLen > 32L) {
-        db.close()
-        throw new IOException(
+      try {
+        val wal = new HPath(path + "-wal")
+        // only ABSENCE maps to 0 — a transient stat error must
+        // propagate, or it would re-open exactly the silent-stale-read
+        // hole this guard closes
+        val walLen = try fs.getFileStatus(wal).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+        if (walLen > 32L) throw new IOException(
           s"$path is in WAL mode with ${walLen}B of uncheckpointed frames " +
             s"in $path-wal — the built-in reader would silently miss those " +
             "commits. Run `PRAGMA wal_checkpoint(TRUNCATE)` (or close the " +
             "writing connection) and retry.")
-      }
+      } catch { case t: Throwable => db.close(); throw t }
     }
     db
   }
@@ -555,7 +556,7 @@ object Sqlite {
         val typeToks = toks.drop(1).takeWhile(t =>
           !ConstraintKeywords.contains(t.toLowerCase(Locale.ROOT)))
         val declared = typeToks.mkString(" ")
-        val isPk = d.toLowerCase(Locale.ROOT).contains("primary key")
+        val isPk = hasPrimaryKeyTokens(toks)
         // "INTEGER PRIMARY KEY" (exactly INTEGER affinity via the int
         // rule) is the rowid alias: its record value is stored as NULL
         // and the value IS the rowid (fileformat2 §2.1)
@@ -646,6 +647,18 @@ object Sqlite {
     }
   }
 
+  /** TOKEN-level "PRIMARY KEY" detection: adjacent bare tokens, never a
+    * substring — a column NAMED `primary_lang`, or the words inside a
+    * DEFAULT 'primary key' string literal (one quoted token after
+    * [[tokenize]]), must not count. */
+  private def hasPrimaryKeyTokens(toks: Seq[String]): Boolean =
+    toks.sliding(2).exists {
+      case Seq(a, b) => a.equalsIgnoreCase("primary") &&
+        (b.equalsIgnoreCase("key") ||
+          b.toLowerCase(Locale.ROOT).startsWith("key(")) // KEY(a,b) attaches
+      case _ => false
+    }
+
   /** PRIMARY KEY column names in PK-declaration order — the record
     * prefix of a WITHOUT ROWID table. Handles both the inline form
     * (`col TYPE PRIMARY KEY …`) and the table-level constraint
@@ -659,9 +672,13 @@ object Sqlite {
       .filter(_.nonEmpty)
     val tableLevel = defs.collectFirst {
       case d if {
-        val l = d.toLowerCase(Locale.ROOT)
-        l.startsWith("primary") ||
-          (l.startsWith("constraint") && l.contains("primary key"))
+        val toks = tokenize(d)
+        val head = toks.head.toLowerCase(Locale.ROOT)
+        // the constraint must START with PRIMARY (or CONSTRAINT <name>
+        // PRIMARY) — a column def whose NAME begins with "primary" is
+        // a bare token that never pairs with KEY at position 0/2
+        (head == "primary" || head.startsWith("primary(") ||
+          head == "constraint") && hasPrimaryKeyTokens(toks)
       } =>
         val o = d.indexOf('(')
         val c = d.lastIndexOf(')')
@@ -675,8 +692,7 @@ object Sqlite {
         val headLower = toks.head.toLowerCase(Locale.ROOT)
         val isColumnDef = !Set("primary", "unique", "check", "foreign",
           "constraint").contains(headLower)
-        if (isColumnDef && d.toLowerCase(Locale.ROOT).contains("primary key"))
-          Some(unquote(toks.head))
+        if (isColumnDef && hasPrimaryKeyTokens(toks)) Some(unquote(toks.head))
         else None
       }
     }

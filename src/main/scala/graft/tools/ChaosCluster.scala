@@ -68,16 +68,18 @@ object ChaosCluster {
         val firstStage = new AtomicInteger(-1)
         val killed = new AtomicBoolean(false)
         val kills = new AtomicInteger(0)
+        @volatile var killer: Thread = null
         val listener = new SparkListener {
           override def onTaskStart(e: SparkListenerTaskStart): Unit = {
             firstStage.compareAndSet(-1, e.stageId)
             if (e.stageId > firstStage.get() &&
                 killed.compareAndSet(false, true)) {
               val exec = e.taskInfo.executorId
-              new Thread(() => {
+              killer = new Thread(() => {
                 if (spark.sparkContext.killExecutors(Seq(exec)))
                   kills.incrementAndGet()
-              }, "chaos-killer").start()
+              }, "chaos-killer")
+              killer.start()
             }
           }
         }
@@ -87,6 +89,9 @@ object ChaosCluster {
           spark.sparkContext.removeSparkListener(listener)
           graft.operators.Dedup.releaseCaches()
         }
+        // the kill RPC is async — join it before reading the counter, or
+        // a fast query would report kills=0 (spurious probe failure)
+        Option(killer).foreach(_.join(30000))
         val ok = got == want && kills.get() >= 1
         if (!ok) failed = true
         println(s"""{"query":"$name","match":${got == want},"kills":${kills.get()}}""")

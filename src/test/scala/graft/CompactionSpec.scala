@@ -134,6 +134,25 @@ class CompactionSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("compactFiles handles file names needing URL encoding") {
+    // input_file_name() returns the URL-ENCODED Path.toUri form; the
+    // plan must key on the same rendering or every row of such a file
+    // counts as "unplanned" and the rewrite aborts after writing
+    val in = Files.createTempDirectory("graft-compact-enc").toString
+    val out = Files.createTempDirectory("graft-compact-enc-out").toString + "/c"
+    spark.range(0, 500).withColumn("payload", md5(col("id").cast("string")))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val part = new java.io.File(in).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    // a space percent-encodes; '%' itself double-encodes — both covered
+    java.nio.file.Files.move(part.toPath,
+      part.toPath.resolveSibling("part a%b.parquet"))
+    Compaction.compactFiles(spark, in, out, 1L << 20)
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("planFiles + compactFiles collapse many small part files") {
     val in = Files.createTempDirectory("graft-compact-in").toString
     val out = Files.createTempDirectory("graft-compact-out").toString + "/c"

@@ -589,6 +589,12 @@ class RegressionSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("tokensexpr") || plan.contains("TokensExpr"),
       s"expected TokensExpr in plan:\n$plan")
+    // implicit-cast contract of the declarative twin: non-string inputs
+    // tokenize via a string cast, not a runtime ClassCastException
+    val nums = Seq(101L, 202L).toDF("n")
+      .select(graft.functions.tokens($"n").as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(nums.toSeq == Seq(Seq("101"), Seq("202")))
   }
 
   test("sketch kernels are bit-identical to their declarative twins") {

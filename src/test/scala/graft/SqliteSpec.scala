@@ -341,6 +341,28 @@ cur.execute("INSERT INTO big VALUES ('zz-long', -1, ?)", ('x' * 20000,))
       db.getParent.toFile)
   }
 
+  test("PK detection is token-exact: 'primary_…' column names and " +
+      "'primary key' inside string literals don't confuse it") {
+    val db = buildDb("""
+cur.execute('''CREATE TABLE t (primary_lang TEXT, k TEXT PRIMARY KEY,
+  note TEXT DEFAULT 'the primary key lives here') WITHOUT ROWID''')
+cur.execute("INSERT INTO t (primary_lang, k) VALUES ('en', 'a')")
+cur.execute("INSERT INTO t VALUES ('fr', 'b', 'custom')")
+""")
+    try {
+      val got = readTable(db, "t").orderBy(col("k")).collect()
+      assert(got.length == 2)
+      // record order must be (k, primary_lang, note) — PK k first; a
+      // prefix-matched 'primary_lang' or the DEFAULT literal would
+      // permute columns or fail the constraint parse
+      assert(got(0).getString(0) == "en" && got(0).getString(1) == "a" &&
+        got(0).getString(2) == "the primary key lives here")
+      assert(got(1).getString(0) == "fr" && got(1).getString(1) == "b" &&
+        got(1).getString(2) == "custom")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      db.getParent.toFile)
+  }
+
   test("WAL mode: hot -wal refused (stale read risk); checkpointed reads fine") {
     // python copies db + wal to hot_/cold_ prefixes BEFORE vs AFTER the
     // writing connection closes — a real libsqlite3 WAL lifecycle, not a
