@@ -203,16 +203,55 @@ object Bench {
         s""""rows_match":${seqRows == concRows}}"""
     }
 
+    // Run provenance (round-8 lesson: BENCH_r08 captured a multi-JVM leg
+    // unlabeled and read as a false 6-9× regression). Every bench JSON is
+    // self-describing: master, executor memory, git sha, wall-clock stamp.
+    val gitSha = try {
+      val repoRoot = java.nio.file.Paths.get(".").toAbsolutePath
+      val head = new String(java.nio.file.Files.readAllBytes(
+        repoRoot.resolve(".git/HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: ")) {
+        val refPath = repoRoot.resolve(".git").resolve(head.drop(5))
+        if (java.nio.file.Files.exists(refPath))
+          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8")
+            .trim.take(12)
+        else "unknown"
+      } else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val executorMem =
+      if (master.startsWith("local-cluster"))
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "1g")
+      else sys.env.getOrElse("SPARK_DRIVER_MEM",
+        (Runtime.getRuntime.maxMemory >> 30) + "g(driver-heap)")
+    val stamp = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a
-    // stable file so the per-query history stays machine-readable
+    // stable file so the per-query history stays machine-readable.
+    // Canonical-record protection: target/bench.json is the local[32]
+    // full-battery record; a non-default master, a shuffle override, or a
+    // SPARK_GRAFT_ONLY subset must never overwrite it — those runs land in
+    // target/bench-<mode>.json unless an explicit out path is given.
+    val defaultRun = master == "local[32]" && shuffleParts == "32" &&
+      only.isEmpty && sys.env.get("SPARK_DRIVER_MEM").isEmpty &&
+      sfDir == "/root/testdata/sf0.1"
+    val defaultOut =
+      if (defaultRun) "target/bench.json"
+      else {
+        val mode = (master + (if (only.nonEmpty) "-subset" else "") +
+          (if (shuffleParts != cpus) s"-sp$shuffleParts" else "") +
+          sys.env.get("SPARK_DRIVER_MEM").map("-" + _).getOrElse("") +
+          "-" + sfDir.split('/').filter(_.nonEmpty).last)
+          .replaceAll("[^A-Za-z0-9._-]+", "_")
+        s"target/bench-$mode.json"
+      }
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    System.err.println(s"bench: wrote ${out.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -98,13 +98,27 @@ object Compaction {
   def planFiles(spark: SparkSession, dir: String,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
+    val files = listDataFiles(spark, dir)
+    require(files.nonEmpty,
+      s"compaction: no data files under $dir (only hidden/metadata entries)")
+    plan(files.toDF("path", "bytes"), col("bytes"), Seq(col("path")),
+      targetBytes)
+  }
+
+  /** Recursive `(path, bytes)` listing of a table directory's data files.
+    * Recursive: partitioned layouts nest part files under key=value
+    * dirs, and spark.read.load(dir) discovers those — a non-recursive
+    * listing would silently drop their rows from a rewrite. Hidden-file
+    * convention matches Hadoop/Spark: both '_' (markers) and '.'
+    * (checksums like .part-*.crc) prefixes are metadata, not data.
+    * URI form, not Path.toString: `input_file_name()` renders the
+    * URL-ENCODED Path.toUri (SparkPath.fromFileStatus does exactly
+    * this), so a space or '%' in a file/dir name would otherwise make
+    * every row of that file "unplanned" in compactFiles' join. */
+  private def listDataFiles(spark: SparkSession,
+      dir: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recursive: partitioned layouts nest part files under key=value
-    // dirs, and spark.read.load(dir) discovers those — a non-recursive
-    // listing would silently drop their rows from a rewrite. Hidden-file
-    // convention matches Hadoop/Spark: both '_' (markers) and '.'
-    // (checksums like .part-*.crc) prefixes are metadata, not data.
     def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(d).toSeq
         .filter { s =>
@@ -112,17 +126,7 @@ object Compaction {
           !n.startsWith("_") && !n.startsWith(".")
         }
         .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
-    // URI form, not Path.toString: `input_file_name()` renders the
-    // URL-ENCODED Path.toUri (SparkPath.fromFileStatus does exactly
-    // this), so a space or '%' in a file/dir name would otherwise make
-    // every row of that file "unplanned" in compactFiles' join
-    val files = walk(p)
-      .map(s => (s.getPath.toUri.toString, s.getLen))
-      .sortBy(_._1)
-    require(files.nonEmpty,
-      s"compaction: no data files under $dir (only hidden/metadata entries)")
-    plan(files.toDF("path", "bytes"), col("bytes"), Seq(col("path")),
-      targetBytes)
+    walk(p).map(s => (s.getPath.toUri.toString, s.getLen)).sortBy(_._1)
   }
 
   /** Execute a file-compaction plan: read the listed files and rewrite
@@ -143,7 +147,12 @@ object Compaction {
     * input. */
   def compactFiles(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long, format: String = "parquet"): DataFrame = {
-    val planned = planFiles(spark, dir, targetBytes)
+    import spark.implicits._
+    val files0 = listDataFiles(spark, dir)
+    require(files0.nonEmpty,
+      s"compaction: no data files under $dir (only hidden/metadata entries)")
+    val planned = plan(files0.toDF("path", "bytes"), col("bytes"),
+      Seq(col("path")), targetBytes)
     val nBins = (planned.agg(max(col("bin"))).head.getLong(0) + 1).toInt
     val norm = (c: Column) => regexp_replace(c, ":/+", ":/")
     val bins = planned.select(norm(col("path")).as("graft_path"), col("bin"))
@@ -154,6 +163,21 @@ object Compaction {
       .observe(obs,
         count(when(col("bin").isNull, lit(1))).as("graft_unplanned"))
       .drop("graft_path")
+    // Fail-early coverage check BEFORE touching outDir: the Observation
+    // below catches rows from files the plan missed, but a planned file
+    // DELETED between the listing and the read would silently drop its
+    // rows from the rewrite (the scan just never visits it). Re-list and
+    // require the exact same file set; a mismatch aborts with outDir
+    // untouched. A change inside the remaining read window still can't
+    // slip through silently: an added file trips graft_unplanned, a
+    // removed file fails the scan with FileNotFound.
+    val files1 = listDataFiles(spark, dir).map(_._1).toSet
+    val vanished = files0.map(_._1).filterNot(files1)
+    val appeared = files1 -- files0.map(_._1).toSet
+    require(vanished.isEmpty && appeared.isEmpty,
+      s"compaction: source layout changed after planning — " +
+        s"${vanished.size} file(s) vanished ${vanished.take(3).mkString("[", ", ", "]")}, " +
+        s"${appeared.size} appeared; aborting before writing $outDir")
     data.repartitionByRange(nBins, col("bin")).drop("bin")
       .write.mode("overwrite").format(format).save(outDir)
     val unplanned = obs.get("graft_unplanned").asInstanceOf[Long]

@@ -68,11 +68,23 @@ object Snapshot {
     * is deterministic even on malformed input). Without `seqCol`, a
     * duplicated id in `changes` is a caller bug and the apply FAILS
     * rather than picking an arbitrary winner.
+    *
+    * EAGER by default: `validate = true` runs the op-domain and (when
+    * seqCol is absent) duplicate-id checks as driver jobs AT CALL TIME —
+    * the full changeset pipeline executes — and registers a persisted
+    * cache on the collapsed changeset (released via the harness's
+    * `Dedup.releaseCaches`, or by the caller). Callers that only compose
+    * plans pass `validate = false`: no job runs and nothing is cached;
+    * the op-domain guard then rides IN the plan (`raise_error` on any op
+    * outside {upsert, delete}, surfacing at action time), while the
+    * no-seqCol duplicate-id check is skipped — with it, a duplicated id
+    * resolves by the deterministic tie-break instead of failing.
     */
   def applyChanges(base: DataFrame, changes: DataFrame,
       idCol: String = "doc_id", opCol: String = "op",
       seqCol: Option[String] = None,
-      broadcastChanges: Boolean = true): DataFrame = {
+      broadcastChanges: Boolean = true,
+      validate: Boolean = true): DataFrame = {
     val payload = base.columns.filterNot(_ == idCol)
     val missing = (idCol +: opCol +: payload).filterNot(changes.columns.contains)
     require(missing.isEmpty,
@@ -87,7 +99,7 @@ object Snapshot {
             md5(to_json(struct(payload.map(col): _*))))
         changes.withColumn("graft_rn", row_number().over(w))
           .filter(col("graft_rn") === 1).drop("graft_rn")
-      case None =>
+      case None if validate =>
         // fail fast instead of applying two conflicting ops for one id
         val dups = changes.groupBy(col(idCol)).count()
           .filter(col("count") > 1).limit(1).count()
@@ -95,26 +107,44 @@ object Snapshot {
           s"changeset has multiple rows for one $idCol and no seqCol to " +
             "order them")
         changes
+      case None =>
+        // plan-only mode can't run the duplicate probe (it's a job);
+        // collapse deterministically with the seqCol tie-break alone so
+        // a duplicated id still has ONE well-defined winner
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col(opCol), md5(to_json(struct(payload.map(col): _*))))
+        changes.withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") === 1).drop("graft_rn")
     }
 
-    // persisted: the op-domain check below is an eager job, and the
-    // returned plan reads `latest` twice more (keys + upserts) — without
-    // a cache the changeset pipeline (incl. the seqCol window) would
-    // re-run three times. Released by the harness via
-    // Dedup.releaseCaches, like the other operator intermediates.
-    val latest = Caches.register(latest0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-    // fail loudly on ops outside the domain — a typo'd 'UPSERT'/'update'
-    // would otherwise remove the base row and insert nothing, silently
-    // acting as a delete
-    val badOps = latest
-      .filter(!col(opCol).isin("upsert", "delete") || col(opCol).isNull)
-      .select(col(opCol)).distinct().limit(5)
-      .collect().map(r => String.valueOf(r.get(0)))
-    require(badOps.isEmpty,
-      s"changeset $opCol must be 'upsert' or 'delete'; found: " +
-        badOps.mkString(", "))
+    val latest = if (validate) {
+      // persisted: the op-domain check below is an eager job, and the
+      // returned plan reads `latest` twice more (keys + upserts) — without
+      // a cache the changeset pipeline (incl. the seqCol window) would
+      // re-run three times. Released by the harness via
+      // Dedup.releaseCaches, like the other operator intermediates.
+      val cached = Caches.register(latest0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // fail loudly on ops outside the domain — a typo'd 'UPSERT'/'update'
+      // would otherwise remove the base row and insert nothing, silently
+      // acting as a delete
+      val badOps = cached
+        .filter(!col(opCol).isin("upsert", "delete") || col(opCol).isNull)
+        .select(col(opCol)).distinct().limit(5)
+        .collect().map(r => String.valueOf(r.get(0)))
+      require(badOps.isEmpty,
+        s"changeset $opCol must be 'upsert' or 'delete'; found: " +
+          badOps.mkString(", "))
+      cached
+    } else
+      // lazy twin of the op-domain check: no job, no cache — the guard
+      // rides in the plan and fires at action time on the first bad op
+      latest0.withColumn(opCol,
+        when(col(opCol).isin("upsert", "delete"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"changeset $opCol must be 'upsert' or 'delete'; found: "),
+            coalesce(col(opCol).cast("string"), lit("NULL"))))))
 
     val keys = latest.select(col(idCol), col(opCol))
     val touched = if (broadcastChanges) broadcast(keys) else keys

@@ -89,6 +89,32 @@ object Windows {
     },
 
     QuerySpec(
+      "win_multi_over",
+      // Two windows over DIFFERENT partition keys in one SELECT — the
+      // reference throws "WindowFunction: multiple PARTITION BY"
+      // (PhysicalPlanGenerator.h:300-302); Spark plans one Window node per
+      // distinct (partition, order) spec, i.e. two shuffles+sorts chained.
+      // Superset twin of win_agg_frames (two FRAMES, one key).
+      """SELECT event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn_user,
+        |  sum(value) OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_by_type,
+        |  count(*) OVER (PARTITION BY user_id, event_type) AS n_user_type
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          row_number().over(byUser).as("rn_user"),
+          sum(col("value"))
+            .over(byType.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_by_type"),
+          count(lit(1)).over(byUserType).as("n_user_type"))
+        .orderBy(col("event_id"))
+    },
+
+    QuerySpec(
       "win_laglead",
       """SELECT event_id, user_id,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_v,

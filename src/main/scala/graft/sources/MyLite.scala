@@ -22,11 +22,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scope: handshake v10 + `mysql_native_password` and
   * `caching_sha2_password` (fast AND full path) authentication,
-  * auth-switch, COM_QUERY text-protocol result sets. The full path
-  * (server cache miss, no TLS) requests the server's RSA public key and
-  * sends the nonce-XORed password OAEP-encrypted under it — the
-  * protocol's documented plain-TCP key exchange; cleartext never
-  * crosses the wire.
+  * auth-switch, TLS (CLIENT_SSL upgrade, see [[TlsLite]]), COM_QUERY
+  * text-protocol result sets. The full path over TLS sends the password
+  * on the encrypted link (the production default); over plain TCP it
+  * requests the server's RSA public key and sends the nonce-XORed
+  * password OAEP-encrypted under it — passive eavesdroppers learn
+  * nothing, but the unauthenticated key exchange is MITM-able (MySQL's
+  * documented --get-server-public-key trade-off); pin the key via the
+  * `serverPublicKey` option to close that.
   */
 object MyWire {
 
@@ -125,20 +128,38 @@ object MyWire {
 }
 
 /** One MySQL connection. Not thread-safe — one socket, one in-flight
-  * COM_QUERY; each Spark partition reader opens its own. */
+  * COM_QUERY; each Spark partition reader opens its own.
+  *
+  * `sslMode`: "disable" (plain TCP, default) or "require" (CLIENT_SSL
+  * capability upgrade — SSLRequest packet, then TLS rides the same
+  * socket; fails if the server lacks CLIENT_SSL or the
+  * certificate/hostname check fails). `sslRootCert` pins a root
+  * certificate for self-signed / private-CA servers ([[TlsLite]]).
+  * `serverPublicKey`: pinned RSA public key (PEM or path) for the
+  * plain-TCP caching_sha2 FULL-auth path — the `--server-public-key-path`
+  * equivalent; see the full-auth branch for the MITM trade-off it closes.
+  */
 final class MyConnection(host: String, port: Int, database: String,
-    user: String, password: String) extends AutoCloseable {
+    user: String, password: String, sslMode: String = "disable",
+    sslRootCert: Option[String] = None,
+    serverPublicKey: Option[String] = None) extends AutoCloseable {
   import MyWire._
+
+  require(sslMode == "disable" || sslMode == "require",
+    s"mysql: unsupported sslMode '$sslMode' (supported: disable, require)")
 
   // capabilities we announce: CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
   // CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB
-  private val Caps = 0x00000001 | 0x00000200 | 0x00008000 | 0x00080000 | 0x8
+  // (+ CLIENT_SSL 0x800 when sslMode=require)
+  private val Caps = 0x00000001 | 0x00000200 | 0x00008000 | 0x00080000 | 0x8 |
+    (if (sslMode == "require") 0x800 else 0)
+  private def tlsActive = socket.isInstanceOf[javax.net.ssl.SSLSocket]
 
-  private val socket = new Socket()
+  private var socket: Socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 30000)
   socket.setSoTimeout(120000)
-  private val in = new DataInputStream(socket.getInputStream)
-  private val out = new DataOutputStream(socket.getOutputStream)
+  private var in = new DataInputStream(socket.getInputStream)
+  private var out = new DataOutputStream(socket.getOutputStream)
   private var seq = 0
 
   handshake()
@@ -217,6 +238,7 @@ final class MyConnection(host: String, port: Int, database: String,
     p += 4 // thread id
     val noncePart1 = java.util.Arrays.copyOfRange(greet, p, p + 8)
     p += 8 + 1 // filler
+    val capLow = (greet(p) & 0xff) | ((greet(p + 1) & 0xff) << 8)
     p += 2 // capability lower
     p += 1 + 2 + 2 // charset, status, capability upper
     val authLen = greet(p) & 0xff
@@ -229,6 +251,31 @@ final class MyConnection(host: String, port: Int, database: String,
       else "mysql_native_password"
     // the 20-byte scramble is part1 + part2 minus its trailing NUL
     val nonce = noncePart1 ++ noncePart2.take(12)
+
+    // CLIENT_SSL upgrade (protocol: "SSLRequest" — the first 32 bytes
+    // of the handshake response, sent alone): everything after it,
+    // including the full handshake response and the password material,
+    // rides the TLS session. The packet sequence CONTINUES across the
+    // upgrade (SSLRequest is seq 1, the response seq 2).
+    if (sslMode == "require") {
+      if ((capLow & 0x800) == 0)
+        throw new IOException(
+          "mysql: server lacks CLIENT_SSL but sslMode=require")
+      val sslReq = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = {
+        sslReq.write(v & 0xff); sslReq.write((v >> 8) & 0xff)
+        sslReq.write((v >> 16) & 0xff); sslReq.write((v >> 24) & 0xff)
+      }
+      w32(Caps); w32(0x1000000)
+      sslReq.write(45) // utf8mb4
+      sslReq.write(new Array[Byte](23))
+      writePacket(sslReq.toByteArray)
+      val ssl = TlsLite.upgradeClient(socket, host, port,
+        TlsLite.clientContext(sslRootCert))
+      socket = ssl
+      in = new DataInputStream(ssl.getInputStream)
+      out = new DataOutputStream(ssl.getOutputStream)
+    }
 
     val auth = scrambleFor(plugin, nonce)
     val buf = new java.io.ByteArrayOutputStream()
@@ -264,11 +311,27 @@ final class MyConnection(host: String, port: Int, database: String,
         case 0x01 => // caching_sha2 extra data: 3=fast ok (OK follows), 4=full
           (r(1) & 0xff) match {
             case 3 => // fast path accepted; OK packet follows
+            case 4 if tlsActive =>
+              // full auth over TLS — the production-default flow: the
+              // NUL-terminated cleartext password rides the encrypted
+              // link directly (no RSA exchange). OK/ERR on next turn.
+              writePacket(password.getBytes(UTF_8) :+ 0.toByte)
+            case 4 if serverPublicKey.isDefined =>
+              // full auth, plain TCP, PINNED server key (the
+              // --server-public-key-path equivalent): no key request, so
+              // an active MITM can't substitute its own key
+              writePacket(rsaEncryptPassword(password, curNonce,
+                TlsLite.readPem(serverPublicKey.get)))
             case 4 =>
               // full auth (server cache miss): RSA key exchange — ask
               // for the server public key (0x02), then send the
               // nonce-XORed password encrypted under it. The OK/ERR
               // lands on the next loop turn.
+              // CAVEAT (MySQL's documented --get-server-public-key
+              // trade-off): the key arrives unauthenticated over plain
+              // TCP, so an active MITM can substitute its own key and
+              // recover the password from the payload. Pin the key via
+              // `serverPublicKey` or use sslMode=require to close this.
               writePacket(Array[Byte](0x02))
               val keyPkt = readPacket()
               if ((keyPkt(0) & 0xff) == 0xff) throw new IOException(
@@ -418,9 +481,12 @@ class MySqlDataSource extends TableProvider with DataSourceRegister {
 
 final case class MyOptions(host: String, port: Int, database: String,
     user: String, password: String, table: String,
-    partitionColumn: Option[String], numPartitions: Int) {
+    partitionColumn: Option[String], numPartitions: Int,
+    sslMode: String = "disable", sslRootCert: Option[String] = None,
+    serverPublicKey: Option[String] = None) {
   def connect(): MyConnection =
-    new MyConnection(host, port, database, user, password)
+    new MyConnection(host, port, database, user, password, sslMode,
+      sslRootCert, serverPublicKey)
   def quotedTable: String =
     table.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 }
@@ -438,7 +504,10 @@ object MyOptions {
       password = Option(m.get("password")).getOrElse(""),
       table = req("dbtable"),
       partitionColumn = Option(m.get("partitionColumn")),
-      numPartitions = Option(m.get("numPartitions")).map(_.toInt).getOrElse(1))
+      numPartitions = Option(m.get("numPartitions")).map(_.toInt).getOrElse(1),
+      sslMode = Option(m.get("sslmode")).getOrElse("disable"),
+      sslRootCert = Option(m.get("sslrootcert")),
+      serverPublicKey = Option(m.get("serverPublicKey")))
   }
 }
 

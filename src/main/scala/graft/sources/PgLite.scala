@@ -32,9 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the wire protocol directly.
   *
   * Scope: startup + authentication (trust, cleartext, MD5, and
-  * SCRAM-SHA-256 per RFC 5802/7677 — the PG10+ default), simple-query
-  * protocol ('Q'), text-format result decoding. Read-only by design:
-  * the engine's sinks write files, not DBMS rows.
+  * SCRAM-SHA-256 per RFC 5802/7677 — the PG10+ default), TLS session
+  * encryption (SSLRequest upgrade per protocol §55.2.10, sslmode
+  * disable/require + sslrootcert pinning — see [[TlsLite]]),
+  * simple-query protocol ('Q'), text-format result decoding. Read-only
+  * by design: the engine's sinks write files, not DBMS rows.
   */
 object PgWire {
 
@@ -103,8 +105,11 @@ object PgWire {
       .generateSecret(spec).getEncoded
   }
 
-  /** Client side of one SCRAM exchange. Channel binding is "n" (none) —
-    * the lite client does not do TLS. `user` is the gs2 n= attribute:
+  /** Client side of one SCRAM exchange. Channel binding is "n" (none):
+    * even on a TLS link the client does not offer SCRAM-…-PLUS, the
+    * posture of a client built without channel-binding support — valid
+    * per RFC 5802 §6 and accepted by PostgreSQL on TLS connections.
+    * `user` is the gs2 n= attribute:
     * PostgreSQL clients send it EMPTY (the server uses the startup-message
     * user), but the RFC 7677 test vector needs "user", so it stays a
     * parameter. */
@@ -152,18 +157,56 @@ object PgWire {
 }
 
 /** One protocol-v3 connection. Not thread-safe (one socket, one
-  * in-flight query) — each Spark partition reader opens its own. */
+  * in-flight query) — each Spark partition reader opens its own.
+  *
+  * `sslMode` follows libpq's two ends of the spectrum: "disable" (plain
+  * TCP, the default) and "require" (SSLRequest → TLS upgrade per
+  * protocol §55.2.10; the connection FAILS if the server answers 'N' or
+  * the certificate/hostname check fails). `sslRootCert` pins a root
+  * certificate (inline PEM or path) for private-CA / self-signed
+  * servers — see [[TlsLite]] for the trust model.
+  */
 final class PgConnection(host: String, port: Int, database: String,
-    user: String, password: String) extends AutoCloseable {
+    user: String, password: String, sslMode: String = "disable",
+    sslRootCert: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
-  private val socket = new Socket()
+  require(sslMode == "disable" || sslMode == "require",
+    s"pg: unsupported sslmode '$sslMode' (supported: disable, require)")
+
+  private var socket: Socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 30000)
   socket.setSoTimeout(120000)
-  private val in = new DataInputStream(socket.getInputStream)
-  private val out = new DataOutputStream(socket.getOutputStream)
+  private var in = new DataInputStream(socket.getInputStream)
+  private var out = new DataOutputStream(socket.getOutputStream)
 
+  if (sslMode == "require") upgradeTls()
   handshake()
+
+  /** Protocol §55.2.10: SSLRequest (Int32 len=8, Int32 80877103) on the
+    * fresh connection; 'S' → TLS handshake rides the same socket, 'N' →
+    * the server won't — which under sslmode=require is fatal, matching
+    * libpq. Everything after (startup, auth, queries) is encrypted. */
+  private def upgradeTls(): Unit = {
+    out.writeInt(8)
+    out.writeInt(80877103) // SSLRequest code (1234.5679 in the docs)
+    out.flush()
+    in.readByte().toChar match {
+      case 'S' =>
+        val ssl = TlsLite.upgradeClient(socket, host, port,
+          TlsLite.clientContext(sslRootCert))
+        socket = ssl
+        in = new DataInputStream(ssl.getInputStream)
+        out = new DataOutputStream(ssl.getOutputStream)
+      case 'N' =>
+        throw new IOException(
+          "pg: server does not support SSL but sslmode=require")
+      case other =>
+        // pre-v12 servers may send an ErrorResponse ('E') instead of 'N'
+        throw new IOException(
+          s"pg: unexpected SSLRequest response '$other' under sslmode=require")
+    }
+  }
 
   private def sendStartup(): Unit = {
     val params = Seq("user", user, "database", database,
@@ -421,9 +464,11 @@ class PostgresDataSource extends TableProvider with DataSourceRegister {
 final case class PgOptions(host: String, port: Int, database: String,
     user: String, password: String, table: String,
     partitionColumn: Option[String], numPartitions: Int,
-    lowerBound: Option[Long], upperBound: Option[Long]) {
+    lowerBound: Option[Long], upperBound: Option[Long],
+    sslMode: String = "disable", sslRootCert: Option[String] = None) {
   def connect(): PgConnection =
-    new PgConnection(host, port, database, user, password)
+    new PgConnection(host, port, database, user, password, sslMode,
+      sslRootCert)
   def quotedTable: String =
     table.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"")
       .mkString(".")
@@ -444,7 +489,9 @@ object PgOptions {
       partitionColumn = Option(m.get("partitionColumn")),
       numPartitions = Option(m.get("numPartitions")).map(_.toInt).getOrElse(1),
       lowerBound = Option(m.get("lowerBound")).map(_.toLong),
-      upperBound = Option(m.get("upperBound")).map(_.toLong))
+      upperBound = Option(m.get("upperBound")).map(_.toLong),
+      sslMode = Option(m.get("sslmode")).getOrElse("disable"),
+      sslRootCert = Option(m.get("sslrootcert")))
   }
 }
 

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.io.IOException
+import java.net.Socket
+import java.security.KeyStore
+import java.security.cert.CertificateFactory
+import javax.net.ssl.{SSLContext, SSLParameters, SSLSocket, TrustManagerFactory}
+
+/** TLS plumbing shared by the driver-free DB clients ([[PgConnection]],
+  * [[MyConnection]]): both protocols negotiate TLS the same way — a
+  * cleartext "please upgrade" exchange on the existing socket, then a
+  * JSSE client handshake layered over it (PostgreSQL protocol §55.2.10
+  * SSL session encryption; MySQL CLIENT_SSL capability). The reference
+  * gets this for free from libpq / libmysqlclient
+  * (engine/src/io/data_provider/sql/PostgreSQLDataProvider.cpp,
+  * MySQLDataProvider.cpp); here it is the platform JSSE stack plus the
+  * trust decision.
+  *
+  * Trust model (mirrors libpq's `sslrootcert` / MySQL's `--ssl-ca`):
+  *   - no root cert given → the JVM's default trust store (public CAs);
+  *   - `rootCert` given (inline PEM or a file path to one) → ONLY that
+  *     certificate anchors trust, the self-signed / private-CA case.
+  * Hostname verification is always on (RFC 2818 endpoint identification:
+  * SAN dNSName for names, iPAddress for IP literals) — a certificate
+  * that does not name the endpoint fails the handshake even when its
+  * chain is trusted.
+  */
+object TlsLite {
+
+  /** Accepts an inline PEM block or a path to a PEM file. */
+  def readPem(certOrPath: String): String =
+    if (certOrPath.contains("-----BEGIN")) certOrPath
+    else new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(certOrPath)), "UTF-8")
+
+  def parseCertificate(pem: String): java.security.cert.Certificate = {
+    val b64 = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.trim.isEmpty)
+      .mkString
+    CertificateFactory.getInstance("X.509").generateCertificate(
+      new java.io.ByteArrayInputStream(
+        java.util.Base64.getMimeDecoder.decode(b64)))
+  }
+
+  /** Client SSLContext: default trust store, or a single pinned root. */
+  def clientContext(rootCertPem: Option[String]): SSLContext =
+    rootCertPem match {
+      case None => SSLContext.getDefault
+      case Some(pem) =>
+        val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+        ks.load(null, null)
+        ks.setCertificateEntry("root", parseCertificate(readPem(pem)))
+        val tmf = TrustManagerFactory.getInstance(
+          TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx
+    }
+
+  /** Layer a client-mode TLS session over an already-connected socket
+    * and complete the handshake (certificate chain + hostname checks
+    * happen here — failures surface as SSLHandshakeException). */
+  def upgradeClient(socket: Socket, host: String, port: Int,
+      ctx: SSLContext): SSLSocket = {
+    val ssl = ctx.getSocketFactory
+      .createSocket(socket, host, port, true).asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(true)
+    val params = new SSLParameters()
+    params.setEndpointIdentificationAlgorithm("HTTPS") // RFC 2818 checks
+    ssl.setSSLParameters(params)
+    try ssl.startHandshake()
+    catch {
+      case e: IOException =>
+        try ssl.close() catch { case _: Throwable => () }
+        throw new IOException(
+          s"TLS handshake with $host:$port failed: ${e.getMessage}", e)
+    }
+    ssl
+  }
+}

@@ -64,15 +64,20 @@ object ChaosCluster {
 
         // chaos leg: once a task of a LATER stage (post-shuffle) starts,
         // kill that task's executor — its map outputs and cached blocks
-        // die with it, forcing FetchFailed recovery + lineage recompute
-        val firstStage = new AtomicInteger(-1)
+        // die with it, forcing FetchFailed recovery + lineage recompute.
+        // Trigger compares against the MINIMUM stageId seen, not whichever
+        // TaskStart the async bus delivered first — a first event from the
+        // final stage would otherwise suppress the kill forever.
+        val minStage = new AtomicInteger(Int.MaxValue)
+        val stagesSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
         val killed = new AtomicBoolean(false)
         val kills = new AtomicInteger(0)
         @volatile var killer: Thread = null
         val listener = new SparkListener {
           override def onTaskStart(e: SparkListenerTaskStart): Unit = {
-            firstStage.compareAndSet(-1, e.stageId)
-            if (e.stageId > firstStage.get() &&
+            stagesSeen.add(e.stageId)
+            minStage.getAndAccumulate(e.stageId, (a: Int, b: Int) => math.min(a, b))
+            if (e.stageId > minStage.get() &&
                 killed.compareAndSet(false, true)) {
               val exec = e.taskInfo.executorId
               killer = new Thread(() => {
@@ -92,9 +97,12 @@ object ChaosCluster {
         // the kill RPC is async — join it before reading the counter, or
         // a fast query would report kills=0 (spurious probe failure)
         Option(killer).foreach(_.join(30000))
-        val ok = got == want && kills.get() >= 1
+        // a single-stage query has no post-shuffle window to kill in:
+        // report that distinctly (not a probe failure — nothing to test)
+        val noWindow = stagesSeen.size <= 1
+        val ok = got == want && (kills.get() >= 1 || noWindow)
         if (!ok) failed = true
-        println(s"""{"query":"$name","match":${got == want},"kills":${kills.get()}}""")
+        println(s"""{"query":"$name","match":${got == want},"kills":${kills.get()},"stages_seen":${stagesSeen.size}${if (noWindow) ",\"note\":\"no_multi_stage_window\"" else ""}}""")
       } finally spark.stop()
     }
     if (failed) sys.exit(1)

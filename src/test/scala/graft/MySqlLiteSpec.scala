@@ -62,12 +62,14 @@ class MySqlLiteSpec extends SparkSuite {
     * auth → client must refuse), "switch" (greets with caching_sha2,
     * then AuthSwitches to native). */
   private final class MyMock(authMode: String, user: String,
-      password: String) {
+      password: String,
+      tlsCtx: Option[javax.net.ssl.SSLContext] = None) {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
     val queries = new CopyOnWriteArrayList[String]()
     val authFailures = new AtomicInteger
+    val keyRequests = new AtomicInteger
     @volatile private var running = true
 
     private val accepter = new Thread(() => {
@@ -90,10 +92,12 @@ class MySqlLiteSpec extends SparkSuite {
     private def xor(a: Array[Byte], b: Array[Byte]) =
       a.zip(b).map(p => (p._1 ^ p._2).toByte)
 
-    private def serve(sock: Socket): Unit = {
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
+    private def serve(sock0: Socket): Unit = {
+      var sock = sock0
+      var in = new DataInputStream(sock.getInputStream)
+      var out = new DataOutputStream(sock.getOutputStream)
       var seq = 0
+      var tlsUp = false
 
       def send(body: Array[Byte]): Unit = {
         out.write(body.length & 0xff)
@@ -140,7 +144,10 @@ class MySqlLiteSpec extends SparkSuite {
         g.write("8.0.0-graft-mock".getBytes(UTF_8)); g.write(0)
         g.write(Array[Byte](1, 0, 0, 0)) // thread id
         g.write(noncePart1); g.write(0)
-        g.write(Array[Byte](0xff.toByte, 0xf7.toByte)) // cap lower
+        // cap lower (LE): CLIENT_SSL = 0x0800 = bit 3 of the second
+        // byte, advertised only when the mock can actually speak TLS
+        g.write(Array[Byte](0xff.toByte,
+          (if (tlsCtx.isDefined) 0xf7 | 0x08 else 0xf7).toByte))
         g.write(45) // charset
         g.write(Array[Byte](2, 0)) // status
         g.write(Array[Byte](0xff.toByte, 0x81.toByte)) // cap upper
@@ -151,8 +158,20 @@ class MySqlLiteSpec extends SparkSuite {
         send(g.toByteArray)
       }
 
-      // ---- handshake response ----
-      val hr = recv()
+      // ---- handshake response (or SSLRequest: 32 bytes, CLIENT_SSL) ----
+      var hr = recv()
+      val clientCaps = (hr(0) & 0xff) | ((hr(1) & 0xff) << 8) |
+        ((hr(2) & 0xff) << 16) | ((hr(3) & 0xff) << 24)
+      if ((clientCaps & 0x800) != 0) {
+        if (hr.length != 32 || tlsCtx.isEmpty) {
+          errPacket(1045, "mock: bad SSLRequest"); sock.close(); return
+        }
+        sock = TestTls.serverUpgrade(tlsCtx.get, sock)
+        in = new DataInputStream(sock.getInputStream)
+        out = new DataOutputStream(sock.getOutputStream)
+        tlsUp = true
+        hr = recv() // the real handshake response, now encrypted
+      }
       var p = 4 + 4 + 1 + 23
       val userEnd = { var i = p; while (hr(i) != 0) i += 1; i }
       val gotUser = new String(hr, p, userEnd - p, UTF_8)
@@ -192,21 +211,35 @@ class MySqlLiteSpec extends SparkSuite {
             expectScramble("mysql_native_password", nonce2))
           if (authed) ok()
           else { authFailures.incrementAndGet(); errPacket(1045, "denied") }
-        case "sha2full" =>
-          // server-side cache miss: demand full auth, serve the RSA
-          // public key on request, then independently decrypt and
-          // un-XOR the client's payload and compare to the password
+        case "sha2full" if tlsUp =>
+          // full auth over TLS (production default): the client sends
+          // the NUL-terminated cleartext password on the encrypted link
           send(Array[Byte](0x01, 0x04))
           val req = recv()
-          if (req.length != 1 || (req(0) & 0xff) != 0x02) {
-            errPacket(1045, "expected public-key request"); sock.close(); return
-          }
-          val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
-            .encodeToString(MySqlLiteSpec.rsa.getPublic.getEncoded)
-          val pem =
-            s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
-          send(0x01.toByte +: (pem.getBytes(UTF_8) :+ 0.toByte))
-          val cipherText = recv()
+          authed = req.nonEmpty && req.last == 0 &&
+            java.util.Arrays.equals(req.dropRight(1),
+              password.getBytes(UTF_8))
+          if (authed) ok()
+          else { authFailures.incrementAndGet(); errPacket(1045, "denied") }
+        case "sha2full" =>
+          // server-side cache miss: demand full auth. A client WITHOUT a
+          // pinned key asks for the RSA public key (1-byte 0x02) and the
+          // mock serves it; a client WITH a pinned key sends the
+          // ciphertext directly (no key request — the real server
+          // accepts both). Then independently decrypt and un-XOR the
+          // payload and compare to the password.
+          send(Array[Byte](0x01, 0x04))
+          val req = recv()
+          val cipherText =
+            if (req.length == 1 && (req(0) & 0xff) == 0x02) {
+              keyRequests.incrementAndGet()
+              val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+                .encodeToString(MySqlLiteSpec.rsa.getPublic.getEncoded)
+              val pem =
+                s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+              send(0x01.toByte +: (pem.getBytes(UTF_8) :+ 0.toByte))
+              recv()
+            } else req
           val plain = try {
             val c = javax.crypto.Cipher.getInstance(
               "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
@@ -481,6 +514,71 @@ class MySqlLiteSpec extends SparkSuite {
     // two encryptions differ (OAEP is randomized) but decrypt identically
     val ct2 = MyWire.rsaEncryptPassword("pw-full-auth", nonce, pem)
     assert(!java.util.Arrays.equals(ct, ct2))
+  }
+
+  test("sslMode=require: CLIENT_SSL upgrade; caching_sha2 full auth sends " +
+      "cleartext on the TLS link (no RSA exchange)") {
+    val ctx = TestTls.serverContext(TestTls.keys, TestTls.goodCert)
+    val m = new MyMock("sha2full", "app", "s3cr3t", tlsCtx = Some(ctx))
+    try {
+      val tlsOpts = Map("sslmode" -> "require",
+        "sslrootcert" -> TestTls.pemOf(TestTls.goodCert))
+      assert(readDf(m, "app", "s3cr3t", tlsOpts).count() == 5)
+      assert(m.keyRequests.get() == 0,
+        "over TLS the client must NOT run the RSA key exchange")
+      // the mock COMPARED the cleartext: a wrong password is decrypted
+      // … err, received … and rejected, not failed earlier
+      val bad = intercept[Exception](
+        readDf(m, "app", "nope", tlsOpts).count())
+      assert(m.authFailures.get() >= 1, s"expected a password rejection")
+      // native + fast-path auth also ride TLS unchanged
+      val m2 = new MyMock("sha2fast", "app", "pw", tlsCtx = Some(ctx))
+      try assert(readDf(m2, "app", "pw", Map("sslmode" -> "require",
+        "sslrootcert" -> TestTls.pemOf(TestTls.goodCert))).count() == 5)
+      finally m2.stop()
+    } finally m.stop()
+  }
+
+  test("sslMode=require rejects untrusted certs and servers without " +
+      "CLIENT_SSL") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val tls = new MyMock("native", "app", "pw",
+      tlsCtx = Some(TestTls.serverContext(TestTls.keys, TestTls.goodCert)))
+    try {
+      // no sslrootcert → default trust store must refuse the self-signed
+      val e = intercept[Exception](
+        readDf(tls, "app", "pw", Map("sslmode" -> "require")).count())
+      assert(messages(e).exists(_.contains("TLS handshake")),
+        s"expected a trust failure: ${messages(e)}")
+      // plain read of the same TLS-capable server still works
+      assert(readDf(tls, "app", "pw").count() == 5)
+    } finally tls.stop()
+    val plain = new MyMock("native", "app", "pw")
+    try {
+      val e = intercept[Exception](
+        readDf(plain, "app", "pw", Map("sslmode" -> "require")).count())
+      assert(messages(e).exists(_.contains("lacks CLIENT_SSL")),
+        s"expected the capability refusal: ${messages(e)}")
+    } finally plain.stop()
+  }
+
+  test("pinned server public key: full auth encrypts under the caller's " +
+      "key with NO key request on the wire (MITM close-out)") {
+    val m = new MyMock("sha2full", "app", "s3cr3t")
+    try {
+      val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+        .encodeToString(MySqlLiteSpec.rsa.getPublic.getEncoded)
+      val pem = s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+      assert(readDf(m, "app", "s3cr3t",
+        Map("serverPublicKey" -> pem)).count() == 5)
+      assert(m.keyRequests.get() == 0,
+        "pinned key must suppress the unauthenticated key request")
+      // unpinned control: same mock, key request happens
+      assert(readDf(m, "app", "s3cr3t").count() == 5)
+      assert(m.keyRequests.get() >= 1)
+    } finally m.stop()
   }
 
   test("createTableMySql surface: registered table queryable via SQL") {

@@ -63,7 +63,8 @@ class PgLiteSpec extends SparkSuite {
   // Mock backend. One thread per connection; auth mode configurable.
 
   private final class PgMock(authMode: String, user: String,
-      password: String) {
+      password: String,
+      tlsCtx: Option[javax.net.ssl.SSLContext] = None) {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
@@ -93,8 +94,32 @@ class PgLiteSpec extends SparkSuite {
     private def sha256(b: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("SHA-256").digest(b)
 
-    private def serve(sock: Socket): Unit = {
-      val in = new DataInputStream(sock.getInputStream)
+    private def serve(sock0: Socket): Unit = {
+      // pre-startup: the first frame may be an SSLRequest (len 8, code
+      // 80877103) — answer 'S' and TLS-upgrade when configured, else 'N'
+      // (the server-without-SSL case the client must reject under
+      // sslmode=require)
+      var sock = sock0
+      var in = new DataInputStream(sock.getInputStream)
+      var len0 = in.readInt()
+      var proto = in.readInt()
+      if (proto == 80877103) {
+        val out0 = new DataOutputStream(sock.getOutputStream)
+        tlsCtx match {
+          case Some(ctx) =>
+            out0.writeByte('S'); out0.flush()
+            sock = TestTls.serverUpgrade(ctx, sock)
+          case None =>
+            out0.writeByte('N'); out0.flush()
+        }
+        in = new DataInputStream(sock.getInputStream)
+        len0 = in.readInt(); proto = in.readInt()
+      }
+      serveStartup(sock, in, len0, proto)
+    }
+
+    private def serveStartup(sock: Socket, in: DataInputStream,
+        len0: Int, proto: Int): Unit = {
       val out = new DataOutputStream(sock.getOutputStream)
 
       def msg(tpe: Char, body: Array[Byte]): Unit = {
@@ -116,8 +141,6 @@ class PgLiteSpec extends SparkSuite {
       }
 
       // ---- startup ----
-      val len0 = in.readInt()
-      val proto = in.readInt()
       if (proto != 196608) { fail(s"bad protocol $proto"); return }
       val params = new Array[Byte](len0 - 8)
       in.readFully(params)
@@ -474,6 +497,67 @@ class PgLiteSpec extends SparkSuite {
       b.pushedFilters().head == GreaterThan("ratio", 0.5),
       "only the finite predicate may push")
     assert(residual.length == 2, "non-finite predicates must stay residual")
+  }
+
+  test("sslmode=require: SSLRequest upgrade, SCRAM over TLS, typed read") {
+    val ctx = TestTls.serverContext(TestTls.keys, TestTls.goodCert)
+    val m = new PgMock("scram", "app", "s3cr3t", tlsCtx = Some(ctx))
+    try {
+      val df = readDf(m, "app", "s3cr3t", Map(
+        "sslmode" -> "require",
+        "sslrootcert" -> TestTls.pemOf(TestTls.goodCert)))
+      assert(df.count() == 5)
+      // projection + filter pushdown unaffected by the encrypted link
+      val got = df.filter(org.apache.spark.sql.functions.col("id") >= 4)
+        .select("id", "name").collect().map(_.getInt(0)).sorted
+      assert(got.toSeq == Seq(4, 5))
+      // sslrootcert also accepts a file path (the libpq form)
+      val certFile = java.nio.file.Files.createTempFile("graft-root", ".pem")
+      java.nio.file.Files.write(certFile,
+        TestTls.pemOf(TestTls.goodCert).getBytes("UTF-8"))
+      try assert(readDf(m, "app", "s3cr3t", Map(
+        "sslmode" -> "require",
+        "sslrootcert" -> certFile.toString)).count() == 5)
+      finally java.nio.file.Files.delete(certFile)
+    } finally m.stop()
+  }
+
+  test("sslmode=require rejects untrusted certs, wrong hostnames, and " +
+      "servers without SSL; sslmode=disable stays plain TCP") {
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    // untrusted: self-signed cert, no sslrootcert → default trust store
+    // must refuse the chain
+    val good = new PgMock("scram", "app", "pw",
+      tlsCtx = Some(TestTls.serverContext(TestTls.keys, TestTls.goodCert)))
+    try {
+      val e = intercept[Exception](
+        readDf(good, "app", "pw", Map("sslmode" -> "require")).count())
+      assert(rootMessages(e).exists(_.contains("TLS handshake")),
+        s"expected a TLS trust failure: ${rootMessages(e)}")
+      // sslmode=disable against the same server: plain TCP, still works
+      assert(readDf(good, "app", "pw").count() == 5)
+    } finally good.stop()
+    // wrong hostname: cert IS trusted but names otherhost.example only —
+    // RFC 2818 endpoint identification must fail the handshake
+    val wrong = new PgMock("scram", "app", "pw",
+      tlsCtx = Some(TestTls.serverContext(TestTls.keys, TestTls.wrongHostCert)))
+    try {
+      val e = intercept[Exception](readDf(wrong, "app", "pw", Map(
+        "sslmode" -> "require",
+        "sslrootcert" -> TestTls.pemOf(TestTls.wrongHostCert))).count())
+      assert(rootMessages(e).exists(_.contains("TLS handshake")),
+        s"expected a hostname verification failure: ${rootMessages(e)}")
+    } finally wrong.stop()
+    // server answers 'N' to SSLRequest: require must abort, like libpq
+    val plain = new PgMock("scram", "app", "pw")
+    try {
+      val e = intercept[Exception](
+        readDf(plain, "app", "pw", Map("sslmode" -> "require")).count())
+      assert(rootMessages(e).exists(_.contains("does not support SSL")),
+        s"expected the no-SSL refusal: ${rootMessages(e)}")
+    } finally plain.stop()
   }
 
   test("createTable surface: registered postgres table joins with parquet") {

@@ -1,0 +1,117 @@
+package graft
+
+import java.security.{KeyPair, KeyPairGenerator, KeyStore, Signature}
+import java.security.cert.{CertificateFactory, X509Certificate}
+import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLSocket}
+
+/** Self-signed X.509 certificates for the in-JVM TLS backends
+  * (PgLiteSpec / MySqlLiteSpec). The JDK ships no public certificate
+  * GENERATION api (sun.security.x509 is encapsulated), so the
+  * TBSCertificate is DER-encoded by hand from RFC 5280 §4.1 and signed
+  * with SHA256withRSA — ~60 lines of tag-length-value, the same
+  * build-from-the-public-spec approach as the wire clients under test.
+  */
+object TestTls {
+
+  // ---- DER primitives (X.690) ----------------------------------------
+
+  private def derLen(n: Int): Array[Byte] =
+    if (n < 0x80) Array(n.toByte)
+    else if (n < 0x100) Array(0x81.toByte, n.toByte)
+    else Array(0x82.toByte, (n >> 8).toByte, n.toByte)
+
+  private def tlv(tag: Int, content: Array[Byte]): Array[Byte] =
+    tag.toByte +: (derLen(content.length) ++ content)
+
+  private def seq(parts: Array[Byte]*): Array[Byte] =
+    tlv(0x30, parts.flatten.toArray)
+  private def derSet(parts: Array[Byte]*): Array[Byte] =
+    tlv(0x31, parts.flatten.toArray)
+  private def derInt(v: BigInt): Array[Byte] = tlv(0x02, v.toByteArray)
+  private def utf8(s: String): Array[Byte] = tlv(0x0c, s.getBytes("UTF-8"))
+  private def utcTime(s: String): Array[Byte] = tlv(0x17, s.getBytes("US-ASCII"))
+  private val derNull = Array[Byte](0x05, 0x00)
+
+  // OID content octets
+  private val OidSha256Rsa = tlv(0x06, Array(0x2a, 0x86, 0x48, 0x86, 0xf7,
+    0x0d, 0x01, 0x01, 0x0b).map(_.toByte)) // 1.2.840.113549.1.1.11
+  private val OidCn = tlv(0x06, Array(0x55, 0x04, 0x03).map(_.toByte)) // 2.5.4.3
+  private val OidSan = tlv(0x06, Array(0x55, 0x1d, 0x11).map(_.toByte)) // 2.5.29.17
+
+  private def algId: Array[Byte] = seq(OidSha256Rsa, derNull)
+  private def name(cn: String): Array[Byte] = seq(derSet(seq(OidCn, utf8(cn))))
+
+  /** SubjectAltName GeneralNames: dNSName ([2] IA5String) entries plus
+    * iPAddress ([7] OCTET STRING, 4 raw bytes) entries. */
+  private def sanExtension(dnsNames: Seq[String], ips: Seq[String]): Array[Byte] = {
+    val generalNames = seq(
+      (dnsNames.map(d => tlv(0x82, d.getBytes("US-ASCII"))) ++
+        ips.map(ip => tlv(0x87, ip.split('.').map(_.toInt.toByte)))): _*)
+    seq(OidSan, tlv(0x04, generalNames))
+  }
+
+  /** A self-signed SHA256withRSA certificate whose identity is the given
+    * SAN entries (hostname verification ignores CN when SAN is present). */
+  def selfSigned(keys: KeyPair, cn: String, dnsNames: Seq[String],
+      ips: Seq[String] = Nil): X509Certificate = {
+    val subject = name(cn)
+    val tbs = seq(
+      tlv(0xa0, derInt(2)), // [0] version v3
+      derInt(BigInt(System.nanoTime()).abs + 1), // serial
+      algId,
+      subject, // issuer = subject (self-signed)
+      seq(utcTime("250101000000Z"), utcTime("401231235959Z")),
+      subject,
+      keys.getPublic.getEncoded, // SubjectPublicKeyInfo, already DER
+      tlv(0xa3, seq(sanExtension(dnsNames, ips)))) // [3] extensions
+    val signer = Signature.getInstance("SHA256withRSA")
+    signer.initSign(keys.getPrivate)
+    signer.update(tbs)
+    val cert = seq(tbs, algId, tlv(0x03, 0.toByte +: signer.sign()))
+    CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(cert))
+      .asInstanceOf[X509Certificate]
+  }
+
+  def pemOf(cert: X509Certificate): String = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes("US-ASCII"))
+      .encodeToString(cert.getEncoded)
+    s"-----BEGIN CERTIFICATE-----\n$b64\n-----END CERTIFICATE-----\n"
+  }
+
+  /** Server-side SSLContext holding one key + cert. */
+  def serverContext(keys: KeyPair, cert: X509Certificate): SSLContext = {
+    val ks = KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("key", keys.getPrivate, Array.emptyCharArray, Array(cert))
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.emptyCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Wrap an accepted plain socket into a server-mode TLS session. */
+  def serverUpgrade(ctx: SSLContext, sock: java.net.Socket): SSLSocket = {
+    val ssl = ctx.getSocketFactory.createSocket(sock,
+      sock.getInetAddress.getHostAddress, sock.getPort, true)
+      .asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(false)
+    ssl.startHandshake()
+    ssl
+  }
+
+  /** One RSA keypair + two certs for the suites: `goodCert` names
+    * 127.0.0.1 (handshake passes from the tests), `wrongHostCert` names
+    * only an unrelated DNS name (hostname check must fail). */
+  lazy val keys: KeyPair = {
+    val g = KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  lazy val goodCert: X509Certificate =
+    selfSigned(keys, "localhost", Seq("localhost"), Seq("127.0.0.1"))
+  lazy val wrongHostCert: X509Certificate =
+    selfSigned(keys, "otherhost.example", Seq("otherhost.example"))
+}
