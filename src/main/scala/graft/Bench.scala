@@ -30,6 +30,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // also split skewed partitions when the join feeds a same-key
+      // aggregate (the extra exchange it introduces is bounded by the
+      // agg's output, while the straggler it removes is bounded by the
+      // hot key's row count — at scale the straggler always costs more);
+      // without this, OptimizeSkewedJoin silently declines exactly the
+      // join→groupBy shape most pipeline queries have (join_skew_zipf)
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // skew detection sized to this box: the 256m default assumes
+      // multi-GB executor shuffles; on 32 local cores a straggler
+      // partition is painful well before that (join_skew_zipf's hot key
+      // is ~100m compressed at sf10 — invisible to the default)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (master.startsWith("local-cluster"))

@@ -810,6 +810,46 @@ object Relational {
     },
 
     QuerySpec(
+      "join_skew_zipf",
+      // Planted-skew join: the zipf-ish key `100000 div (u+1)` (u a
+      // multiplicative hash of l_orderkey, exact in DECIMAL/HUGEINT so
+      // both engines derive identical keys) puts ~half of lineitem on
+      // key 1 — P(zkey ≥ x) ≈ 1/x. The merge hint pins the SHUFFLE join
+      // path (modelling a dim too large to broadcast, where skew
+      // actually hurts); at data-dominated SFs the hot partition crosses
+      // AQE's skewedPartitionThresholdInBytes and the runtime skew-split
+      // fires — recorded per query by Bench's skew_joins field.
+      // tools/SkewProbe measures the task-time distribution.
+      // dim joins on dkey + 1, NOT its own grouping key: grouped on the
+      // join key, the dim side would reuse its aggregation exchange and
+      // OptimizeSkewedJoin cannot split (it must re-read the other
+      // side's partition per split, which needs a plain shuffle stage)
+      """WITH zli AS (
+        |  SELECT 100000 // (CAST((CAST(l_orderkey AS HUGEINT) * 2654435761) % 100000 AS BIGINT) + 1) AS zkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT s_suppkey % 1000 AS dkey, count(*) AS n_sup
+        |  FROM supplier GROUP BY 1)
+        |SELECT zli.zkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  max(n_sup) AS n_sup
+        |FROM zli JOIN dim ON zli.zkey = dim.dkey + 1
+        |GROUP BY zli.zkey ORDER BY zli.zkey""".stripMargin) { (s, dir) =>
+      val zli = t(s, dir, "lineitem").select(
+        expr("100000L div (CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 2654435761) % 100000 AS BIGINT) + 1)")
+          .as("zkey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      val dim = t(s, dir, "supplier")
+        .groupBy((col("s_suppkey") % 1000).as("dkey"))
+        .agg(count(lit(1)).as("n_sup"))
+      zli.hint("merge").join(dim, col("zkey") === col("dkey") + 1)
+        .groupBy(col("zkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("long").as("sum_qty"),
+          max(col("n_sup")).as("n_sup"))
+        .orderBy(col("zkey"))
+    },
+
+    QuerySpec(
       "join_nullsafe",
       // IS NOT DISTINCT FROM keys (reference: null-equality joins,
       // BatchJoinProcessing.cpp:75-112). Nulls injected deterministically.

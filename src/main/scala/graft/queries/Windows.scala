@@ -95,10 +95,16 @@ object Windows {
       // (PhysicalPlanGenerator.h:300-302); Spark plans one Window node per
       // distinct (partition, order) spec, i.e. two shuffles+sorts chained.
       // Superset twin of win_agg_frames (two FRAMES, one key).
+      // running sum rides exact integer micros (cf. events_outliers):
+      // the by-type partitions are large enough that DuckDB's segment-
+      // tree window aggregation reorders double addition (~1e-10 drift,
+      // enough to break the driver's exact hash); the one final division
+      // of identical integers is bit-exact on both engines
       """SELECT event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn_user,
-        |  sum(value) OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_by_type,
+        |  CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+        |    OVER (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS running_by_type,
         |  count(*) OVER (PARTITION BY user_id, event_type) AS n_user_type
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val byType = Window.partitionBy(col("event_type"))
@@ -107,9 +113,9 @@ object Windows {
       t(s, dir, "events")
         .select(col("event_id"),
           row_number().over(byUser).as("rn_user"),
-          sum(col("value"))
+          (sum(round(col("value") * 1000000.0).cast("long"))
             .over(byType.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("running_by_type"),
+            .cast("double") / 1000000.0).as("running_by_type"),
           count(lit(1)).over(byUserType).as("n_user_type"))
         .orderBy(col("event_id"))
     },
