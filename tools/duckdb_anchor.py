@@ -37,8 +37,11 @@ def main():
         elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # optional 4th arg: comma-separated subset (e.g. TPC-H only at sf100,
+    # where the heavy pipeline family would run for hours on DuckDB)
+    names = sys.argv[4].split(",") if len(sys.argv) > 4 else TPCH + HEAVY
     results, errors = {}, {}
-    for name in TPCH + HEAVY:
+    for name in names:
         sql = oracle.get(name)
         if sql is None:
             errors[name] = "no oracle sql"
