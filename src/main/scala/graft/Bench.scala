@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * AQE on — the same settings a real cluster deployment would scale out.
   */
 object Bench {
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\r\\n\\t]+", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,7 +183,7 @@ object Bench {
     // vs 6 in flight through the sqlToken job-group surface. Interference
     // would show up as inflight time >> sequential (lock contention /
     // cache thrash) or as wrong row counts (cross-release of caches).
-    val conc = {
+    val conc = try {
       val ctx = GraftContext(spark)
       val sqls = Seq(
         "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) q FROM lineitem GROUP BY 1, 2",
@@ -213,6 +217,13 @@ object Bench {
       s""""concurrency":{"queries":${sqls.size},"inflight":6,""" +
         s""""sequential_sec":$seqSec,"concurrent_sec":$concSec,""" +
         s""""rows_match":${seqRows == concRows}}"""
+    } catch {
+      // a poisoned session (e.g. a query OOM'd an executor thread) must
+      // not lose the whole per-query record — the sf100 leg did exactly
+      // this once: 12 good timings evaporated because the concurrency
+      // axis threw AFTER them, before the JSON was written
+      case t: Throwable =>
+        s""""concurrency":{"error":${jsonStr(t.toString.take(160))}}"""
     }
 
     // Run provenance (round-8 lesson: BENCH_r08 captured a multi-JVM leg

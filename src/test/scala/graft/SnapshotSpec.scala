@@ -86,6 +86,36 @@ class SnapshotSpec extends SparkSuite {
     assert(e.getMessage.contains("multiple rows"))
   }
 
+  test("validate=false composes lazily: same result, bad ops fail at " +
+      "action time, duplicate ids resolve deterministically") {
+    val changes = Seq(
+      (2L, "delete", null.asInstanceOf[String]),
+      (3L, "upsert", "THREE"),
+      (9L, "upsert", "nine")).toDF("doc_id", "op", "text")
+    // value parity with the eager default
+    val lazyOut = Snapshot.applyChanges(base, changes, validate = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lazyOut === Map(1L -> "one", 3L -> "THREE", 4L -> "four", 9L -> "nine"))
+    // plan-only composition with a bad op must NOT throw at call time…
+    val bad = Seq((3L, "UPSERT", "x")).toDF("doc_id", "op", "text")
+    val plan = Snapshot.applyChanges(base, bad, validate = false)
+    // …but the in-plan raise_error guard fires on action
+    val e = intercept[Exception](plan.collect())
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("upsert") && m.contains("UPSERT")),
+      msgs(e).mkString(" | "))
+    // duplicate ids without seqCol: no eager probe is possible, so the
+    // deterministic (op, payload-fingerprint) tie-break decides — delete
+    // sorts before upsert
+    val dup = Seq((3L, "upsert", "a"), (3L, "delete", null.asInstanceOf[String]))
+      .toDF("doc_id", "op", "text")
+    val resolved = Snapshot.applyChanges(base, dup, validate = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(resolved === Map(1L -> "one", 2L -> "two", 4L -> "four"),
+      s"delete must win the tie deterministically: $resolved")
+  }
+
   test("an upsert missing a base column is refused, not null-padded") {
     val changes = Seq((3L, "upsert")).toDF("doc_id", "op")
     val e = intercept[IllegalArgumentException] {
