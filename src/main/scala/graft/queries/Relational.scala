@@ -37,6 +37,14 @@ object Relational {
       broadcast(df)
     else df
 
+  /** [[dim]] for a FILTERED dimension the file-stat estimate cannot
+    * size (without CBO a Filter passes its child's sizeInBytes through
+    * unchanged): pays one dimension-scale count job at plan time — the
+    * price a cost-based optimizer pays for the same cardinality — and
+    * broadcasts under `maxRows`. 4 M narrow rows ≈ the 64 MB cap. */
+  private def dimCounted(df: DataFrame, maxRows: Long = 4000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   /** Derived-partsupp CTE, DuckDB dialect. The fixtures omit partsupp
     * (TESTDATA.md), so the Q2/Q11/Q16/Q20 quartet derives it from
     * part × supplier with dbgen's fan-out rule and md5-family quantities;
@@ -132,10 +140,16 @@ object Relational {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
-      // customer is dimension-sized vs lineitem: broadcast it so the big
-      // fact side never shuffles for that join.
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(dim(cust), col("o_custkey") === col("c_custkey"))
+      // customer contributes only its FILTER here (c_custkey is unique,
+      // no cust column survives the groupBy) — run it as a broadcast
+      // semi-join of the segment's KEYS against orders BEFORE the big
+      // orderkey join, so the one unavoidable li⋈ord shuffle carries the
+      // pre-filtered orders. The key set is 1/5 of customer (~24 MB of
+      // longs at sf100) — dimCounted sizes it through the filter that
+      // the file-stat estimate can't see.
+      val buildingOrd = ord.join(dimCounted(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      li.join(buildingOrd, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -1197,13 +1211,25 @@ object Relational {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly
-          |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
-          |WHERE p_brand = 'Brand#1'
-          |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-          |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+      // Spark's decorrelation aggregates ALL of lineitem per partkey
+      // before joining (150 s at sf100); the correlation only evaluates
+      // at Brand#1 partkeys (~4% of parts), so semi-filter lineitem by
+      // the brand's KEYS first — every downstream node then touches 4%
+      // of the fact table. avg(l_quantity)*0.5 is fp-identical to the
+      // oracle's 0.5*avg (integral-valued sums are exact at any order;
+      // the multiply commutes exactly).
+      val pk = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val li1 = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(dimCounted(pk), col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val thr = li1.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      li1.join(thr, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / 700.0).as("avg_yearly"))
     },
 
     QuerySpec(
