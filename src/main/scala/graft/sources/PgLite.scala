@@ -105,17 +105,35 @@ object PgWire {
       .generateSecret(spec).getEncoded
   }
 
-  /** Client side of one SCRAM exchange. Channel binding is "n" (none):
-    * even on a TLS link the client does not offer SCRAM-…-PLUS, the
-    * posture of a client built without channel-binding support — valid
-    * per RFC 5802 §6 and accepted by PostgreSQL on TLS connections.
-    * `user` is the gs2 n= attribute:
-    * PostgreSQL clients send it EMPTY (the server uses the startup-message
-    * user), but the RFC 7677 test vector needs "user", so it stays a
+  /** RFC 5929 §4.1 tls-server-end-point channel-binding data: a hash of
+    * the server certificate under the cert's own signature hash, with
+    * MD5/SHA-1 upgraded to SHA-256. */
+  def tlsServerEndPoint(
+      cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase
+    val alg =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
+    MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
+
+  /** Client side of one SCRAM exchange (RFC 5802, SHA-256 per RFC 7677).
+    * `gs2` selects the channel-binding posture: "n,," (no binding — the
+    * plain-TCP path and the RFC 7677 test vector), "y,," (client
+    * supports binding, server offered no -PLUS mechanism: the downgrade
+    * canary — a -PLUS-capable server MUST reject it), or
+    * "p=tls-server-end-point,," with `cbData` = [[tlsServerEndPoint]] of
+    * the TLS session's certificate (SCRAM-SHA-256-PLUS; the c= attribute
+    * then carries gs2 + cb-data, so a MITM terminating TLS with its own
+    * cert breaks the proof). `user` is the gs2 n= attribute: PostgreSQL
+    * clients send it EMPTY (the server uses the startup-message user),
+    * but the RFC 7677 test vector needs "user", so it stays a
     * parameter. */
-  final class Scram(user: String, password: String, nonce: String) {
+  final class Scram(user: String, password: String, nonce: String,
+      gs2: String = "n,,", cbData: Array[Byte] = Array.emptyByteArray) {
     val clientFirstBare = s"n=$user,r=$nonce"
-    def clientFirst: String = s"n,,$clientFirstBare"
+    def clientFirst: String = gs2 + clientFirstBare
 
     private var serverFirst: String = _
     private var saltedPw: Array[Byte] = _
@@ -131,7 +149,10 @@ object PgWire {
       val salt = Base64.getDecoder.decode(attrs("s"))
       val iters = attrs("i").toInt
       saltedPw = saltedPassword(password, salt, iters)
-      val clientFinalNoProof = s"c=biws,r=$fullNonce" // biws = b64("n,,")
+      // c = base64(gs2-header ++ cb-data); "n,," with no binding encodes
+      // to the familiar "biws" of the RFC vector
+      val c = Base64.getEncoder.encodeToString(gs2.getBytes(UTF_8) ++ cbData)
+      val clientFinalNoProof = s"c=$c,r=$fullNonce"
       authMessage = (clientFirstBare + "," + serverFirst + "," +
         clientFinalNoProof).getBytes(UTF_8)
       val clientKey = hmacSha256(saltedPw, "Client Key".getBytes(UTF_8))
@@ -272,13 +293,32 @@ final class PgConnection(host: String, port: Int, database: String,
             case 10 => // AuthenticationSASL: \0-separated mechanism list
               val mechs = new String(body.drop(4), UTF_8).split(' ')
                 .filter(_.nonEmpty)
-              if (!mechs.contains("SCRAM-SHA-256"))
+              // on a TLS link prefer SCRAM-SHA-256-PLUS (channel binding
+              // to the server certificate — RFC 5802 §6 / RFC 5929); a
+              // TLS client whose server offers no -PLUS sends gs2 "y," as
+              // the downgrade canary; plain TCP stays "n,,"
+              val tlsSock = socket match {
+                case t: javax.net.ssl.SSLSocket => Some(t)
+                case _ => None
+              }
+              val usePlus =
+                tlsSock.isDefined && mechs.contains("SCRAM-SHA-256-PLUS")
+              if (!usePlus && !mechs.contains("SCRAM-SHA-256"))
                 throw new IOException(
                   s"pg: no supported SASL mechanism in ${mechs.mkString(",")}")
               val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
-              scram = new Scram("", password, nonce) // empty n= per PG convention
+              val (mechName, gs2, cb) =
+                if (usePlus) {
+                  val cert = tlsSock.get.getSession.getPeerCertificates.head
+                    .asInstanceOf[java.security.cert.X509Certificate]
+                  ("SCRAM-SHA-256-PLUS", "p=tls-server-end-point,,",
+                    tlsServerEndPoint(cert))
+                } else if (tlsSock.isDefined)
+                  ("SCRAM-SHA-256", "y,,", Array.emptyByteArray)
+                else ("SCRAM-SHA-256", "n,,", Array.emptyByteArray)
+              scram = new Scram("", password, nonce, gs2, cb) // empty n= per PG convention
               val initial = scram.clientFirst.getBytes(UTF_8)
-              val mech = "SCRAM-SHA-256".getBytes(UTF_8)
+              val mech = mechName.getBytes(UTF_8)
               val payload = (mech :+ 0.toByte) ++
                 Array[Byte]((initial.length >> 24).toByte,
                   (initial.length >> 16).toByte, (initial.length >> 8).toByte,

@@ -64,12 +64,14 @@ class PgLiteSpec extends SparkSuite {
 
   private final class PgMock(authMode: String, user: String,
       password: String,
-      tlsCtx: Option[javax.net.ssl.SSLContext] = None) {
+      tlsCtx: Option[javax.net.ssl.SSLContext] = None,
+      tlsCert: Option[java.security.cert.X509Certificate] = None) {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
     val queries = new CopyOnWriteArrayList[String]()
     val authFailures = new AtomicInteger
+    val plusAuths = new AtomicInteger
     @volatile private var running = true
 
     private val accepter = new Thread(() => {
@@ -180,16 +182,32 @@ class PgLiteSpec extends SparkSuite {
           if (got != expect) { fail("password authentication failed"); return }
           msg('R', i32(0))
         case "scram" =>
-          msg('R', i32(10) ++ cstr("SCRAM-SHA-256") :+ 0.toByte)
+          // on TLS the mock advertises -PLUS too, like PostgreSQL does
+          val tlsUp = sock.isInstanceOf[javax.net.ssl.SSLSocket]
+          val mechList =
+            if (tlsUp) cstr("SCRAM-SHA-256") ++ cstr("SCRAM-SHA-256-PLUS")
+            else cstr("SCRAM-SHA-256")
+          msg('R', i32(10) ++ mechList :+ 0.toByte)
           val initial = readP()
           // SASLInitialResponse: mech \0 int32 len data
           val mechEnd = initial.indexOf(0.toByte)
           val mech = new String(initial, 0, mechEnd, UTF_8)
-          if (mech != "SCRAM-SHA-256") { fail(s"bad mech $mech"); return }
+          if (mech != "SCRAM-SHA-256" && !(tlsUp && mech == "SCRAM-SHA-256-PLUS")) {
+            fail(s"bad mech $mech"); return
+          }
           val cf = new String(initial, mechEnd + 5,
             initial.length - mechEnd - 5, UTF_8)
-          if (!cf.startsWith("n,,")) { fail("bad gs2 header"); return }
-          val clientFirstBare = cf.substring(3)
+          // gs2 header = cb-flag "," [authzid] "," — variable length
+          val gs2End = cf.indexOf(',', cf.indexOf(',') + 1) + 1
+          val gs2 = cf.substring(0, gs2End)
+          val gs2Ok =
+            if (mech == "SCRAM-SHA-256-PLUS") gs2 == "p=tls-server-end-point,,"
+            // a server that offered -PLUS must reject the "y" downgrade
+            // canary on the non-PLUS mechanism (RFC 5802 §6)
+            else if (tlsUp) !gs2.startsWith("y")
+            else gs2 == "n,,"
+          if (!gs2Ok) { fail(s"bad gs2 header '$gs2'"); return }
+          val clientFirstBare = cf.substring(gs2End)
           val clientNonce = clientFirstBare.split(',')
             .collectFirst { case a if a.startsWith("r=") => a.drop(2) }.get
           val serverNonce = clientNonce + "SRVNONCE"
@@ -202,6 +220,21 @@ class PgLiteSpec extends SparkSuite {
           val attrs = clientFinal.split(',').map(_.split("=", 2))
             .map(a => a(0) -> a(1)).toMap
           if (attrs("r") != serverNonce) { fail("nonce mismatch"); return }
+          // channel binding: c = base64(gs2 ++ cb-data); for -PLUS the
+          // cb-data is the SHA-256 of the mock's own certificate
+          // (tls-server-end-point) — the mock re-derives it independently
+          val cbData =
+            if (mech == "SCRAM-SHA-256-PLUS")
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(tlsCert.get.getEncoded)
+            else Array.emptyByteArray
+          val expectC = Base64.getEncoder.encodeToString(
+            gs2.getBytes(UTF_8) ++ cbData)
+          if (attrs("c") != expectC) {
+            authFailures.incrementAndGet()
+            fail("channel binding mismatch"); return
+          }
+          if (mech == "SCRAM-SHA-256-PLUS") plusAuths.incrementAndGet()
           // re-derive the proof from the known password (server side of
           // RFC 5802): SaltedPassword -> ClientKey -> StoredKey ->
           // ClientSignature; proof must equal ClientKey XOR signature
@@ -499,14 +532,19 @@ class PgLiteSpec extends SparkSuite {
     assert(residual.length == 2, "non-finite predicates must stay residual")
   }
 
-  test("sslmode=require: SSLRequest upgrade, SCRAM over TLS, typed read") {
+  test("sslmode=require: SSLRequest upgrade, SCRAM-SHA-256-PLUS with " +
+      "tls-server-end-point channel binding, typed read") {
     val ctx = TestTls.serverContext(TestTls.keys, TestTls.goodCert)
-    val m = new PgMock("scram", "app", "s3cr3t", tlsCtx = Some(ctx))
+    val m = new PgMock("scram", "app", "s3cr3t", tlsCtx = Some(ctx),
+      tlsCert = Some(TestTls.goodCert))
     try {
       val df = readDf(m, "app", "s3cr3t", Map(
         "sslmode" -> "require",
         "sslrootcert" -> TestTls.pemOf(TestTls.goodCert)))
       assert(df.count() == 5)
+      assert(m.plusAuths.get() >= 1,
+        "client on TLS must pick the -PLUS mechanism and the mock must " +
+          "have verified the certificate binding")
       // projection + filter pushdown unaffected by the encrypted link
       val got = df.filter(org.apache.spark.sql.functions.col("id") >= 4)
         .select("id", "name").collect().map(_.getInt(0)).sorted
@@ -520,6 +558,32 @@ class PgLiteSpec extends SparkSuite {
         "sslrootcert" -> certFile.toString)).count() == 5)
       finally java.nio.file.Files.delete(certFile)
     } finally m.stop()
+  }
+
+  test("channel binding rejects a substituted certificate; plain TCP " +
+      "stays on the unbound mechanism") {
+    // MITM shape: the TLS session terminates at goodCert (what the
+    // client sees and binds to) but the REAL server's certificate is
+    // wrongHostCert — the server-side binding check must fail even
+    // though the password proof itself is correct
+    val mitm = new PgMock("scram", "app", "pw",
+      tlsCtx = Some(TestTls.serverContext(TestTls.keys, TestTls.goodCert)),
+      tlsCert = Some(TestTls.wrongHostCert))
+    try {
+      intercept[Exception](readDf(mitm, "app", "pw", Map(
+        "sslmode" -> "require",
+        "sslrootcert" -> TestTls.pemOf(TestTls.goodCert))).count())
+      assert(mitm.authFailures.get() >= 1,
+        "binding mismatch must be a rejection, not an accept")
+      assert(mitm.plusAuths.get() == 0)
+    } finally mitm.stop()
+    // plain TCP: gs2 stays "n,," and c= is the RFC's biws — the mock
+    // fails on anything else, so a green read IS the assertion
+    val plain = new PgMock("scram", "app", "pw")
+    try {
+      assert(readDf(plain, "app", "pw").count() == 5)
+      assert(plain.plusAuths.get() == 0)
+    } finally plain.stop()
   }
 
   test("sslmode=require rejects untrusted certs, wrong hostnames, and " +
