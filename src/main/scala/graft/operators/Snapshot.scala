@@ -76,9 +76,11 @@ object Snapshot {
     * `Dedup.releaseCaches`, or by the caller). Callers that only compose
     * plans pass `validate = false`: no job runs and nothing is cached;
     * the op-domain guard then rides IN the plan (`raise_error` on any op
-    * outside {upsert, delete}, surfacing at action time), while the
-    * no-seqCol duplicate-id check is skipped — with it, a duplicated id
-    * resolves by the deterministic tie-break instead of failing.
+    * outside {upsert, delete}, surfacing at action time), and so does the
+    * no-seqCol duplicate-id check — a duplicated id without `seqCol`
+    * FAILS in both modes (eagerly here, at action time there), so
+    * toggling `validate` never changes data outcomes, only when errors
+    * surface.
     */
   def applyChanges(base: DataFrame, changes: DataFrame,
       idCol: String = "doc_id", opCol: String = "op",
@@ -108,14 +110,20 @@ object Snapshot {
             "order them")
         changes
       case None =>
-        // plan-only mode can't run the duplicate probe (it's a job);
-        // collapse deterministically with the seqCol tie-break alone so
-        // a duplicated id still has ONE well-defined winner
+        // plan-only mode can't run the duplicate probe (it's a job), so
+        // the SAME check rides in the plan: any duplicated id raises at
+        // action time. Collapsing lexicographically here instead would
+        // make 'delete' always beat 'upsert' — toggling `validate` would
+        // then change DATA, not just when errors surface (ADVICE r9).
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol))
-          .orderBy(col(opCol), md5(to_json(struct(payload.map(col): _*))))
-        changes.withColumn("graft_rn", row_number().over(w))
-          .filter(col("graft_rn") === 1).drop("graft_rn")
+        changes.withColumn("graft_dup", count(lit(1)).over(w))
+          .withColumn(idCol,
+            when(col("graft_dup") === 1, col(idCol)).otherwise(raise_error(
+              concat(lit("changeset has multiple rows for "),
+                col(idCol).cast("string"),
+                lit(" and no seqCol to order them")))))
+          .drop("graft_dup")
     }
 
     val latest = if (validate) {

@@ -37,13 +37,36 @@ object Relational {
       broadcast(df)
     else df
 
+  /** [[dimCounted]]'s probe memo: repeated executions of the same query
+    * (bench samples, a dashboard refresh) would otherwise pay the
+    * dimension-scan count JOB at every plan time. Keyed by (session
+    * identity, canonicalized optimized plan) — canonicalization
+    * normalizes expression ids, so the same (path, filter) pair hits
+    * across separately-built DataFrames in one session, while different
+    * filters or paths miss. Entries are one Long each and only dimension
+    * probes land here; cleared wholesale if it ever grows past 512 (a
+    * leak guard, not an LRU — dim probes number in the dozens).
+    * Staleness: files appended under a memoed path mid-session keep the
+    * old cardinality until the map clears — the same tradeoff Spark's
+    * own CBO table stats make. */
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
   /** [[dim]] for a FILTERED dimension the file-stat estimate cannot
     * size (without CBO a Filter passes its child's sizeInBytes through
     * unchanged): pays one dimension-scale count job at plan time — the
     * price a cost-based optimizer pays for the same cardinality — and
-    * broadcasts under `maxRows`. 4 M narrow rows ≈ the 64 MB cap. */
-  private def dimCounted(df: DataFrame, maxRows: Long = 4000000L): DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+    * broadcasts under `maxRows`. 4 M narrow rows ≈ the 64 MB cap.
+    * The count is memoised per session ([[probeMemo]]), so only the
+    * FIRST execution of a given (path, filter) pays the job. */
+  private[graft] def dimCounted(df: DataFrame,
+      maxRows: Long = 4000000L): DataFrame = {
+    if (probeMemo.size > 512) probeMemo.clear()
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.optimizedPlan.canonicalized.toString)
+    val n = probeMemo.computeIfAbsent(key, _ => df.count())
+    if (n <= maxRows) broadcast(df) else df
+  }
 
   /** Derived-partsupp CTE, DuckDB dialect. The fixtures omit partsupp
     * (TESTDATA.md), so the Q2/Q11/Q16/Q20 quartet derives it from

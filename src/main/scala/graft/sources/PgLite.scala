@@ -107,14 +107,33 @@ object PgWire {
 
   /** RFC 5929 §4.1 tls-server-end-point channel-binding data: a hash of
     * the server certificate under the cert's own signature hash, with
-    * MD5/SHA-1 upgraded to SHA-256. */
+    * MD5/SHA-1 upgraded to SHA-256. RSASSA-PSS certs carry no hash in
+    * the algorithm NAME — it lives in the signature AlgorithmParameters
+    * (PSSParameterSpec), so parse those; matching PostgreSQL's
+    * OBJ_find_sigid_algs-based derivation keeps SCRAM-PLUS binding
+    * working against PSS- and SHA-224-signed server certs. */
   def tlsServerEndPoint(
       cert: java.security.cert.X509Certificate): Array[Byte] = {
     val sig = cert.getSigAlgName.toUpperCase
+    def normalize(h: String): String = h.toUpperCase.replace("-", "") match {
+      case "MD5" | "SHA1" => "SHA-256" // RFC 5929 mandated upgrade
+      case "SHA224" => "SHA-224"
+      case "SHA384" => "SHA-384"
+      case "SHA512" => "SHA-512"
+      case _ => "SHA-256"
+    }
     val alg =
-      if (sig.contains("SHA384")) "SHA-384"
+      if (sig.contains("SHA224")) "SHA-224"
+      else if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"
-      else "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
+      else if (sig.contains("SHA256") || sig.contains("SHA1") ||
+        sig.contains("MD5")) "SHA-256"
+      else if (sig.contains("PSS") && cert.getSigAlgParams != null) {
+        val p = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+        p.init(cert.getSigAlgParams)
+        normalize(p.getParameterSpec(
+          classOf[java.security.spec.PSSParameterSpec]).getDigestAlgorithm)
+      } else "SHA-256"
     MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
 

@@ -359,6 +359,37 @@ class ScaleSpec extends SparkSuite {
       s"no map-side partial aggregation before the cell shuffle:\n$plan")
   }
 
+  test("dimCounted memoises its count probe: a repeated (path, filter) " +
+      "dim plans with zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // a filter the file-stat estimate can't size — the dimCounted case
+    def dim() = queries.Relational.dimCounted(
+      Tables.load(spark, sfDir, "part").filter(col("p_size") === 15))
+    dim() // first call pays the count job and seeds the session memo
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val second = dim() // must hit the memo: no count job at plan time
+      // the job-start events ride the ASYNC listener bus — drain it
+      // before reading the counter (listenerBus is private[spark])
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+        .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
+      assert(jobs.get() == 0,
+        s"memoised dim probe still ran ${jobs.get()} job(s)")
+      // and the memo must not change the decision: the small filtered
+      // dim still carries the broadcast hint
+      assert(second.queryExecution.analyzed.toString.contains("Hint"),
+        s"memo hit lost the broadcast decision:\n${second.queryExecution.analyzed}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("zorder zvalue attaches via one broadcast stats row, no extra shuffle") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val plan = operators.ZOrder.zvalues(li, Seq("l_partkey", "l_suppkey"))

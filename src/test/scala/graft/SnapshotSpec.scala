@@ -87,7 +87,7 @@ class SnapshotSpec extends SparkSuite {
   }
 
   test("validate=false composes lazily: same result, bad ops fail at " +
-      "action time, duplicate ids resolve deterministically") {
+      "action time, duplicate ids fail at action time") {
     val changes = Seq(
       (2L, "delete", null.asInstanceOf[String]),
       (3L, "upsert", "THREE"),
@@ -105,15 +105,15 @@ class SnapshotSpec extends SparkSuite {
       Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(m => m.contains("upsert") && m.contains("UPSERT")),
       msgs(e).mkString(" | "))
-    // duplicate ids without seqCol: no eager probe is possible, so the
-    // deterministic (op, payload-fingerprint) tie-break decides — delete
-    // sorts before upsert
+    // duplicate ids without seqCol: the eager probe's lazy twin rides in
+    // the plan — both validate modes FAIL, so toggling validate never
+    // changes which row wins (a lexicographic collapse would have made
+    // delete silently beat upsert)
     val dup = Seq((3L, "upsert", "a"), (3L, "delete", null.asInstanceOf[String]))
       .toDF("doc_id", "op", "text")
-    val resolved = Snapshot.applyChanges(base, dup, validate = false)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(resolved === Map(1L -> "one", 2L -> "two", 4L -> "four"),
-      s"delete must win the tie deterministically: $resolved")
+    val dupPlan = Snapshot.applyChanges(base, dup, validate = false)
+    val de = intercept[Exception](dupPlan.collect())
+    assert(msgs(de).exists(_.contains("multiple rows")), msgs(de).mkString(" | "))
   }
 
   test("an upsert missing a base column is refused, not null-padded") {
