@@ -138,11 +138,16 @@ object MyWire {
   * `serverPublicKey`: pinned RSA public key (PEM or path) for the
   * plain-TCP caching_sha2 FULL-auth path — the `--server-public-key-path`
   * equivalent; see the full-auth branch for the MITM trade-off it closes.
+  * `sslCert`/`sslKey` (the --ssl-cert/--ssl-key equivalents) present a
+  * client certificate + PKCS#8 key for mutual TLS — required by
+  * `REQUIRE X509` accounts.
   */
 final class MyConnection(host: String, port: Int, database: String,
     user: String, password: String, sslMode: String = "disable",
     sslRootCert: Option[String] = None,
-    serverPublicKey: Option[String] = None) extends AutoCloseable {
+    serverPublicKey: Option[String] = None,
+    sslCert: Option[String] = None,
+    sslKey: Option[String] = None) extends AutoCloseable {
   import MyWire._
 
   require(sslMode == "disable" || sslMode == "require",
@@ -271,7 +276,7 @@ final class MyConnection(host: String, port: Int, database: String,
       sslReq.write(new Array[Byte](23))
       writePacket(sslReq.toByteArray)
       val ssl = TlsLite.upgradeClient(socket, host, port,
-        TlsLite.clientContext(sslRootCert))
+        TlsLite.clientContext(sslRootCert, sslCert, sslKey))
       socket = ssl
       in = new DataInputStream(ssl.getInputStream)
       out = new DataOutputStream(ssl.getOutputStream)
@@ -483,10 +488,11 @@ final case class MyOptions(host: String, port: Int, database: String,
     user: String, password: String, table: String,
     partitionColumn: Option[String], numPartitions: Int,
     sslMode: String = "disable", sslRootCert: Option[String] = None,
-    serverPublicKey: Option[String] = None) {
+    serverPublicKey: Option[String] = None,
+    sslCert: Option[String] = None, sslKey: Option[String] = None) {
   def connect(): MyConnection =
     new MyConnection(host, port, database, user, password, sslMode,
-      sslRootCert, serverPublicKey)
+      sslRootCert, serverPublicKey, sslCert, sslKey)
   def quotedTable: String =
     table.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 }
@@ -507,7 +513,9 @@ object MyOptions {
       numPartitions = Option(m.get("numPartitions")).map(_.toInt).getOrElse(1),
       sslMode = Option(m.get("sslmode")).getOrElse("disable"),
       sslRootCert = Option(m.get("sslrootcert")),
-      serverPublicKey = Option(m.get("serverPublicKey")))
+      serverPublicKey = Option(m.get("serverPublicKey")),
+      sslCert = Option(m.get("sslcert")),
+      sslKey = Option(m.get("sslkey")))
   }
 }
 

@@ -204,11 +204,16 @@ object PgWire {
   * protocol §55.2.10; the connection FAILS if the server answers 'N' or
   * the certificate/hostname check fails). `sslRootCert` pins a root
   * certificate (inline PEM or path) for private-CA / self-signed
-  * servers — see [[TlsLite]] for the trust model.
+  * servers — see [[TlsLite]] for the trust model. `sslCert`/`sslKey`
+  * (libpq's options of the same name) present a client certificate +
+  * PKCS#8 key for mutual TLS — required by `clientcert=verify-full` /
+  * `cert`-auth HBA deployments.
   */
 final class PgConnection(host: String, port: Int, database: String,
     user: String, password: String, sslMode: String = "disable",
-    sslRootCert: Option[String] = None) extends AutoCloseable {
+    sslRootCert: Option[String] = None,
+    sslCert: Option[String] = None,
+    sslKey: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
   require(sslMode == "disable" || sslMode == "require",
@@ -234,7 +239,7 @@ final class PgConnection(host: String, port: Int, database: String,
     in.readByte().toChar match {
       case 'S' =>
         val ssl = TlsLite.upgradeClient(socket, host, port,
-          TlsLite.clientContext(sslRootCert))
+          TlsLite.clientContext(sslRootCert, sslCert, sslKey))
         socket = ssl
         in = new DataInputStream(ssl.getInputStream)
         out = new DataOutputStream(ssl.getOutputStream)
@@ -524,10 +529,11 @@ final case class PgOptions(host: String, port: Int, database: String,
     user: String, password: String, table: String,
     partitionColumn: Option[String], numPartitions: Int,
     lowerBound: Option[Long], upperBound: Option[Long],
-    sslMode: String = "disable", sslRootCert: Option[String] = None) {
+    sslMode: String = "disable", sslRootCert: Option[String] = None,
+    sslCert: Option[String] = None, sslKey: Option[String] = None) {
   def connect(): PgConnection =
     new PgConnection(host, port, database, user, password, sslMode,
-      sslRootCert)
+      sslRootCert, sslCert, sslKey)
   def quotedTable: String =
     table.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"")
       .mkString(".")
@@ -550,7 +556,9 @@ object PgOptions {
       lowerBound = Option(m.get("lowerBound")).map(_.toLong),
       upperBound = Option(m.get("upperBound")).map(_.toLong),
       sslMode = Option(m.get("sslmode")).getOrElse("disable"),
-      sslRootCert = Option(m.get("sslrootcert")))
+      sslRootCert = Option(m.get("sslrootcert")),
+      sslCert = Option(m.get("sslcert")),
+      sslKey = Option(m.get("sslkey")))
   }
 }
 

@@ -63,7 +63,8 @@ class MySqlLiteSpec extends SparkSuite {
     * then AuthSwitches to native). */
   private final class MyMock(authMode: String, user: String,
       password: String,
-      tlsCtx: Option[javax.net.ssl.SSLContext] = None) {
+      tlsCtx: Option[javax.net.ssl.SSLContext] = None,
+      clientAuth: Boolean = false) {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
@@ -166,7 +167,7 @@ class MySqlLiteSpec extends SparkSuite {
         if (hr.length != 32 || tlsCtx.isEmpty) {
           errPacket(1045, "mock: bad SSLRequest"); sock.close(); return
         }
-        sock = TestTls.serverUpgrade(tlsCtx.get, sock)
+        sock = TestTls.serverUpgrade(tlsCtx.get, sock, clientAuth)
         in = new DataInputStream(sock.getInputStream)
         out = new DataOutputStream(sock.getOutputStream)
         tlsUp = true
@@ -562,6 +563,32 @@ class MySqlLiteSpec extends SparkSuite {
       assert(messages(e).exists(_.contains("lacks CLIENT_SSL")),
         s"expected the capability refusal: ${messages(e)}")
     } finally plain.stop()
+  }
+
+  test("mutual TLS: sslcert/sslkey present a client certificate; " +
+      "no-cert and untrusted-cert connections are rejected") {
+    // server trusts ONLY clientCert and demands client auth — the
+    // REQUIRE X509 account shape
+    val ctx = TestTls.serverContext(TestTls.keys, TestTls.goodCert,
+      trustedClient = Some(TestTls.clientCert))
+    val m = new MyMock("sha2fast", "app", "pw", tlsCtx = Some(ctx),
+      clientAuth = true)
+    val base = Map("sslmode" -> "require",
+      "sslrootcert" -> TestTls.pemOf(TestTls.goodCert))
+    try {
+      // accept: the trusted certificate + its PKCS#8 key
+      assert(readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.clientCert),
+        "sslkey" -> TestTls.pemOfKey(
+          TestTls.clientKeys.getPrivate))).count() == 5)
+      // reject: no client certificate
+      intercept[Exception](readDf(m, "app", "pw", base).count())
+      // reject: a certificate the server's trust store does not anchor
+      intercept[Exception](readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.otherClientCert),
+        "sslkey" -> TestTls.pemOfKey(
+          TestTls.otherClientKeys.getPrivate))).count())
+    } finally m.stop()
   }
 
   test("pinned server public key: full auth encrypts under the caller's " +

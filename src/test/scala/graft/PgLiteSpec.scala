@@ -65,7 +65,8 @@ class PgLiteSpec extends SparkSuite {
   private final class PgMock(authMode: String, user: String,
       password: String,
       tlsCtx: Option[javax.net.ssl.SSLContext] = None,
-      tlsCert: Option[java.security.cert.X509Certificate] = None) {
+      tlsCert: Option[java.security.cert.X509Certificate] = None,
+      clientAuth: Boolean = false) {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     def port: Int = server.getLocalPort
@@ -110,7 +111,7 @@ class PgLiteSpec extends SparkSuite {
         tlsCtx match {
           case Some(ctx) =>
             out0.writeByte('S'); out0.flush()
-            sock = TestTls.serverUpgrade(ctx, sock)
+            sock = TestTls.serverUpgrade(ctx, sock, clientAuth)
           case None =>
             out0.writeByte('N'); out0.flush()
         }
@@ -622,6 +623,47 @@ class PgLiteSpec extends SparkSuite {
       assert(rootMessages(e).exists(_.contains("does not support SSL")),
         s"expected the no-SSL refusal: ${rootMessages(e)}")
     } finally plain.stop()
+  }
+
+  test("mutual TLS: sslcert/sslkey present a client certificate; " +
+      "no-cert, untrusted-cert, and key-less configs are rejected") {
+    // server trusts ONLY clientCert and demands client auth — the
+    // clientcert=verify-full / cert-auth HBA shape
+    val ctx = TestTls.serverContext(TestTls.keys, TestTls.goodCert,
+      trustedClient = Some(TestTls.clientCert))
+    val m = new PgMock("scram", "app", "pw", tlsCtx = Some(ctx),
+      tlsCert = Some(TestTls.goodCert), clientAuth = true)
+    val base = Map("sslmode" -> "require",
+      "sslrootcert" -> TestTls.pemOf(TestTls.goodCert))
+    try {
+      // accept: the trusted certificate + its PKCS#8 key (inline PEM)
+      val df = readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.clientCert),
+        "sslkey" -> TestTls.pemOfKey(TestTls.clientKeys.getPrivate)))
+      assert(df.count() == 5)
+      assert(m.plusAuths.get() >= 1,
+        "channel binding must ride unchanged over the mutual session")
+      // sslkey also accepts a file path (the libpq form)
+      val keyFile = java.nio.file.Files.createTempFile("graft-client", ".key")
+      java.nio.file.Files.write(keyFile,
+        TestTls.pemOfKey(TestTls.clientKeys.getPrivate).getBytes("UTF-8"))
+      try assert(readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.clientCert),
+        "sslkey" -> keyFile.toString)).count() == 5)
+      finally java.nio.file.Files.delete(keyFile)
+      // reject: no client certificate at all — the server's
+      // needClientAuth must kill the handshake
+      intercept[Exception](readDf(m, "app", "pw", base).count())
+      // reject: a certificate the server's trust store does not anchor
+      intercept[Exception](readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.otherClientCert),
+        "sslkey" -> TestTls.pemOfKey(
+          TestTls.otherClientKeys.getPrivate))).count())
+      // reject: sslcert without sslkey is a config error, not a silent
+      // fall-back to certificate-less TLS
+      intercept[Exception](readDf(m, "app", "pw", base ++ Map(
+        "sslcert" -> TestTls.pemOf(TestTls.clientCert))).count())
+    } finally m.stop()
   }
 
   test("createTable surface: registered postgres table joins with parquet") {
