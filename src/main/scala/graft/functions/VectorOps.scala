@@ -112,6 +112,55 @@ object VectorOps {
       if (nTok == out.length) out else java.util.Arrays.copyOf(out, nTok))
   }
 
+  /** Doc-local n-gram COUNTS in one pass: returns
+    * array<struct<n token fields, k: long>> with one row per DISTINCT
+    * n-gram of the token array, in first-occurrence order (a
+    * deterministic function of the input — task retries and chaos
+    * probes replay exactly). The LM-family shape wants counts, not
+    * occurrences: `explode(ngram_counts(tk))` feeds the model hash-agg
+    * with map-side-collapsed rows AND lets the scoring join attach the
+    * model to n-gram TYPES weighted by k, instead of re-shuffling the
+    * full occurrence stream through every model join. Replaces the
+    * interpreted `transform(sequence(...), i -> struct(...))` HOF
+    * (CodegenFallback: per-row sequence array + per-element lambda rows
+    * — the allocation storm behind the G1 mid-heap pathology the r9
+    * BASELINE records on the kn3 family). */
+  def ngramCounts(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    // key = the n-gram's token list; List.equals/hashCode delegate to
+    // UTF8String bytes equality
+    val map = new java.util.LinkedHashMap[java.util.ArrayList[UTF8String], Array[AnyRef]]()
+    var i = 0
+    val last = m - n
+    while (i <= last) {
+      val key = new java.util.ArrayList[UTF8String](n)
+      var j = 0
+      while (j < n) { key.add(tokens.getUTF8String(i + j)); j += 1 }
+      val row = map.get(key)
+      if (row == null) {
+        val vals = new Array[AnyRef](n + 1)
+        var x = 0
+        while (x < n) { vals(x) = key.get(x); x += 1 }
+        vals(n) = java.lang.Long.valueOf(1L)
+        map.put(key, vals)
+      } else row(n) = java.lang.Long.valueOf(
+        row(n).asInstanceOf[java.lang.Long].longValue + 1L)
+      i += 1
+    }
+    val out = new Array[AnyRef](map.size)
+    val it = map.values().iterator()
+    var r = 0
+    while (it.hasNext) {
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        it.next().asInstanceOf[Array[Any]])
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- hashing kernels ------------------------------------------------
 
   /** 64-bit FNV-1a over UTF-8 bytes — stable, dependency-free base hash. */

@@ -385,6 +385,52 @@ object ReadCountsExpr {
     StructField("n_syllables", LongType, nullable = true)))
 }
 
+/** Doc-local n-gram counts of an array<string> of tokens — one struct
+  * row per DISTINCT n-gram with its in-doc count k, first-occurrence
+  * order (see VectorOps.ngramCounts). Codegen'd single static call, so
+  * the scan → tokens → ngram-counts prologue of the LM family stays in
+  * one whole-stage-codegen loop; bit-identity vs the declarative
+  * `transform(sequence(...))` + groupBy twin asserted in RegressionSpec. */
+case class NgramCountsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n == 2 || n == 3, s"ngram_counts supports n=2,3; got $n")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"ngram_counts needs array<string>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = NgramCountsExpr.schema(n)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.ngramCounts(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.ngramCounts($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NgramCountsExpr {
+  /** Field names match the LM-family join keys downstream: bigrams are
+    * (prev, cur), trigrams (u, v, w); k is the in-doc count. */
+  def schema(n: Int): DataType = {
+    val names = if (n == 2) Seq("prev", "cur") else Seq("u", "v", "w")
+    ArrayType(StructType(
+      names.map(f => StructField(f, StringType, nullable = false)) :+
+        StructField("k", LongType, nullable = false)),
+      containsNull = false)
+  }
+}
+
 /** Count of agreeing positions between two signature arrays (long hashes
   * or md5-hex chunks) — bit-identical to the interpreted
   * `aggregate(zip_with(a,b,(x,y)->if(x=y,1,0)),0,+)` fold; runs once

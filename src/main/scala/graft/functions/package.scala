@@ -170,6 +170,17 @@ package object functions {
   def read_counts(text: Column): Column =
     col0(ReadCountsExpr(expr0(text)))
 
+  /** Doc-local bigram counts: array<struct<prev, cur, k>> — one row
+    * per DISTINCT bigram of the token array with its in-doc count, in
+    * first-occurrence order; see VectorOps.ngramCounts. */
+  def bigram_counts(toks: Column): Column =
+    col0(NgramCountsExpr(expr0(toks), 2))
+
+  /** Doc-local trigram counts: array<struct<u, v, w, k>> — the order-3
+    * twin of [[bigram_counts]]. */
+  def trigram_counts(toks: Column): Column =
+    col0(NgramCountsExpr(expr0(toks), 3))
+
   /** Fused Gopher rule battery: struct of the nine §A1.1.2 signals —
     * result-identical to the declarative composition incl. null-text
     * semantics (RegressionSpec); see VectorOps.gopherStats. */

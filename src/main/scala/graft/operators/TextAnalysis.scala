@@ -506,14 +506,18 @@ object TextAnalysis {
     val tk = Caches.register(
       docs.select(col(idCol), tokens(col(textCol)).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // doc-local counts from the fused kernel: the bigram hash-agg sees
+    // map-side-collapsed rows, and scoring attaches the model to bigram
+    // TYPES weighted by k instead of re-shuffling the full occurrence
+    // stream through every model join (same value: avg over occurrences
+    // ≡ Σk·ln p / Σk; round-6 absorbs the addition-order delta)
     val bi = tk.filter(size(col("tk")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
-        .as("b"))
-      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .select(col(idCol), explode(graft.functions.bigram_counts(col("tk"))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"),
+        col("b.k").as("k"))
     val uni = tk.select(explode(col("tk")).as("token"))
     val cu = uni.groupBy(col("token")).agg(count(lit(1)).as("cu"))
-    val cb = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    val cb = bi.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
     val vocab = cu.count()
     val total = uni.count()
     // (1 - λ) is COMPUTED in IEEE double on both engines (the oracle says
@@ -521,12 +525,15 @@ object TextAnalysis {
     // parsed-0.3 double differs from computed-0.3 in the last ulp.
     val p = lit(lambda) * (col("cb") + lit(1.0)) / (col("c_ctx") + lit(vocab.toDouble)) +
       (lit(1.0) - lit(lambda)) * (col("c_cur") + lit(1.0)) / lit((total + vocab).toDouble)
-    val scored = bi
-      .join(cb, Seq("prev", "cur"))
+    val model = cb
       .join(cu.select(col("token").as("prev"), col("cu").as("c_ctx")), Seq("prev"))
       .join(cu.select(col("token").as("cur"), col("cu").as("c_cur")), Seq("cur"))
+      .select(col("prev"), col("cur"), log(p).as("lp"))
+    val scored = bi
+      .join(model, Seq("prev", "cur"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("avg_nll2"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (-(sum(col("k") * col("lp")) / sum(col("k")))).as("avg_nll2"))
       .withColumn("ppl2", exp(col("avg_nll2")))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -565,12 +572,11 @@ object TextAnalysis {
     */
   private def bigramTypeModel(tk: DataFrame): (DataFrame, DataFrame, Long) = {
     val bi = tk.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
-        .as("b"))
-      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .select(explode(graft.functions.bigram_counts(col("tk"))).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"),
+        col("b.k").as("k"))
     val cb = Caches.register(
-      bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      bi.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
     (cb, ccont, cb.count()) // count = N1+(·,·), the one driver scalar
@@ -581,11 +587,12 @@ object TextAnalysis {
     val tk = Caches.register(
       docs.select(col(idCol), tokens(col(textCol)).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // doc-local counts (fused kernel) + model attached to bigram TYPES:
+    // see bigramPerplexity for the shuffle-shape rationale
     val bi = tk.filter(size(col("tk")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS prev, tk[i] AS cur))"))
-        .as("b"))
-      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .select(col(idCol), explode(graft.functions.bigram_counts(col("tk"))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"),
+        col("b.k").as("k"))
     val (cb, ccont, nBigramTypes) = bigramTypeModel(tk)
     val cctx = cb.groupBy(col("prev"))
       .agg(sum(col("cb")).as("cv"), count(lit(1)).as("n1fwd"))
@@ -596,12 +603,15 @@ object TextAnalysis {
     val p = greatest(col("cb") - d, lit(0.0)) / col("cv") +
       d * col("n1fwd") / col("cv") *
         (col("n1bwd") / lit(nBigramTypes.toDouble))
-    val scored = bi
-      .join(cb, Seq("prev", "cur"))
+    val model = cb
       .join(cctx, Seq("prev"))
       .join(ccont, Seq("cur"))
+      .select(col("prev"), col("cur"), log(p).as("lp"))
+    val scored = bi
+      .join(model, Seq("prev", "cur"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("avg_nll_kn"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (-(sum(col("k") * col("lp")) / sum(col("k")))).as("avg_nll_kn"))
       .withColumn("ppl_kn", exp(col("avg_nll_kn")))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -620,26 +630,34 @@ object TextAnalysis {
     * is an exact integer, so the whole model replays in an independent
     * engine; Σ_w P₃(w|u,v) = 1 is property-tested.
     *
-    * Scale shape: trigrams pair map-side from the token array (no
-    * shuffle); the model is ONE trigram hash-agg re-aggregated down the
-    * ladder (c3 → cctx3/ĉ → cctx2 → Pcont via the bigram table), each a
-    * shrinking keyed agg; scoring joins the occurrence table against
-    * the model tables by their natural keys; one scalar (N1+(·,·)) to
-    * the driver. Docs with < 3 tokens keep NULL scores.
+    * Scale shape: doc-local trigram counts come map-side from the fused
+    * `trigram_counts` kernel (no shuffle, whole-stage codegen); the
+    * model is ONE trigram hash-agg re-aggregated down the ladder (c3 →
+    * cctx3/ĉ → cctx2 → Pcont via the bigram table), each a shrinking
+    * keyed agg; the ladder joins ride the trigram TYPE table and
+    * scoring attaches log-probabilities to per-doc counts in ONE join —
+    * the occurrence stream never re-exchanges across model keys; one
+    * scalar (N1+(·,·)) to the driver. Docs with < 3 tokens keep NULL
+    * scores.
     */
   def kneserNeyTrigramPerplexity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", discount: Double = 0.75): DataFrame = {
     val tk = Caches.register(
       docs.select(col(idCol), tokens(col(textCol)).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // doc-local trigram counts from the fused kernel — the trigram
+    // hash-agg sees map-side-collapsed rows, and scoring joins the
+    // model to trigram TYPES weighted by k, so the occurrence stream is
+    // never re-exchanged across the five model keys (at sf10 that was
+    // five shuffles of ~100 M three-string rows; the re-shape plus the
+    // codegen'd kernel removes the G1 mid-heap pathology BASELINE r9
+    // records: 64 s at 8g-G1 for work that costs ~21 s well-configured)
     val tri = tk.filter(size(col("tk")) >= 3)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(tk) - 2), i -> struct(tk[i-1] AS u, tk[i] AS v, tk[i+1] AS w))"))
-        .as("t"))
+      .select(col(idCol), explode(graft.functions.trigram_counts(col("tk"))).as("t"))
       .select(col(idCol), col("t.u").as("u"), col("t.v").as("v"),
-        col("t.w").as("w"))
+        col("t.w").as("w"), col("t.k").as("k"))
     val c3 = Caches.register(
-      tri.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
+      tri.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cctx3 = c3.groupBy(col("u"), col("v"))
       .agg(sum(col("c3")).as("cv3"), count(lit(1)).as("n1f3"))
@@ -660,14 +678,20 @@ object TextAnalysis {
         (col("n1bwd") / lit(nBigramTypes.toDouble))
     val p3 = greatest(col("c3") - d, lit(0.0)) / col("cv3") +
       d * col("n1f3") / col("cv3") * p2
-    val scored = tri
-      .join(c3, Seq("u", "v", "w"))
+    // model per trigram TYPE (c3 is already distinct (u,v,w)): the four
+    // ladder joins ride the type table, then ONE join attaches lp3 to
+    // the per-doc counts
+    val model = c3
       .join(cctx3, Seq("u", "v"))
       .join(chat, Seq("v", "w"))
       .join(cctx2, Seq("v"))
       .join(ccont.withColumnRenamed("cur", "w"), Seq("w"))
+      .select(col("u"), col("v"), col("w"), log(p3).as("lp3"))
+    val scored = tri
+      .join(model, Seq("u", "v", "w"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"), (-avg(log(p3))).as("avg_nll_kn3"))
+      .agg(sum(col("k")).as("n_trigrams"),
+        (-(sum(col("k") * col("lp3")) / sum(col("k")))).as("avg_nll_kn3"))
       .withColumn("ppl_kn3", exp(col("avg_nll_kn3")))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),

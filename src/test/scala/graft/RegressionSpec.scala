@@ -108,6 +108,43 @@ class RegressionSpec extends SparkSuite {
     assert(bad == 0, s"$bad docs with differing signatures")
   }
 
+  test("ngram_counts kernel equals the transform(sequence) + groupBy twin") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select($"doc_id", $"text")
+      // edges: null, empty, 1/2/3-token docs (below/at the n boundary),
+      // repeated n-grams (the count path), unicode
+      .union(Seq((900001L, null.asInstanceOf[String]), (900002L, ""),
+        (900003L, "one"), (900004L, "one two"), (900005L, "one two three"),
+        (900006L, "a b a b a b c"),
+        (900007L, "Ünïcödé ÇASE Ünïcödé ÇASE mixed")).toDF("doc_id", "text"))
+      .select($"doc_id", tokens(coalesce($"text", lit(""))).as("tk"))
+    for (n <- Seq(2, 3)) {
+      val kernel = docs.select($"doc_id",
+          explode(if (n == 2) bigram_counts($"tk") else trigram_counts($"tk"))
+            .as("g"))
+        .select($"doc_id", to_json($"g").as("row"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val fields = if (n == 2) Seq("prev", "cur") else Seq("u", "v", "w")
+      val lambdaStruct = fields.zipWithIndex
+        .map { case (f, j) => s"tk[i${if (j == 0) "-1" else s"+${j - 1}"}] AS $f" }
+        .mkString(", ")
+      // the twin needs the >= n guard the operators apply (sequence(1, 0)
+      // DESCENDS and would index past the array); the kernel returns []
+      // below n tokens, which explode drops on its own
+      val twin = docs.filter(size($"tk") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(tk) - ${n - 1}), i -> struct($lambdaStruct))"))
+          .as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("k"))
+        .select($"doc_id",
+          to_json(struct((fields.map(f => col(s"g.$f").as(f)) :+ $"k"): _*)).as("row"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kernel == twin,
+        s"n=$n mismatch: kernel-only=${(kernel -- twin).take(3)}, " +
+          s"twin-only=${(twin -- kernel).take(3)}")
+    }
+  }
+
   test("fused winnowStats is identical to the declarative window fold") {
     // fixture docs (real near-dup structure) + adversarial edges: null
     // text, empty, below-k tokens (single truncated window), exactly
