@@ -413,10 +413,14 @@ object Dedup {
               .bitwiseAND(lit(0xffffL)).as("bh"))))
           .as("bk"))
       .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    guardedBandPairs(banded, Seq("band", "bh"), bucketCap, Some("sh"))
+    // same pre-distinct verify shape as [[simHashPairsBlocked]]: filter
+    // on map-side hamming, then dedupe (id_a, id_b, hamming)-narrow rows
+    guardedBandPairs(banded, Seq("band", "bh"), bucketCap, Some("sh"),
+        dedupe = false)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Candidate pairs under Manku combination banding over (id, sh) 64-bit
@@ -433,7 +437,8 @@ object Dedup {
     * representative, with the drop count observed/logged.
     */
   private[graft] def blockedCandidates(sigs: DataFrame, maxHamming: Int,
-      blocks: Int, cap: Int = DefaultBucketCap): DataFrame = {
+      blocks: Int, cap: Int = DefaultBucketCap,
+      dedupe: Boolean = true): DataFrame = {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     require(maxHamming >= 1 && maxHamming < blocks,
       s"need 1 <= maxHamming < blocks, got h=$maxHamming b=$blocks")
@@ -452,7 +457,7 @@ object Dedup {
         explode(array(keys.toIndexedSeq: _*)).as("bk"))
       .select(col("id"), col("sh"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    guardedBandPairs(banded, Seq("band", "bkey"), cap, Some("sh"))
+    guardedBandPairs(banded, Seq("band", "bkey"), cap, Some("sh"), dedupe)
   }
 
   /** Near-duplicate pairs via 64-bit SimHash with the GUARANTEED-recall,
@@ -474,10 +479,20 @@ object Dedup {
     val sigs = Caches.register(
       docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    blockedCandidates(sigs, maxHamming, blocks, bucketCap)
+    // hamming is computed and filtered BEFORE the distinct: the verify
+    // is a map-side bit_count on the pair's own columns, so the dedupe
+    // exchange (the one cross-process shuffle multi-JVM legs price —
+    // BASELINE r9: 1.38× at sf10) carries only TRUE near-dup pairs at
+    // (id_a, id_b, hamming) width instead of every candidate with both
+    // raw signatures. The residual multiplicity is inherent to
+    // combination banding: a hamming-0 pair shares all C(b, b−h) keys
+    // and must cross once per shared-cold-bucket — collapsing those
+    // earlier would need each row to know OTHER buckets' occupancy.
+    blockedCandidates(sigs, maxHamming, blocks, bucketCap, dedupe = false)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Oracle twin of [[simHashPairsBlocked]]: same md5-majority-vote

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Render the canonical sf100 TPC-H table for BASELINE.md from the
+round-10 stamped bench JSON + the DuckDB anchor record.
+
+Usage: python3 tools/sf100_table.py \
+    target/bench-sf100-tpch-r10.json target/duckdb-sf100-tpch.json
+"""
+import json, sys
+
+spark = json.load(open(sys.argv[1]))
+duck = json.load(open(sys.argv[2]))
+
+names = sorted(spark["queries"], key=lambda q: int(q.split("_")[0][1:]))
+stotal = sum(v for v in spark["queries"].values() if v > 0)
+dtotal = sum(duck["queries"].values())
+
+print(f"provenance: git_sha={spark['git_sha']} master={spark['master']} "
+      f"mem={spark['executor_memory']} ts={spark['timestamp']} "
+      f"policy={spark['samples_policy']}")
+print()
+print("| query | Spark (s) | cold sample (s) | DuckDB 1.0 (s) | ratio |")
+print("|---|---|---|---|---|")
+for q in names:
+    s = spark["queries"][q]
+    d = duck["queries"].get(q, float("nan"))
+    cold = spark["samples"][q][0] if spark["samples"][q] else float("nan")
+    ratio = s / d if d else float("nan")
+    print(f"| {q} | {s:.1f} | {cold:.1f} | {d:.1f} | {ratio:.2f}× |")
+print(f"| **total** | **{stotal:.1f}** | | **{dtotal:.1f}** | "
+      f"**{stotal/dtotal:.2f}×** |")
+
+# sample-spread audit (task r9-#2 done-criterion: warm spread <= 1.5x
+# or the cold sample explicitly tagged -- it is, by position 0)
+worst = 0.0
+for q in names:
+    warm = spark["samples"][q][1:]
+    if len(warm) >= 2 and min(warm) > 0:
+        worst = max(worst, max(warm) / min(warm))
+print(f"\nwarm-sample spread: worst {worst:.2f}x across {len(names)} queries")
