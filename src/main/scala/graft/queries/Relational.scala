@@ -468,12 +468,19 @@ object Relational {
         |  WHERE l_shipdate >= DATE '1996-01-01') x
         |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // SHUFFLE_HASH(orders): the unfiltered orders side never
+      // broadcasts, and sort-merge would SORT both fact streams —
+      // at sf100 those two sorts were 90 GB of spill for a 3-group
+      // aggregate. Hash-building the (narrower) orders partitions
+      // skips both sorts; at small SFs AQE still turns the join into
+      // a broadcast when runtime stats allow.
       s.sql(
         """SELECT delay_bucket,
           |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
           |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
           |FROM (
-          |  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+          |  SELECT /*+ SHUFFLE_HASH(orders) */
+          |         CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
           |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
           |              ELSE 'slow' END AS delay_bucket,
           |         o_orderpriority
@@ -491,12 +498,19 @@ object Relational {
         |  GROUP BY c_custkey) c_orders
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // orders pre-aggregates to per-custkey counts BEFORE the left
+      // join, so the join exchange carries customer-cardinality rows
+      // (15 M at sf100) instead of every order (150 M); unmatched
+      // customers take c_count 0 via coalesce — exactly the LEFT JOIN +
+      // count(o_orderkey) semantics the oracle keeps.
       s.sql(
-        """SELECT c_count, count(*) AS custdist FROM (
-          |  SELECT c_custkey, count(o_orderkey) AS c_count
-          |  FROM customer LEFT JOIN orders
-          |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
-          |  GROUP BY c_custkey) c_orders
+        """WITH oc AS (
+          |  SELECT o_custkey, count(*) AS c
+          |  FROM orders WHERE o_orderpriority <> '5-LOW'
+          |  GROUP BY o_custkey)
+          |SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, coalesce(oc.c, 0) AS c_count
+          |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey) c_orders
           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
     },
 
@@ -513,16 +527,28 @@ object Relational {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // rank() over the aggregated revenue replaces the scalar-subquery
+      // max: Spark inlines the CTE, so `= (SELECT max ...)` scanned and
+      // aggregated lineitem TWICE (the r10 plan audit). rank=1 keeps
+      // every tied max row — identical semantics on the same computed
+      // doubles. The empty-partition window sees only the per-supplier
+      // AGGREGATE (supplier cardinality, two skinny columns); at a
+      // truly supplier-heavy SF the same one-pass shape would go
+      // max-agg + broadcast join instead.
       s.sql(
         """WITH revenue AS (
           |  SELECT l_suppkey AS supplier_no,
           |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
           |  FROM lineitem
           |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-          |  GROUP BY l_suppkey)
+          |  GROUP BY l_suppkey),
+          |ranked AS (
+          |  SELECT supplier_no, total_revenue,
+          |         rank() OVER (ORDER BY total_revenue DESC) AS rk
+          |  FROM revenue)
           |SELECT s_suppkey, s_name, total_revenue
-          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |FROM supplier JOIN ranked ON s_suppkey = supplier_no
+          |WHERE rk = 1
           |ORDER BY s_suppkey""".stripMargin)
     },
 
@@ -554,15 +580,19 @@ object Relational {
       // counted once per multi-supplier finished order on which they were
       // the SOLE late supplier (the TPC-H per-order numwait granularity).
       // Plan shape: ONE pre-aggregate to (l_orderkey, l_suppkey,
-      // max(is_late)) collapses the fact join before anything else — the
-      // per-order supplier/late counts are then a plain count/sum (no
-      // countDistinct, so no Expand doubling rows through the aggregate),
-      // and the SAME pre-aggregate is the probe side, so the
-      // lineitem⋈orders shuffle is built once and reused (its (orderkey,
-      // suppkey) exchange feeds both consumers). Replaces TPC-H's
-      // EXISTS + NOT EXISTS double self-join: 2 keyed fact exchanges
-      // instead of 4 at 100 TB. Oracle SQL uses the identical rewrite so
-      // DuckDB agrees bit-for-bit. Ref: /root/reference engine q21
+      // max(is_late)) collapses the fact join, then the per-order
+      // supplier/late counts come from a WINDOW over l_orderkey — the
+      // aggregate's own partitioning satisfies the window, so deriving
+      // (nsupp, nlate) adds ZERO exchanges and the fact pipeline runs
+      // ONCE. (The previous self-join formulation referenced the
+      // pre-aggregate DataFrame twice and relied on exchange reuse that
+      // never fired: the two branches push different IsNotNull sets
+      // into the lineitem scan, breaking canonical equality — the
+      // r10 sf100 record caught it as 4 fact exchanges and 68 GB of
+      // disk spill.) Replaces TPC-H's EXISTS + NOT EXISTS double
+      // self-join: 2 keyed fact exchanges at 100 TB. Oracle SQL keeps
+      // the equivalent derivation so DuckDB agrees bit-for-bit
+      // (exact-integer counts). Ref: /root/reference engine q21
       // coverage via algebra/src/.../LogicalFilter +
       // BatchJoinProcessing.cpp semi/anti.
       """WITH late AS (
@@ -593,11 +623,12 @@ object Relational {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .cast("int")).as("is_late"))
-      val perOrder = late.groupBy(col("l_orderkey")).agg(
-        count(lit(1)).as("nsupp"), sum(col("is_late")).as("nlate"))
-      late.filter(col("is_late") === 1)
-        .join(perOrder, Seq("l_orderkey"))
-        .filter(col("nsupp") > 1 && col("nlate") === 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      late
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate", sum(col("is_late")).over(w))
+        .filter(col("is_late") === 1 && col("nsupp") > 1 && col("nlate") === 1)
         .join(
           dim(t(s, dir, "supplier")
             .join(broadcast(t(s, dir, "nation")),
