@@ -26,11 +26,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val fixtureBytes = try {
+      val d = new java.io.File(sfDir)
+      def size(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      size(d)
+    } catch { case _: Throwable => 0L }
     // SPARK_GRAFT_SHUFFLE: shuffle-partition override for scale probes —
     // local[32] with 32 partitions is one task wave (no stragglers);
     // 200 approximates the task granularity a multi-node cluster sees,
-    // surfacing skew that one-wave scheduling hides
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // surfacing skew that one-wave scheduling hides.
+    // Default is DATA-SIZED, not core-sized: one wave per shuffle is right
+    // while a shuffle partition stays ~128 MB, but at sf100 (16 GB of
+    // fixtures) 32 partitions put ~5 M fact rows in every hash build /
+    // sort run — the r10 leg died of exactly that (512 MB humongous
+    // TaskMemoryManager pages fragmenting G1 until q4 OOM'd a 48 GB
+    // heap). Partitions scale with bytes (⌈fixture/128 MB⌉, floor = one
+    // task wave) — the same rule a 1000-executor job follows, and AQE
+    // coalesces the small stages back down, so only the heavy shuffles
+    // actually fan out.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt, math.min(512L, fixtureBytes >> 27).toInt).toString)
     // SPARK_GRAFT_MASTER: multi-JVM probe hook (see Verify) — e.g.
     // local-cluster[2,16,4096] runs executor processes, crossing a real
     // serialization/classloader boundary; ship this JVM's classpath since
@@ -56,6 +73,15 @@ object Bench {
       // partition is painful well before that (join_skew_zipf's hot key
       // is ~100m compressed at sf10 — invisible to the default)
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+      // Runtime broadcast decisions follow the same 64 MB policy as
+      // Relational.dim(): a FILTERED dimension (part LIKE '%PROMO%',
+      // date-sliced orders) is invisible to file-stat sizing — the
+      // static threshold stays at Spark's default — but AQE sees the
+      // true post-shuffle bytes and can convert the join, sparing the
+      // fact side a 600 M-row exchange (q8-class shapes at sf100).
+      // 64 MB compressed ≈ what a 4 GB-executor cluster wants shipped.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (master.startsWith("local-cluster"))
@@ -110,13 +136,6 @@ object Bench {
     // rides in the JSON as `samples_policy` so cross-leg comparisons can
     // see which convention produced each record.
     // SPARK_GRAFT_SAMPLES_POLICY=all|discard_first overrides.
-    val fixtureBytes = try {
-      val d = new java.io.File(sfDir)
-      def size(f: java.io.File): Long =
-        if (f.isFile) f.length
-        else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
-      size(d)
-    } catch { case _: Throwable => 0L }
     val discardFirst = sys.env.get("SPARK_GRAFT_SAMPLES_POLICY") match {
       case Some("all") => false
       case Some("discard_first") => true

@@ -580,21 +580,26 @@ object Relational {
       // counted once per multi-supplier finished order on which they were
       // the SOLE late supplier (the TPC-H per-order numwait granularity).
       // Plan shape: ONE pre-aggregate to (l_orderkey, l_suppkey,
-      // max(is_late)) collapses the fact join, then the per-order
-      // supplier/late counts come from a WINDOW over l_orderkey — the
-      // aggregate's own partitioning satisfies the window, so deriving
-      // (nsupp, nlate) adds ZERO exchanges and the fact pipeline runs
-      // ONCE. (The previous self-join formulation referenced the
-      // pre-aggregate DataFrame twice and relied on exchange reuse that
-      // never fired: the two branches push different IsNotNull sets
-      // into the lineitem scan, breaking canonical equality — the
-      // r10 sf100 record caught it as 4 fact exchanges and 68 GB of
-      // disk spill.) Replaces TPC-H's EXISTS + NOT EXISTS double
-      // self-join: 2 keyed fact exchanges at 100 TB. Oracle SQL keeps
-      // the equivalent derivation so DuckDB agrees bit-for-bit
-      // (exact-integer counts). Ref: /root/reference engine q21
-      // coverage via algebra/src/.../LogicalFilter +
-      // BatchJoinProcessing.cpp semi/anti.
+      // max(is_late)) collapses the fact join, then a SECOND hash
+      // aggregate over l_orderkey derives (nsupp, nlate) plus — via
+      // max(CASE is_late THEN suppkey) — the identity of the sole late
+      // supplier for qualifying orders. Both aggregates ride the join's
+      // own l_orderkey hash partitioning (orderkey ⊆ each grouping
+      // set), so the fact pipeline runs ONCE with ZERO extra exchanges
+      // and, unlike the r10 window formulation this replaces, no
+      // 500 M-row within-partition SORT (the window's sort spilled
+      // 94 GB at sf100 and was the leg's variance driver; a hash agg
+      // to order cardinality spills a fraction of that). (The earlier
+      // self-join formulation referenced the pre-aggregate twice and
+      // relied on exchange reuse that never fired: the two branches
+      // push different IsNotNull sets into the lineitem scan, breaking
+      // canonical equality — 4 fact exchanges, 68 GB of spill.)
+      // Replaces TPC-H's EXISTS + NOT EXISTS double self-join: 2 keyed
+      // fact exchanges at 100 TB. Oracle SQL keeps the equivalent
+      // derivation so DuckDB agrees bit-for-bit (exact-integer
+      // counts). Ref: /root/reference engine q21 coverage via
+      // algebra/src/.../LogicalFilter + BatchJoinProcessing.cpp
+      // semi/anti.
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey,
         |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -615,26 +620,35 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin) { (s, dir) =>
+      // shuffle_hash on the filtered-orders side: sort-merge would sort
+      // BOTH fact streams; the hash build is two skinny columns at
+      // order/partition-count rows per task (~0.6 M at sf100 with
+      // data-sized partitions), and the downstream aggregates want hash
+      // partitioning, not sort order, so the sorts buy nothing.
       val late = t(s, dir, "lineitem")
         .join(
           t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-            .select(col("o_orderkey"), col("o_orderdate")),
+            .select(col("o_orderkey"), col("o_orderdate"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .cast("int")).as("is_late"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_orderkey"))
+      // per-order rollup: when exactly one supplier was late,
+      // max(CASE) IS that supplier — no join back to `late`, no window
       late
-        .withColumn("nsupp", count(lit(1)).over(w))
-        .withColumn("nlate", sum(col("is_late")).over(w))
-        .filter(col("is_late") === 1 && col("nsupp") > 1 && col("nlate") === 1)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("nsupp"),
+          sum(col("is_late")).as("nlate"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("nsupp") > 1 && col("nlate") === 1)
         .join(
           dim(t(s, dir, "supplier")
             .join(broadcast(t(s, dir, "nation")),
               col("s_nationkey") === col("n_nationkey"))
             .select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
+          col("late_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
