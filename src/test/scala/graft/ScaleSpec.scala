@@ -94,12 +94,20 @@ class ScaleSpec extends SparkSuite {
     // the (orderkey, suppkey, max(is_late)) pre-aggregate replaced the two
     // countDistincts — no Expand may double the rows through the aggregate
     assert(!plan.contains("Expand"), s"countDistinct Expand reappeared:\n$plan")
-    // and the pre-aggregate feeds both the per-order counts and the probe
-    // side, so at runtime AQE must materialize its exchange ONCE
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("Reused"),
-      s"late pre-aggregate exchange not reused between consumers:\n$finalPlan")
+    // the per-order (nsupp, nlate, late_supp) rollup is a SECOND hash
+    // aggregate riding the join's own orderkey partitioning — neither a
+    // window (whose within-partition sort spilled 94 GB at sf100) nor a
+    // join back to the pre-aggregate may reappear
+    assert(!plan.contains("Window"),
+      s"per-order rollup regressed to a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact join regressed to sort-merge (two fact-stream sorts):\n$plan")
+    // single fact pipeline: the only hash exchanges are the two join
+    // inputs (l_orderkey / o_orderkey) and the final s_name aggregate —
+    // both per-order aggregates must reuse the join's partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 3,
+      s"fact pipeline re-exchanges ($hashExchanges hash exchanges):\n$plan")
   }
 
   test("semDedup's only exchanges are the centroid-keyed pair join") {
