@@ -32,9 +32,15 @@ object Relational {
     * converts back to broadcast at runtime if the built side proves
     * small (runtime stats see through filters this file-stat estimate
     * cannot). */
-  private def dim(df: DataFrame, cap: Long = 64L << 20): DataFrame =
+  private def dim(df: DataFrame, cap: Long = 64L << 20,
+      shuffleHashFallback: Boolean = false): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cap))
       broadcast(df)
+    // above the broadcast cap a dimension still shouldn't force the FACT
+    // side through a sort-merge sort: hash-build the dim partitions
+    // (dimension/partition-count rows per task stays small at any SF
+    // when partitions are data-sized)
+    else if (shuffleHashFallback) df.hint("shuffle_hash")
     else df
 
   /** [[dimCounted]]'s probe memo: repeated executions of the same query
@@ -232,11 +238,16 @@ object Relational {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin) { (s, dir) =>
+      // hash-build the quarter of orders and (downstream) customer —
+      // sort-merge sorted the 150 M-row returned-lineitem stream twice
+      // (once per join key) on the way to a hash aggregate
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
+        .hint("shuffle_hash")
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(dim(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(dim(t(s, dir, "customer"), shuffleHashFallback = true),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -253,8 +264,13 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin) { (s, dir) =>
+      // one month of lineitem is the SMALL side here (dim(part) stays a
+      // shuffle join once part outgrows the broadcast cap): hash-build
+      // the filtered fact, probe part — sort-merge would sort BOTH
+      // streams for a global aggregate that needs no order
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-02-01"))
+        .hint("shuffle_hash")
       val part = t(s, dir, "part")
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       li.join(dim(part), col("l_partkey") === col("p_partkey"))
@@ -367,6 +383,14 @@ object Relational {
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // The nation-pair OR spans two relations, so Catalyst cannot derive
+      // per-side constraints from it — each branch's IN implication is
+      // stated explicitly. That pushes `n_name IN (pair)` through the
+      // nation joins into supplier (→ ~8% of suppliers) and customer
+      // (→ ~8%), both then under the AQE runtime-broadcast cap, and the
+      // lineitem stream shrinks 12× BEFORE the orders join — the only
+      // remaining fact exchange. The OR itself still applies as the final
+      // pair filter.
       s.sql(
         """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue FROM (
           |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -379,6 +403,8 @@ object Relational {
           |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
           |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
           |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          |    AND n1.n_name IN ('NATION_10', 'NATION_12')
+          |    AND n2.n_name IN ('NATION_10', 'NATION_12')
           |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
           |GROUP BY supp_nation, cust_nation, l_year
           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
@@ -777,13 +803,27 @@ object Relational {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST LIMIT 100""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // partsupp is GENERATED from part (4 rows per part, ps_partkey =
+      // p_partkey), so `partsupp JOIN part ON p_partkey = ps_partkey` is
+      // an identity self-join on the generator: inline the generation
+      // over the ALREADY-FILTERED part rows instead. The brand/type/size
+      // predicates then prune ~87% of part BEFORE the 4-way explode, the
+      // 80 M-row join (two partkey exchanges + sorts at sf100)
+      // disappears, and the unused availqty/costcents md5s are never
+      // computed. Same rows as the oracle's join by construction.
       s.sql(
-        s"""WITH $psSpark
+        """WITH sp AS (SELECT count(*) AS s_cnt FROM supplier),
+          |fpart AS (
+          |  SELECT p_partkey, p_brand, p_type, p_size FROM part
+          |  WHERE p_brand <> 'Brand#17' AND p_type NOT LIKE 'SMALL%'
+          |    AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)),
+          |ps AS (
+          |  SELECT p_brand, p_type, p_size,
+          |         (p_partkey + i.i * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt AS ps_suppkey
+          |  FROM fpart CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS i) i CROSS JOIN sp)
           |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
-          |FROM partsupp JOIN part ON p_partkey = ps_partkey
-          |WHERE p_brand <> 'Brand#17' AND p_type NOT LIKE 'SMALL%'
-          |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |FROM ps
+          |WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
           |GROUP BY p_brand, p_type, p_size
           |ORDER BY supplier_cnt DESC, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST LIMIT 100""".stripMargin)
     },
@@ -812,19 +852,40 @@ object Relational {
         |          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
         |ORDER BY s_name""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // The q17 lesson applied to q20: Spark decorrelates the
+      // availqty-vs-half-shipped scalar subquery into an aggregate over
+      // EVERY (l_partkey, l_suppkey) group — ~170 M groups from the
+      // year-filtered fact at sf100 — then joins the red-part partsupp
+      // slice against it. Pushing the red semi-filter BELOW the
+      // aggregate (broadcast of ~red-part keys) shrinks the grouped
+      // stream ~10×, and partsupp is generated from red parts only
+      // (ps_partkey = p_partkey by construction), never materializing
+      // the other ~90% of the derived dim. An inner join against the
+      // per-group halves keeps the original NULL semantics: a
+      // (partkey, suppkey) with no shipped lines made the scalar NULL
+      // and the `>` false — absent from the join, identically excluded.
       s.sql(
-        s"""WITH $psSpark
+        """WITH sp AS (SELECT count(*) AS s_cnt FROM supplier),
+          |red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+          |ps AS (
+          |  SELECT p_partkey AS ps_partkey,
+          |         (p_partkey + i.i * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt AS ps_suppkey,
+          |         1 + CAST(conv(substr(md5(CAST(p_partkey AS STRING) || ':' || CAST(i.i AS STRING)), 1, 4), 16, 10) AS INT) % 9999 AS ps_availqty
+          |  FROM red CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS i) i CROSS JOIN sp),
+          |lsum AS (
+          |  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+          |  FROM lineitem
+          |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          |    AND l_partkey IN (SELECT p_partkey FROM red)
+          |  GROUP BY l_partkey, l_suppkey)
           |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
           |  JOIN region ON n_regionkey = r_regionkey
           |WHERE r_name = 'EUROPE'
           |  AND s_suppkey IN (
-          |    SELECT ps_suppkey FROM partsupp
-          |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-          |      AND ps_availqty > (
-          |        SELECT 0.5 * sum(l_quantity) FROM lineitem
-          |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-          |          AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+          |    SELECT ps_suppkey
+          |    FROM ps JOIN lsum ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          |    WHERE ps_availqty > half_qty)
           |ORDER BY s_name""".stripMargin)
     },
 
