@@ -356,13 +356,26 @@ object Relational {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // The EXISTS planned as a left-semi SORT-merge join that sorted the
+      // ENTIRE 600 M-row lineitem stream (the leg's chronic GC hotspot —
+      // it OOM'd one 48 GB marathon outright). Per order the correlated
+      // predicate is monotone in l_shipdate, so EXISTS(l_shipdate >
+      // o_orderdate + 60) ⟺ max(l_shipdate) > o_orderdate + 60: one
+      // map-side-combined hash aggregate (600 M → order cardinality, no
+      // sort), then a hash join that reuses the aggregate's own orderkey
+      // partitioning — only the date-filtered orders side exchanges.
+      // NULL/no-lineitem orders drop from the inner join exactly as
+      // EXISTS excludes them (max over all-NULL is NULL → predicate
+      // NULL → false).
       s.sql(
-        """SELECT o_orderpriority, count(*) AS order_count
-          |FROM orders
+        """SELECT /*+ SHUFFLE_HASH(orders) */
+          |  o_orderpriority, count(*) AS order_count
+          |FROM orders JOIN (
+          |  SELECT l_orderkey, max(l_shipdate) AS max_ship
+          |  FROM lineitem GROUP BY l_orderkey) lmax
+          |  ON o_orderkey = l_orderkey
           |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
-          |  AND EXISTS (SELECT 1 FROM lineitem
-          |              WHERE l_orderkey = o_orderkey
-          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |  AND max_ship > o_orderdate + INTERVAL 60 DAY
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
