@@ -51,6 +51,9 @@ class GraftContext(val spark: SparkSession) {
         spark.read.options(options).format("jdbc").load()
       case "sqlite" => // driver-free file-format reader (sources/SqliteFormat)
         spark.read.options(options).format("sqlite").load(path)
+      case "avro" => // driver-free container reader (sources/AvroLite):
+        // splittable sync-marker ranges + reader-schema column pruning
+        spark.read.options(options).format("avrolite").load(path)
       case "xml" => // Spark 4 built-in XML; rowTag defaults like the matrix
         spark.read.options(Map("rowTag" -> "row") ++ options)
           .format("xml").load(path)
@@ -992,6 +995,7 @@ object GraftContext {
     else if (p.endsWith(".txt")) "text"
     else if (p.endsWith(".sqlite") || p.endsWith(".sqlite3") ||
       p.endsWith(".db")) "sqlite"
+    else if (p.endsWith(".avro")) "avro"
     else "parquet"
   }
 

@@ -1,0 +1,206 @@
+package graft
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** AvroLite (DataSource V2 over the Avro container format, no spark-avro
+  * jar): type mapping incl. logical types, nullable unions, nested
+  * records/arrays/maps, column pruning via the reader schema, sync-marker
+  * split planning (exactly-once rows across byte-range partitions), codec
+  * handling, directory reads, and the GraftContext createTable path. */
+class AvroLiteSpec extends SparkSuite {
+
+  private def tmpDir(prefix: String): File = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit(); d
+  }
+
+  private val fullSchema: Schema = {
+    val json =
+      """{"type":"record","name":"doc","namespace":"graft.test","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"title","type":"string"},
+        |{"name":"score","type":["null","double"],"default":null},
+        |{"name":"flag","type":"boolean"},
+        |{"name":"payload","type":"bytes"},
+        |{"name":"color","type":{"type":"enum","name":"col","symbols":["RED","BLUE"]}},
+        |{"name":"tags","type":{"type":"array","items":"string"}},
+        |{"name":"attrs","type":{"type":"map","values":"int"}},
+        |{"name":"pos","type":{"type":"record","name":"pt","fields":[
+        |  {"name":"x","type":"int"},{"name":"y","type":"int"}]}},
+        |{"name":"day","type":{"type":"int","logicalType":"date"}},
+        |{"name":"at","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"at_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}}
+        |]}""".stripMargin
+    new Schema.Parser().parse(json)
+  }
+
+  private def record(i: Long): GenericRecord = {
+    val r = new GenericData.Record(fullSchema)
+    r.put("id", i)
+    r.put("title", s"doc-$i")
+    r.put("score", if (i % 3 == 0) null else java.lang.Double.valueOf(i * 0.5))
+    r.put("flag", (i % 2 == 0): java.lang.Boolean)
+    r.put("payload", ByteBuffer.wrap(Array[Byte](i.toByte, (i + 1).toByte)))
+    r.put("color", new GenericData.EnumSymbol(
+      fullSchema.getField("color").schema, if (i % 2 == 0) "RED" else "BLUE"))
+    r.put("tags", java.util.List.of(s"t$i", "common"))
+    r.put("attrs", java.util.Map.of("n", Integer.valueOf(i.toInt)))
+    val pos = new GenericData.Record(fullSchema.getField("pos").schema)
+    pos.put("x", i.toInt); pos.put("y", -i.toInt)
+    r.put("pos", pos)
+    r.put("day", 19000 + (i % 10).toInt) // days since epoch
+    r.put("at", 1700000000000000L + i)   // µs
+    r.put("at_ms", 1700000000000L + i)   // ms
+    r.put("price", ByteBuffer.wrap(
+      java.math.BigDecimal.valueOf(i * 100 + 25, 2).unscaledValue.toByteArray))
+    r
+  }
+
+  private def write(file: File, schema: Schema, rows: Iterator[GenericRecord],
+      codec: CodecFactory = CodecFactory.nullCodec(),
+      syncInterval: Int = 0): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(codec)
+    if (syncInterval > 0) w.setSyncInterval(syncInterval)
+    w.create(schema, file)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  test("avro type battery round-trips: primitives, logical, nested") {
+    val dir = tmpDir("avro_types")
+    write(new File(dir, "a.avro"), fullSchema, (0L until 20L).map(record).iterator)
+    val df = spark.read.format("avrolite").load(dir.getAbsolutePath)
+
+    val expected = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("title", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("color", StringType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("attrs", MapType(StringType, IntegerType, valueContainsNull = false), nullable = false),
+      StructField("pos", StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false))), nullable = false),
+      StructField("day", DateType, nullable = false),
+      StructField("at", TimestampType, nullable = false),
+      StructField("at_ms", TimestampType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = false)))
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      expected.map(f => (f.name, f.dataType)))
+
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 20)
+    val r7 = rows(7)
+    assert(r7.getAs[Long]("id") == 7L)
+    assert(r7.getAs[String]("title") == "doc-7")
+    assert(r7.getAs[Double]("score") == 3.5)
+    assert(!r7.getAs[Boolean]("flag"))
+    assert(r7.getAs[Array[Byte]]("payload").toSeq == Seq(7.toByte, 8.toByte))
+    assert(r7.getAs[String]("color") == "BLUE")
+    assert(r7.getSeq[String](r7.fieldIndex("tags")) == Seq("t7", "common"))
+    assert(r7.getMap[String, Int](r7.fieldIndex("attrs")) == Map("n" -> 7))
+    assert(r7.getAs[Row]("pos").getInt(0) == 7 && r7.getAs[Row]("pos").getInt(1) == -7)
+    assert(r7.getAs[java.sql.Date]("day").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19007))
+    assert(r7.getAs[java.sql.Timestamp]("at").getTime == 1700000000000L &&
+      r7.getAs[java.sql.Timestamp]("at").getNanos == 7000)
+    assert(r7.getAs[java.sql.Timestamp]("at_ms").getTime == 1700000000007L)
+    assert(r7.getAs[java.math.BigDecimal]("price") ==
+      new java.math.BigDecimal("7.25"))
+    // union null branch
+    assert(rows(6).isNullAt(rows(6).fieldIndex("score")))
+  }
+
+  test("column pruning reaches the avro reader schema") {
+    val dir = tmpDir("avro_prune")
+    write(new File(dir, "a.avro"), fullSchema, (0L until 50L).map(record).iterator)
+    val df = spark.read.format("avrolite").load(dir.getAbsolutePath)
+      .select("id", "title")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("avro") && plan.contains("[id,title]"),
+      s"scan not pruned to [id,title]:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(13L) == "doc-13" && got.size == 50)
+  }
+
+  test("sync-marker splits: many partitions, exactly-once rows") {
+    val dir = tmpDir("avro_split")
+    val n = 5000L
+    // small sync interval → many blocks → many claimable split points
+    write(new File(dir, "big.avro"), fullSchema,
+      (0L until n).map(record).iterator, syncInterval = 2048)
+    val df = spark.read.format("avrolite").option("splitSize", "65536")
+      .load(dir.getAbsolutePath).select("id")
+    assert(df.rdd.getNumPartitions > 4,
+      s"expected multiple byte-range splits, got ${df.rdd.getNumPartitions}")
+    // exactly-once: count AND content (a missed/duplicated block would
+    // break the arithmetic-series sum even if counts accidentally match)
+    val (cnt, sum) = df.collect().foldLeft((0L, 0L)) {
+      case ((c, s), r) => (c + 1, s + r.getLong(0)) }
+    assert(cnt == n && sum == n * (n - 1) / 2)
+  }
+
+  test("deflate + snappy codecs decode per block") {
+    for (codec <- Seq(CodecFactory.deflateCodec(6), CodecFactory.snappyCodec())) {
+      val dir = tmpDir(s"avro_codec")
+      write(new File(dir, "c.avro"), fullSchema,
+        (0L until 100L).map(record).iterator, codec = codec)
+      val df = spark.read.format("avrolite").load(dir.getAbsolutePath)
+      assert(df.count() == 100)
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 4950L)
+    }
+  }
+
+  test("directory of container files reads as one table") {
+    val dir = tmpDir("avro_dir")
+    write(new File(dir, "p0.avro"), fullSchema, (0L until 30L).map(record).iterator)
+    write(new File(dir, "p1.avro"), fullSchema, (30L until 70L).map(record).iterator)
+    Files.writeString(new File(dir, "_SUCCESS").toPath, "") // must be skipped
+    val df = spark.read.format("avrolite").load(dir.getAbsolutePath)
+    assert(df.count() == 70)
+    assert(df.select("id").distinct().count() == 70)
+  }
+
+  test("GraftContext.createTable infers avro from the extension") {
+    val dir = tmpDir("avro_ctx")
+    val f = new File(dir, "docs.avro")
+    write(f, fullSchema, (0L until 25L).map(record).iterator)
+    val ctx = GraftContext(spark)
+    try {
+      ctx.createTable("avro_docs", f.getAbsolutePath)
+      val out = ctx.sql(
+        "SELECT color, count(*) AS c FROM avro_docs GROUP BY color ORDER BY color")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out == Seq(("BLUE", 12L), ("RED", 13L)))
+    } finally ctx.dropTable("avro_docs")
+  }
+
+  test("non-nullable union and unsupported unions fail loudly") {
+    val s = SchemaBuilder.record("u").fields()
+      .name("v").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.INT), Schema.create(Schema.Type.STRING)))
+      .noDefault().endRecord()
+    val dir = tmpDir("avro_union")
+    val r = new GenericData.Record(s); r.put("v", Integer.valueOf(1))
+    write(new File(dir, "u.avro"), s, Iterator(r))
+    val e = intercept[Exception] {
+      spark.read.format("avrolite").load(dir.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("nullable-single-type union"),
+      s"wrong error: ${e.getMessage}")
+  }
+}
