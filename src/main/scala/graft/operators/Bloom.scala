@@ -160,4 +160,46 @@ object Bloom {
         coalesce(col("n_hits"), lit(0L)).as("n_bloom_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
   }
+
+  // --- native Tungsten key filter -----------------------------------------
+
+  /** Build Spark's own Tungsten Bloom filter (`BloomFilterAggregate`,
+    * XxHash64 — the engine the optimizer's InjectRuntimeFilter uses) over
+    * `keyCol` and return its serialized bytes: driver-held model state in
+    * the k-means-centroid pattern, a few MB for tens of millions of keys.
+    *
+    * This is the HOT-PATH twin of [[prefilterJoin]]: the md5 family above
+    * exists to be bit-replayable by the DuckDB oracle; when the prune is a
+    * pure shuffle-volume optimization inside an exact join, replayability
+    * of the intermediate is irrelevant and the codegen'd xxhash probe is
+    * ~10× cheaper per row. Returns null when `keys` is empty — a join
+    * against an empty build side returns nothing, and [[nativePruned]]
+    * preserves exactly that.
+    */
+  def nativeKeyBloom(keys: DataFrame, keyCol: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shims
+    val agg = new BloomFilterAggregate(
+      Shims.expression(keyCol.cast("long")),
+      Literal(math.max(1L, expectedItems)), Literal(math.max(64L, numBits)))
+    keys.select(Shims.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Drop `fact` rows whose `factKey` cannot be in the serialized filter
+    * (no false negatives — sound below any inner/semi join on that key).
+    * The bytes ride the plan as a Literal, exactly how the optimizer's
+    * injected runtime filters ship after subquery execution: one
+    * stage-level task-binary broadcast, never per-row state.
+    */
+  def nativePruned(fact: DataFrame, factKey: Column,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.BinaryType
+    fact.filter(Shims.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType), Shims.expression(factKey.cast("long")))))
+  }
 }

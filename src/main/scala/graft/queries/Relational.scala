@@ -74,6 +74,39 @@ object Relational {
     if (n <= maxRows) broadcast(df) else df
   }
 
+  /** Serialized native Bloom filters by (session, canonical keys-plan) —
+    * same lifecycle and staleness contract as [[probeMemo]]; entries are
+    * a few MB each, so the leak guard trips earlier. */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Byte]]()
+
+  /** Bloom-prune `fact` rows whose `factKey` has no candidate in
+    * `keys(keyCol)` BEFORE the join's exchange — the explicit form of the
+    * optimizer's runtime filter, for the joins whose creation side it
+    * cannot size (a filtered or derived dim has its parent's file-stat
+    * estimate without CBO). Sound only below inner/semi joins on the same
+    * key: no false negatives, and the exact join removes the ~1% false
+    * positives. At 100 TB this is the difference between shuffling a
+    * fact table and shuffling the percent of it that can match.
+    *
+    * Cost model: one count job + one aggregate job over `keys` on FIRST
+    * execution (both memoised per session, like [[dimCounted]]'s probe);
+    * the filter bytes (10 bits/key, ≤32 MB) ride the task binary's
+    * stage-level broadcast.
+    */
+  private def bloomSemi(fact: DataFrame, factKey: Column,
+      keys: DataFrame, keyCol: Column): DataFrame = {
+    if (bloomMemo.size > 64) bloomMemo.clear()
+    val memoKey = (System.identityHashCode(keys.sparkSession),
+      keys.queryExecution.optimizedPlan.canonicalized.toString)
+    val bytes = bloomMemo.computeIfAbsent(memoKey, _ => {
+      val n = probeMemo.computeIfAbsent(memoKey, _ => keys.count())
+      graft.operators.Bloom.nativeKeyBloom(
+        keys, keyCol, n, math.min(n * 10L, 1L << 28))
+    })
+    graft.operators.Bloom.nativePruned(fact, factKey, bytes)
+  }
+
   /** Derived-partsupp CTE, DuckDB dialect. The fixtures omit partsupp
     * (TESTDATA.md), so the Q2/Q11/Q16/Q20 quartet derives it from
     * part × supplier with dbgen's fan-out rule and md5-family quantities;
@@ -178,7 +211,15 @@ object Relational {
       // the file-stat estimate can't see.
       val buildingOrd = ord.join(dimCounted(cust.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_semi")
-      li.join(buildingOrd, col("l_orderkey") === col("o_orderkey"))
+      // the shipdate filter keeps ~53% of lineitem while BUILDING×window
+      // keeps ~10% of orders — Bloom-prune the fact by the order-key set
+      // before its exchange (~5× less shuffled), and hash-build the
+      // pruned orders instead of sorting both streams for a hash
+      // aggregate that needs no order
+      bloomSemi(li, col("l_orderkey"),
+          buildingOrd.select(col("o_orderkey")), col("o_orderkey"))
+        .join(buildingOrd.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -199,19 +240,40 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val nation = t(s, dir, "nation")
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      // The c_nationkey = s_nationkey constraint plus the region chain
+      // restricts BOTH the customer and the supplier to ASIA nations —
+      // stated explicitly (Catalyst cannot derive a one-side IN from a
+      // cross-relation equality), every dimension of this 6-way join
+      // becomes broadcast-sized and the whole query collapses to ONE
+      // exchange of the doubly-prefiltered fact: lineitem probes the
+      // 20%-of-supplier ASIA map, then the Bloom filter of the ~3% ASIA
+      // order window, so ~0.6% of lineitem reaches the orderkey shuffle.
+      // The previous shape shuffled ALL of lineitem, then sort-merged
+      // 90 M rows by custkey, then again by suppkey — 63 s at sf100;
+      // this one is scan-bound.
+      val asiaN = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asupp = t(s, dir, "supplier")
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val acust = t(s, dir, "customer")
+        .join(broadcast(asiaN.select(col("n_nationkey").as("cnk"))),
+          col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val aord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
-      val li = t(s, dir, "lineitem")
-      val supp = t(s, dir, "supplier")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(dim(cust), col("o_custkey") === col("c_custkey"))
-        .join(dim(supp),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(dimCounted(acust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      val ali = t(s, dir, "lineitem")
+        .join(dimCounted(asupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("s_nationkey"), col("n_name"))
+      bloomSemi(ali, col("l_orderkey"), aord.select(col("o_orderkey")), col("o_orderkey"))
+        .join(aord.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -238,19 +300,27 @@ object Relational {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin) { (s, dir) =>
-      // hash-build the quarter of orders and (downstream) customer —
-      // sort-merge sorted the 150 M-row returned-lineitem stream twice
-      // (once per join key) on the way to a hash aggregate
+      // the quarter keeps ~4% of orders while returnflag keeps 25% of
+      // lineitem: Bloom-prune the fact by the quarter's order keys before
+      // its exchange (~26× less shuffled), hash-build the quarter, and
+      // aggregate revenue per custkey BEFORE the customer join — custkey
+      // is customer's unique key, so grouping by it first is exactly the
+      // original group-by with the customer attributes attached after,
+      // and the custkey exchange carries aggregated rows, not lines
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
-        .hint("shuffle_hash")
+        .select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val perCust = bloomSemi(li, col("l_orderkey"),
+          ord.select(col("o_orderkey")), col("o_orderkey"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      perCust
         .join(dim(t(s, dir, "customer"), shuffleHashFallback = true),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -441,24 +511,43 @@ object Relational {
         |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |    AND p_type LIKE '%PROMO%') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT o_year, round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
-          |FROM (
-          |  SELECT year(o_orderdate) AS o_year,
-          |         l_extendedprice * (1 - l_discount) AS volume,
-          |         n2.n_name AS nation
-          |  FROM part JOIN lineitem ON p_partkey = l_partkey
-          |    JOIN supplier ON s_suppkey = l_suppkey
-          |    JOIN orders ON l_orderkey = o_orderkey
-          |    JOIN customer ON o_custkey = c_custkey
-          |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
-          |    JOIN region ON n1.n_regionkey = r_regionkey
-          |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
-          |  WHERE r_name = 'ASIA'
-          |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
-          |    AND p_type LIKE '%PROMO%') all_nations
-          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+      // written left-to-right this 8-way join ran FOUR fact exchanges
+      // (partkey, suppkey, orderkey, custkey — 38.6 s at sf100); but
+      // part contributes only its FILTER (broadcast the ~17% PROMO key
+      // set as a semi-join), supplier⋈n2 is a 2-column broadcast map,
+      // and customer⋈n1⋈region reduces to a broadcast semi that turns
+      // orders into the ~6%-selective ASIA window — so the one real
+      // exchange is the Bloom-pruned promo lineitem against those
+      // orders, hash-built, no sorts
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val aord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31")))
+        .join(dimCounted(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val promoKeys = t(s, dir, "part")
+        .filter(col("p_type").like("%PROMO%")).select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(dimCounted(promoKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(dimCounted(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          col("nation"))
+      bloomSemi(li, col("l_orderkey"), aord.select(col("o_orderkey")), col("o_orderkey"))
+        .join(aord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(round(sum(when(col("nation") === "NATION_1", col("volume")).otherwise(lit(0.0)))
+          / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
     },
 
     QuerySpec(
@@ -475,17 +564,31 @@ object Relational {
         |    JOIN nation ON s_nationkey = n_nationkey
         |  WHERE p_name LIKE '%widget%') profit
         |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT nation, o_year, sum(amount) AS sum_profit FROM (
-          |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
-          |         l_extendedprice * (1 - l_discount) AS amount
-          |  FROM part JOIN lineitem ON p_partkey = l_partkey
-          |    JOIN supplier ON s_suppkey = l_suppkey
-          |    JOIN orders ON o_orderkey = l_orderkey
-          |    JOIN nation ON s_nationkey = n_nationkey
-          |  WHERE p_name LIKE '%widget%') profit
-          |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)
+      // part contributes only its ~12% `widget` filter (broadcast key
+      // set, semi) and supplier⋈nation is a 2-column broadcast map, so
+      // the only real exchange is filtered-lineitem ⋈ orders on orderkey
+      // — hash-built on the narrower orders projection (orderkey, year),
+      // no sorts. The left-to-right SQL shape ran partkey + suppkey +
+      // orderkey fact exchanges back-to-back.
+      val widgetKeys = t(s, dir, "part")
+        .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .hint("shuffle_hash")
+      t(s, dir, "lineitem")
+        .join(dimCounted(widgetKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(dimCounted(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amount"),
+          col("nation"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
     },
 
     QuerySpec(
@@ -513,18 +616,27 @@ object Relational {
       // aggregate. Hash-building the (narrower) orders partitions
       // skips both sorts; at small SFs AQE still turns the join into
       // a broadcast when runtime stats allow.
+      // Both exchange payloads are narrowed map-side: the priority
+      // CASE collapses to a boolean BEFORE the shuffle (no ~10-byte
+      // string per order row) and both midnight timestamps ride as
+      // 4-byte DATEs — every fixture timestamp is 00:00:00, so the
+      // `± INTERVAL n DAY` compares are exactly date arithmetic.
       s.sql(
         """SELECT delay_bucket,
-          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |  CAST(sum(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
           |FROM (
-          |  SELECT /*+ SHUFFLE_HASH(orders) */
-          |         CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
-          |              WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'medium'
+          |  SELECT /*+ SHUFFLE_HASH(o) */
+          |         CASE WHEN l_ship <= o_date + INTERVAL 30 DAY THEN 'fast'
+          |              WHEN l_ship <= o_date + INTERVAL 90 DAY THEN 'medium'
           |              ELSE 'slow' END AS delay_bucket,
-          |         o_orderpriority
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |  WHERE l_shipdate >= DATE '1996-01-01') x
+          |         is_high
+          |  FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+          |               o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high
+          |        FROM orders) o
+          |  JOIN (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_ship
+          |        FROM lineitem WHERE l_shipdate >= DATE '1996-01-01') l
+          |    ON o_orderkey = l_orderkey) x
           |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin)
     },
 
@@ -870,8 +982,11 @@ object Relational {
       // EVERY (l_partkey, l_suppkey) group — ~170 M groups from the
       // year-filtered fact at sf100 — then joins the red-part partsupp
       // slice against it. Pushing the red semi-filter BELOW the
-      // aggregate (broadcast of ~red-part keys) shrinks the grouped
-      // stream ~10×, and partsupp is generated from red parts only
+      // aggregate (broadcast of ~red-part keys — explicit hint: the
+      // ~13% key set is ~20 MB of longs at sf100, above the 10 MB
+      // auto-broadcast threshold, so the IN-subquery semi silently
+      // became a fact exchange) shrinks the grouped stream ~10×,
+      // and partsupp is generated from red parts only
       // (ps_partkey = p_partkey by construction), never materializing
       // the other ~90% of the derived dim. An inner join against the
       // per-group halves keeps the original NULL semantics: a
@@ -886,10 +1001,10 @@ object Relational {
           |         1 + CAST(conv(substr(md5(CAST(p_partkey AS STRING) || ':' || CAST(i.i AS STRING)), 1, 4), 16, 10) AS INT) % 9999 AS ps_availqty
           |  FROM red CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS i) i CROSS JOIN sp),
           |lsum AS (
-          |  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
-          |  FROM lineitem
+          |  SELECT /*+ BROADCAST(red) */
+          |         l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+          |  FROM lineitem LEFT SEMI JOIN red ON l_partkey = p_partkey
           |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-          |    AND l_partkey IN (SELECT p_partkey FROM red)
           |  GROUP BY l_partkey, l_suppkey)
           |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
           |FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -97,4 +97,34 @@ class BloomSpec extends SparkSuite {
       assert(benchMissed === 0L)
     } finally joined.unpersist()
   }
+
+  test("nativeKeyBloom/nativePruned: no false negatives, real pruning, exact join") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val sel = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    val n = sel.count()
+    val bf = Bloom.nativeKeyBloom(sel, col("o_orderkey"), n, n * 10)
+    assert(bf != null && bf.nonEmpty)
+    val pruned = Bloom.nativePruned(li, col("l_orderkey"), bf)
+    // sound: the pruned join equals the plain join
+    val viaBloom = pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
+    val plain = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty,
+      "native bloom prune changed the join result")
+    // effective: at 10 bits/key the pass-through is matches + ~1% noise
+    val kept = pruned.count()
+    assert(kept >= plain.count(), "prune may never drop a matching row")
+    assert(kept < li.count() / 2, s"prune kept $kept of ${li.count()} rows")
+  }
+
+  test("nativeKeyBloom over an empty key set prunes everything (empty-join parity)") {
+    val li = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val none = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") < -1).select(col("o_orderkey"))
+    val bf = Bloom.nativeKeyBloom(none, col("o_orderkey"), 1, 64)
+    assert(Bloom.nativePruned(li, col("l_orderkey"), bf).count() === 0L,
+      "an empty build side admits no fact rows — the inner join it guards is empty")
+  }
 }
