@@ -199,6 +199,18 @@ object Bench {
             System.err.println(s"bench: $name FAILED: ${t.getMessage}"); false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         graft.operators.Dedup.releaseCaches()
+        // Shuffle-file hygiene at data scale (≥1 GiB fixtures, same
+        // threshold as discard_first): a completed job's shuffle files
+        // are deleted only when its ShuffleDependency is GC'd and the
+        // ContextCleaner processes the weak ref — under a large heap
+        // that can lag MINUTES, so a wide-exchange query (q12 writes
+        // ~15 GB/sample at sf100) stacks dead shuffle files in the OS
+        // page cache and evicts the parquet columns every LATER query
+        // scans (observed: q1's scan 4 s in a fresh JVM, 25 s late in a
+        // full leg). A forced GC between samples — outside the timed
+        // window — releases the files the way an idle real cluster
+        // would between jobs.
+        if (discardFirst) System.gc()
         if (ok) { sampleTs += wall0; Some(elapsed) } else None
       }
       // scored scheme: min-of-2; when both exceed 1 s (the family where
