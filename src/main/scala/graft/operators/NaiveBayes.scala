@@ -95,21 +95,55 @@ object NaiveBayes {
   }
 
   /** Scoring from materialized (idCol, token, tf) rows — shared by
-    * [[predict]] and the fused [[fitPredict]] path. */
+    * [[predict]] and the fused [[fitPredict]] path.
+    *
+    * The class dimension is PIVOTED into per-label sum columns: the
+    * label set is classes-sized bounded model state (like the priors
+    * themselves), so one driver collect fixes the columns at plan time
+    * and the seen-token aggregate groups by doc alone. The naive
+    * (doc, label) hash-agg shuffled every (scoring row × matching
+    * class) — ~L× the token-hit stream, measured 156 GB of spill on a
+    * 2 B-token corpus at 32 g — where the pivoted aggregate's exchange
+    * carries ONE row per (partition, doc) with L sums, and partial
+    * aggregation actually bites because doc_id alone is the key.
+    * Classifiers have few classes by construction; a >64-label input
+    * falls back to the unpivoted shape rather than build a 1000-column
+    * plan. */
   private def predictFromTf(model: Model, docs: DataFrame, dt: DataFrame,
       idCol: String): DataFrame = {
     val nTok = dt.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tok"))
-    val seenAdj = dt.join(model.weights, Seq("token"))
-      .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
-        Seq("label"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("tf") * (col("logp") - col("logunseen"))).as("adj"))
-    val scored = nTok
-      .join(broadcast(model.priors))
-      .join(seenAdj, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("label"),
-        (col("logprior") + col("n_tok") * col("logunseen") +
-          coalesce(col("adj"), lit(0.0))).as("score"))
+    val labels = model.priors.select(col("label"))
+      .orderBy(col("label")).collect().map(_.getString(0))
+    val adj = col("tf") * (col("logp") - col("logunseen"))
+    val seenAdjWide = if (labels.length <= 64 && labels.nonEmpty) {
+      val hits = dt.join(model.weights, Seq("token"))
+        .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
+          Seq("label"))
+      val sums = labels.map(l =>
+        sum(when(col("label") === l, adj)).as(s"graft_adj_$l"))
+      Some(hits.groupBy(col(idCol)).agg(sums.head, sums.tail: _*))
+    } else None
+    val scored = seenAdjWide match {
+      case Some(wide) =>
+        nTok.join(broadcast(model.priors))
+          .join(wide, Seq(idCol), "left")
+          .select(col(idCol), col("label"),
+            (col("logprior") + col("n_tok") * col("logunseen") +
+              coalesce((labels.map(l =>
+                when(col("label") === l, col(s"graft_adj_$l"))) :+
+                lit(0.0)): _*)).as("score"))
+      case None =>
+        val seenAdj = dt.join(model.weights, Seq("token"))
+          .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
+            Seq("label"))
+          .groupBy(col(idCol), col("label"))
+          .agg(sum(adj).as("adj"))
+        nTok.join(broadcast(model.priors))
+          .join(seenAdj, Seq(idCol, "label"), "left")
+          .select(col(idCol), col("label"),
+            (col("logprior") + col("n_tok") * col("logunseen") +
+              coalesce(col("adj"), lit(0.0))).as("score"))
+    }
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label"))
     val best = scored.withColumn("rn", row_number().over(w))
