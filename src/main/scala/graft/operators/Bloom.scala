@@ -181,9 +181,21 @@ object Bloom {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shims
+    val items = math.max(1L, expectedItems)
+    val bits = math.max(64L, numBits)
+    // BloomFilterAggregate silently Math.min-caps both arguments against
+    // the runtime.bloomFilter session confs (defaults: 4M items, 2^26
+    // bits = 8 MB) — at sf100 key sets that would shrink the requested
+    // 10 bits/key to ~4.5 and the real FPR far past the documented ~1%.
+    // Raise the caps to the requested size (monotonic: concurrent
+    // builders only ever widen, never shrink another's in-flight build).
+    val conf = keys.sparkSession.conf
+    def raise(k: String, v: Long): Unit =
+      if (conf.getOption(k).forall(_.toLong < v)) conf.set(k, v)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     val agg = new BloomFilterAggregate(
-      Shims.expression(keyCol.cast("long")),
-      Literal(math.max(1L, expectedItems)), Literal(math.max(64L, numBits)))
+      Shims.expression(keyCol.cast("long")), Literal(items), Literal(bits))
     keys.select(Shims.column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
   }
@@ -199,7 +211,11 @@ object Bloom {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.Shims
     import org.apache.spark.sql.types.BinaryType
-    fact.filter(Shims.column(new BloomFilterMightContain(
+    // null (empty build side) and the empty-array memo sentinel both mean
+    // "no key can match": the inner join this guards is empty, so prune
+    // everything with a foldable false rather than a per-row null probe.
+    if (bloom == null || bloom.isEmpty) fact.filter(lit(false))
+    else fact.filter(Shims.column(new BloomFilterMightContain(
       Literal(bloom, BinaryType), Shims.expression(factKey.cast("long")))))
   }
 }

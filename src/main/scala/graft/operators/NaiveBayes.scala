@@ -99,7 +99,7 @@ object NaiveBayes {
     *
     * The class dimension is PIVOTED into per-label sum columns: the
     * label set is classes-sized bounded model state (like the priors
-    * themselves), so one driver collect fixes the columns at plan time
+    * themselves), so one driver count fixes the pivot width at plan time
     * and the seen-token aggregate groups by doc alone. The naive
     * (doc, label) hash-agg shuffled every (scoring row × matching
     * class) — ~L× the token-hit stream, measured 156 GB of spill on a
@@ -112,50 +112,58 @@ object NaiveBayes {
   private def predictFromTf(model: Model, docs: DataFrame, dt: DataFrame,
       idCol: String): DataFrame = {
     val nTok = dt.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tok"))
-    val labels = model.priors.select(col("label"))
-      .orderBy(col("label")).collect().map(_.getString(0))
+    // Labels are addressed through a join-assigned dense integer index,
+    // never by embedding the label VALUE in a column name (a dotted or
+    // backticked label would re-parse as a nested-field path, and labels
+    // differing only by case collide under the case-insensitive
+    // resolver) and never by assuming its type (the label column can be
+    // any orderable type — only its cardinality is bounded model state).
+    // The tiny single-task window is priors-sized, like the priors scan.
+    val lw = Window.orderBy(col("label"))
+    val lidx = model.priors.select(col("label"))
+      .withColumn("graft_lidx", (row_number().over(lw) - 1).cast("int"))
+    val nLabels = lidx.count()
     val adj = col("tf") * (col("logp") - col("logunseen"))
-    val seenAdjWide = if (labels.length <= 64 && labels.nonEmpty) {
+    val scored = if (nLabels > 0 && nLabels <= 64) {
+      val n = nLabels.toInt
       val hits = dt.join(model.weights, Seq("token"))
+        .join(broadcast(model.priors.select(col("label"), col("logunseen"))
+          .join(lidx, Seq("label"))), Seq("label"))
+      val sums = (0 until n).map(i =>
+        sum(when(col("graft_lidx") === i, adj)).as(s"graft_adj_$i"))
+      val wide = hits.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      nTok.join(broadcast(model.priors.join(lidx, Seq("label"))))
+        .join(wide, Seq(idCol), "left")
+        .select(col(idCol), col("label"),
+          (col("logprior") + col("n_tok") * col("logunseen") +
+            coalesce(((0 until n).map(i =>
+              when(col("graft_lidx") === i, col(s"graft_adj_$i"))) :+
+              lit(0.0)): _*)).as("score"))
+    } else {
+      val seenAdj = dt.join(model.weights, Seq("token"))
         .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
           Seq("label"))
-      val sums = labels.map(l =>
-        sum(when(col("label") === l, adj)).as(s"graft_adj_$l"))
-      Some(hits.groupBy(col(idCol)).agg(sums.head, sums.tail: _*))
-    } else None
-    val scored = seenAdjWide match {
-      case Some(wide) =>
-        nTok.join(broadcast(model.priors))
-          .join(wide, Seq(idCol), "left")
-          .select(col(idCol), col("label"),
-            (col("logprior") + col("n_tok") * col("logunseen") +
-              coalesce((labels.map(l =>
-                when(col("label") === l, col(s"graft_adj_$l"))) :+
-                lit(0.0)): _*)).as("score"))
-      case None =>
-        val seenAdj = dt.join(model.weights, Seq("token"))
-          .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
-            Seq("label"))
-          .groupBy(col(idCol), col("label"))
-          .agg(sum(adj).as("adj"))
-        nTok.join(broadcast(model.priors))
-          .join(seenAdj, Seq(idCol, "label"), "left")
-          .select(col(idCol), col("label"),
-            (col("logprior") + col("n_tok") * col("logunseen") +
-              coalesce(col("adj"), lit(0.0))).as("score"))
+        .groupBy(col(idCol), col("label"))
+        .agg(sum(adj).as("adj"))
+      nTok.join(broadcast(model.priors))
+        .join(seenAdj, Seq(idCol, "label"), "left")
+        .select(col(idCol), col("label"),
+          (col("logprior") + col("n_tok") * col("logunseen") +
+            coalesce(col("adj"), lit(0.0))).as("score"))
     }
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label"))
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("label").as("label_pred"))
-    val fallback = model.priors
-      .orderBy(col("logprior").desc, col("label"))
-      .select(col("label")).limit(1)
-      .collect()(0).getString(0)
+    // highest-prior fallback rides a broadcast 1-row cross join instead
+    // of a driver-collected literal — no type assumption on the label
+    val fb = model.priors.orderBy(col("logprior").desc, col("label"))
+      .select(col("label").as("graft_fb")).limit(1)
     docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .crossJoin(broadcast(fb))
       .select(col(idCol),
-        coalesce(col("label_pred"), lit(fallback)).as("label_pred"))
+        coalesce(col("label_pred"), col("graft_fb")).as("label_pred"))
   }
 
   /** fit + predict on the same corpus (the in-corpus classification most

@@ -89,10 +89,14 @@ object Relational {
     * positives. At 100 TB this is the difference between shuffling a
     * fact table and shuffling the percent of it that can match.
     *
-    * Cost model: one count job + one aggregate job over `keys` on FIRST
-    * execution (both memoised per session, like [[dimCounted]]'s probe);
-    * the filter bytes (10 bits/key, ≤32 MB) ride the task binary's
-    * stage-level broadcast.
+    * Cost model: one count job + one aggregate job over `keys`, paid
+    * EAGERLY at first plan construction per session (both memoised, like
+    * [[dimCounted]]'s probe) — so repeated executions of the same query
+    * amortize the build jobs out entirely, and bench samples after the
+    * first never include them. The filter bytes (10 bits/key, ≤32 MB —
+    * [[graft.operators.Bloom.nativeKeyBloom]] raises Spark's 8 MB
+    * runtime-bloomFilter conf cap to honor that sizing) ride the task
+    * binary's stage-level broadcast.
     */
   private def bloomSemi(fact: DataFrame, factKey: Column,
       keys: DataFrame, keyCol: Column): DataFrame = {
@@ -101,8 +105,13 @@ object Relational {
       keys.queryExecution.optimizedPlan.canonicalized.toString)
     val bytes = bloomMemo.computeIfAbsent(memoKey, _ => {
       val n = probeMemo.computeIfAbsent(memoKey, _ => keys.count())
-      graft.operators.Bloom.nativeKeyBloom(
+      val b = graft.operators.Bloom.nativeKeyBloom(
         keys, keyCol, n, math.min(n * 10L, 1L << 28))
+      // empty build side → null filter; ConcurrentHashMap drops null
+      // mappings, so memoize the empty-array sentinel (nativePruned
+      // translates both to a foldable false) and the empty case caches
+      // like the non-empty one instead of re-running the probe jobs.
+      if (b == null) Array.emptyByteArray else b
     })
     graft.operators.Bloom.nativePruned(fact, factKey, bytes)
   }

@@ -348,6 +348,39 @@ class OperatorSpec extends SparkSuite {
     assert(empty == "a", s"empty-doc fallback: $empty")
   }
 
+  test("NaiveBayes survives hostile label values and non-string labels") {
+    import spark.implicits._
+    // dotted / backticked / case-colliding labels: a label value embedded
+    // in a column name would re-parse as a nested-field path or collide
+    // under the case-insensitive resolver — the pivot must address labels
+    // by dense index only (ADVICE r10)
+    val hostile = Seq(
+      (1L, "alpha beta alpha", "en.US"), (2L, "beta alpha beta", "en.US"),
+      (3L, "delta zeta delta", "EN.us"), (4L, "zeta delta zeta", "EN.us"),
+      (5L, "eta iota eta", "a`b"), (6L, "iota eta iota", "a`b"))
+      .toDF("doc_id", "text", "lang")
+    val hp = operators.NaiveBayes.fitPredict(hostile)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hw = hostile.select($"doc_id", $"lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hp == hw, s"NB misclassifies under hostile labels: $hp")
+    // integer labels: the label column's type is the caller's business
+    val intLab = Seq(
+      (1L, "alpha beta alpha", 7), (2L, "beta alpha beta", 7),
+      (3L, "delta zeta delta", 42), (4L, "zeta delta zeta", 42))
+      .toDF("doc_id", "text", "lang")
+    val ip = operators.NaiveBayes.fitPredict(intLab)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ip == Map(1L -> 7, 2L -> 7, 3L -> 42, 4L -> 42),
+      s"NB misclassifies integer labels: $ip")
+    // token-free doc under int labels exercises the typed fallback join
+    val fb = operators.NaiveBayes.predict(
+        operators.NaiveBayes.fit(intLab),
+        Seq((9L, " ")).toDF("doc_id", "text"))
+      .collect()(0).getInt(1)
+    assert(fb == 7 || fb == 42, s"int-label fallback: $fb")
+  }
+
   test("NaiveBayes on the fixture beats the majority-class prior") {
     val docs = Tables.load(spark, sfDir, "documents")
     val joined = docs.select(col("doc_id"), col("lang"))
