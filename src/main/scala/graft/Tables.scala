@@ -89,10 +89,10 @@ object Tables {
       val fs = pq.getFileSystem(conf)
       if (fs.exists(pq)) readParquet(spark, path(dir, name))
       else {
-        val fmt = Seq("csv", "psv", "orc", "json", "xml")
+        val fmt = Seq("csv", "psv", "orc", "json", "xml", "avro")
           .find(e => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name.$e")))
           .getOrElse(throw new java.io.FileNotFoundException(
-            s"no $name.{parquet,csv,psv,orc,json,xml} under $dir"))
+            s"no $name.{parquet,csv,psv,orc,json,xml,avro} under $dir"))
         val p = s"$dir/$name.$fmt"
         fmt match {
           case "orc" => spark.read.orc(p)
@@ -108,6 +108,8 @@ object Tables {
           case "xml" =>
             spark.read.options(variantXmlOptions)
               .schema(variantSchema(spark, dir, name)).format("xml").load(p)
+          case "avro" => // container metadata carries the exact schema
+            spark.read.format("avrolite").load(p)
         }
       }
     })

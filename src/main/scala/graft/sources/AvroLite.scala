@@ -225,6 +225,155 @@ object AvroLite {
   }
 }
 
+/** Avro Object Container writer on avro-core — the sink twin of
+  * [[AvroLite]]'s reader, so the format matrix (and any user pipeline)
+  * can round-trip through Avro without the spark-avro connector.
+  *
+  * Scale shape: one container file per partition, written by the task
+  * that owns the partition (no driver funnel, no shuffle) — the same
+  * one-file-per-task layout every Spark file sink produces. Schema
+  * conversion is the exact inverse of [[AvroLite.toSparkType]]: nullable
+  * fields become [null, T] unions, dates ride int/date, timestamps
+  * long/timestamp-micros (NTZ → local-timestamp-micros), decimals
+  * bytes/decimal — so a write→read round trip is type-identity.
+  */
+object AvroLiteWriter {
+
+  /** Catalyst → Avro schema (inverse of [[AvroLite.toSparkType]]). */
+  def toAvroSchema(dt: DataType, nullable: Boolean, name: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date.addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros.addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros.addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case a: ArrayType =>
+        Schema.createArray(toAvroSchema(a.elementType, a.containsNull, name + "_item"))
+      case m: MapType =>
+        require(m.keyType == StringType,
+          s"avro maps take string keys, got ${m.keyType.sql}")
+        Schema.createMap(toAvroSchema(m.valueType, m.valueContainsNull, name + "_value"))
+      case s: StructType =>
+        val rec = Schema.createRecord(name, null, "graft", false)
+        rec.setFields(s.fields.toSeq.map(f => new Schema.Field(f.name,
+          toAvroSchema(f.dataType, f.nullable, name + "_" + f.name))).asJava)
+        rec
+      case other => throw new IllegalArgumentException(
+        s"no avro encoding for ${other.sql}")
+    }
+    if (nullable)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+  }
+
+  /** The non-null branch of a nullable field's [null, T] union. */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** Catalyst external value (from Row) → Avro datum, resolved once per
+    * field like [[AvroLite.converter]]. `avro` is the field's writer
+    * schema (union-wrapped when nullable): nested record datums MUST
+    * carry the exact schema node from the file's writer schema — Avro's
+    * union resolution matches records by full name, so a structurally
+    * equal copy under another name fails to resolve. */
+  private def encoder(dt: DataType, avro: Schema): Any => AnyRef = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType =>
+      v => v.asInstanceOf[AnyRef]
+    case ShortType => v => Int.box(v.asInstanceOf[Short].toInt)
+    case ByteType => v => Int.box(v.asInstanceOf[Byte].toInt)
+    case StringType => v => v.asInstanceOf[String]
+    case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case DateType => v =>
+      Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+    case TimestampType => v => {
+      val t = v.asInstanceOf[java.sql.Timestamp]
+      Long.box(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    }
+    case TimestampNTZType => v => {
+      val ldt = v.asInstanceOf[java.time.LocalDateTime]
+      Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
+    }
+    case _: DecimalType => v =>
+      ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+        .unscaledValue.toByteArray)
+    case a: ArrayType =>
+      val elem = encoder(a.elementType, nonNull(avro).getElementType)
+      v => v.asInstanceOf[scala.collection.Seq[Any]]
+        .map(x => if (x == null) null else elem(x)).asJava
+    case m: MapType =>
+      val value = encoder(m.valueType, nonNull(avro).getValueType)
+      v => v.asInstanceOf[scala.collection.Map[String, Any]]
+        .map { case (k, x) => k -> (if (x == null) null else value(x)) }
+        .toMap.asJava
+    case s: StructType =>
+      val enc = recordEncoder(s, nonNull(avro))
+      v => enc(v.asInstanceOf[org.apache.spark.sql.Row])
+    case other => throw new IllegalArgumentException(
+      s"no avro encoding for ${other.sql}")
+  }
+
+  private def recordEncoder(st: StructType, avro: Schema)
+      : org.apache.spark.sql.Row => GenericRecord = {
+    val target = nonNull(avro)
+    val encs = st.fields.zipWithIndex.map { case (f, i) =>
+      encoder(f.dataType, target.getFields.get(i).schema) }
+    row => {
+      val rec = new org.apache.avro.generic.GenericData.Record(target)
+      var i = 0
+      while (i < encs.length) {
+        rec.put(i, if (row.isNullAt(i)) null else encs(i)(row.get(i)))
+        i += 1
+      }
+      rec
+    }
+  }
+
+  /** Write `df` as `<dir>/part-<NNNNN>.avro`, one container per
+    * partition, written by the owning task. `codec`: null | deflate |
+    * snappy | zstandard. */
+  def write(df: org.apache.spark.sql.DataFrame, dir: String,
+      codec: String = "deflate"): Unit = {
+    val schema = df.schema
+    val avroJson =
+      toAvroSchema(schema, nullable = false, "graft_row").toString
+    val confSer = new SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = new Path(dir)
+    val fs = out.getFileSystem(confSer.conf)
+    fs.mkdirs(out)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val avro = new Schema.Parser().parse(avroJson)
+      val enc = recordEncoder(schema, avro)
+      val p = new Path(dir, f"part-$pid%05d.avro")
+      val stream = p.getFileSystem(confSer.conf).create(p, true)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
+      codec match {
+        case "null" => ()
+        case c => w.setCodec(org.apache.avro.file.CodecFactory.fromString(c))
+      }
+      w.create(avro, stream)
+      try rows.foreach(r => w.append(enc(r))) finally w.close()
+      Iterator.single(1)
+    }.count() // action: materialize the writes
+    ()
+  }
+}
+
 /** `spark.read.format("avro").load(path)` without the spark-avro jar.
   * Registered in META-INF/services. */
 class AvroDataSource extends TableProvider

@@ -83,6 +83,8 @@ object FixtureVariants {
       case "json" => w.options(Tables.variantJsonOptions).json(tmp.toString)
       case "xml" => w.options(Tables.variantXmlOptions)
         .format("xml").save(tmp.toString)
+      case "avro" =>
+        graft.sources.AvroLiteWriter.write(df.coalesce(1), tmp.toString)
     })
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-")).get
@@ -109,9 +111,10 @@ object FixtureVariants {
   def generate(spark: SparkSession, srcDir: String, outRoot: String): Unit = {
     val cells = Seq(
       ("plain", "csv"), ("plain", "psv"), ("plain", "orc"), ("plain", "json"),
-      ("plain", "xml"),
+      ("plain", "xml"), ("plain", "avro"),
       ("nulls", "parquet"), ("nulls", "csv"), ("nulls", "psv"),
-      ("nulls", "orc"), ("nulls", "json"), ("nulls", "xml"))
+      ("nulls", "orc"), ("nulls", "json"), ("nulls", "xml"),
+      ("nulls", "avro"))
     for ((variant, fmt) <- cells) {
       val outDir = s"$outRoot/${variant}_$fmt"
       for (t <- relational) {
@@ -143,7 +146,7 @@ object FixtureVariants {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, srcDir, outRoot)
-    println(s"[fixture-variants] wrote 9 variant dirs under $outRoot")
+    println(s"[fixture-variants] wrote variant dirs under $outRoot")
     spark.stop()
   }
 }

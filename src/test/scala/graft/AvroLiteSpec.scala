@@ -189,6 +189,52 @@ class AvroLiteSpec extends SparkSuite {
     } finally ctx.dropTable("avro_docs")
   }
 
+  test("AvroLiteWriter round-trips the full type surface through its own reader") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("l", LongType, nullable = false),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("dec", DecimalType(10, 2), nullable = true),
+      StructField("arr", ArrayType(IntegerType, containsNull = true), nullable = true),
+      StructField("m", MapType(StringType, LongType), nullable = true),
+      StructField("st", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", StringType))),
+        nullable = true)))
+    val rows = Seq(
+      Row(true, Int.box(1), 10L, Float.box(1.5f), 2.5, "a", Array[Byte](1, 2),
+        java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789123"),
+        new java.math.BigDecimal("12345.67"),
+        Seq(1, null, 3), Map("k" -> 7L), Row(4, "n")),
+      Row(false, null, 20L, null, 3.5, null, null, null, null, null,
+        null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmpDir("avro_writer")
+    sources.AvroLiteWriter.write(df, dir.getAbsolutePath)
+    // one container per partition, task-written
+    assert(dir.listFiles.count(_.getName.endsWith(".avro")) == 2)
+    val back = spark.read.format("avrolite").load(dir.getAbsolutePath)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drift: ${back.schema.toDDL}")
+    def norm(r: Row): String = r.toSeq.map {
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case v => String.valueOf(v)
+    }.mkString("|")
+    val a = df.collect().map(norm).sorted.toSeq
+    val b = back.collect().map(norm).sorted.toSeq
+    assert(a == b, s"row drift:\n$a\nvs\n$b")
+  }
+
   test("non-nullable union and unsupported unions fail loudly") {
     val s = SchemaBuilder.record("u").fields()
       .name("v").`type`(Schema.createUnion(

@@ -22,7 +22,7 @@ class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    val done = new java.io.File(s"$outRoot/.complete-v4-xml")
+    val done = new java.io.File(s"$outRoot/.complete-v5-avro")
     if (!done.exists()) {
       tools.FixtureVariants.generate(spark, sfDir, outRoot)
       done.getParentFile.mkdirs()
@@ -143,11 +143,13 @@ class FormatMatrixSpec extends SparkSuite with BeforeAndAfterAll {
   test("battery matches parquet on plain_orc") { checkCell("plain", "orc") }
   test("battery matches parquet on plain_json") { checkCell("plain", "json") }
   test("battery matches parquet on plain_xml") { checkCell("plain", "xml") }
+  test("battery matches parquet on plain_avro") { checkCell("plain", "avro") }
   test("battery matches nulls_parquet on nulls_csv") { checkCell("nulls", "csv") }
   test("battery matches nulls_parquet on nulls_psv") { checkCell("nulls", "psv") }
   test("battery matches nulls_parquet on nulls_orc") { checkCell("nulls", "orc") }
   test("battery matches nulls_parquet on nulls_json") { checkCell("nulls", "json") }
   test("battery matches nulls_parquet on nulls_xml") { checkCell("nulls", "xml") }
+  test("battery matches nulls_parquet on nulls_avro") { checkCell("nulls", "avro") }
 
   test("nulls_parquet battery runs clean (no query throws on null data)") {
     // materializing nullsBase IS the assertion — every battery query must
