@@ -124,6 +124,27 @@ object Bench {
       Tables.registerAll(spark, sfDir)
     }
 
+    // Ambient-state canary (r10 verdict: same-code default sf0.1 legs
+    // spread 85-113 s with zero code delta — page-cache and box-load
+    // noise dominating round-over-round comparison). A fixed scan-agg
+    // (the q1 shape: one lineitem pass, tiny hash-agg) is timed min-of-2
+    // at leg START and again at leg END and stamped into the JSON: two
+    // legs whose totals disagree but whose canaries explain the residual
+    // are the same code under different ambient state; a canary that
+    // DRIFTS within one leg flags mid-leg pollution (the q1>6 s rule the
+    // sf100 protocol uses, now measured instead of inferred).
+    def canarySec(): Double = {
+      import org.apache.spark.sql.functions._
+      val q = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val canaryStart = canarySec()
+
     // local profiling hook: run a subset (comma-separated names). The
     // driver never sets this — the contract stays "run every query".
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
@@ -260,6 +281,7 @@ object Bench {
         "\"" + k + "\":[" + (sm >> 20) + "," + (sd >> 20) + "]" }
       .mkString("{", ",", "}")
     val total = results.filter(_._3.nonEmpty).map(_._2).sum
+    val canaryEnd = canarySec()
 
     // Concurrency axis (the reference runs suites with queries in flight
     // concurrently — TPCHSuite.yaml:5-7): the same SQL battery sequential
@@ -331,7 +353,7 @@ object Bench {
         (Runtime.getRuntime.maxMemory >> 30) + "g(driver-heap)")
     val stamp = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,"ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a
