@@ -103,7 +103,14 @@ object Bench {
       val li = Tables.load(spark, sfDir, "lineitem")
       val orders = Tables.load(spark, sfDir, "orders")
       li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).count()
-      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      // JIT-warm the shuffle-join path on a BOUNDED slice: the unlimited
+      // form joined the full fact tables, which at sf100 is a 600 M-row
+      // exchange heavier than any actual query (real queries prune before
+      // joining) — it cost ~1 min untimed per leg and could OOM the
+      // TaskMemoryManager under G1 GCLocker contention before a single
+      // query ran. 2 M rows exercise the same codegen paths.
+      li.limit(2000000).join(orders.limit(2000000),
+          col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_totalprice") > 0).count()
       // higher-order functions evaluate interpreted (CodegenFallback);
       // their eval paths + md5/conv JIT-warm separately from the codegen
@@ -135,9 +142,13 @@ object Bench {
     // sf100 protocol uses, now measured instead of inferred).
     def canarySec(): Double = {
       import org.apache.spark.sql.functions._
-      val q = Tables.load(spark, sfDir, "lineitem")
-        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
       (1 to 2).map { _ =>
+        // fresh Dataset per sample: re-timing one queryExecution would
+        // reuse its materialized shuffle map outputs and time only the
+        // 121-partition reduce stage (measured: 0.03 s vs the 4 s true
+        // scan at sf100) — fresh expr ids force the scan to re-run
+        val q = Tables.load(spark, sfDir, "lineitem")
+          .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
         val t0 = System.nanoTime()
         q.queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9

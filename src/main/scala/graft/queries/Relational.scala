@@ -343,18 +343,25 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin) { (s, dir) =>
-      // one month of lineitem is the SMALL side here (dim(part) stays a
-      // shuffle join once part outgrows the broadcast cap): hash-build
-      // the filtered fact, probe part — sort-merge would sort BOTH
-      // streams for a global aggregate that needs no order
+      // The join exists only to ask one bit per row — "is this part
+      // PROMO?" — and every partkey in lineitem has exactly one part row
+      // (p_partkey is the PK), so the 20 M-row part exchange the generic
+      // join form pays at sf100 buys nothing: a LEFT join against the
+      // broadcast promo-filtered KEY SET (~1/6 of part ≈ 3.3 M keys,
+      // inside dimCounted's 4 M-row cap) marks promo rows, a missing
+      // match means non-promo, and the month slice of lineitem is the
+      // ONLY distributed stream — zero fact exchange, one scan, one
+      // single-row aggregate. At a scale where promo keys outgrow the
+      // broadcast cap dimCounted degrades to the shuffle join this
+      // replaces.
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-02-01"))
-        .hint("shuffle_hash")
-      val part = t(s, dir, "part")
+      val promoKeys = t(s, dir, "part")
+        .filter(col("p_type").like("PROMO%")).select(col("p_partkey"))
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      li.join(dim(part), col("l_partkey") === col("p_partkey"))
+      li.join(dimCounted(promoKeys), col("l_partkey") === col("p_partkey"), "left")
         .agg((lit(100.0) *
-          sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0))) / sum(rev))
+          sum(when(col("p_partkey").isNotNull, rev).otherwise(lit(0.0))) / sum(rev))
           .as("promo_revenue"))
     },
 
@@ -723,14 +730,29 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '1999-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
-      s.sql(
-        """SELECT c_mktsegment, count(*) AS numcust, CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
-          |FROM customer
-          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= DATE '1999-01-01')
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      // The SQL form left Catalyst a sort-merge LeftAnti: both the
+      // above-average customers AND the ~40% recent-orders key stream
+      // sorted, for a join whose output feeds a 5-group hash aggregate
+      // that wants no order. Explicit shapes instead: the scalar avg
+      // rides a broadcast 1-row cross join (same two customer scans the
+      // subquery pays, minus the subquery machinery), and the anti join
+      // hash-builds the recent-custkey side per partition (~0.5 M keys
+      // per task at sf100's data-sized partitions) — no 60 M-row sort.
+      val cust = t(s, dir, "customer")
+      val avgRow = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("graft_avg"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1999-01-01"))
+        .select(col("o_custkey"))
+      cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .crossJoin(broadcast(avgRow))
+        .filter(col("c_acctbal") > col("graft_avg"))
+        .join(recent.hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal")).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
     },
 
     QuerySpec(
