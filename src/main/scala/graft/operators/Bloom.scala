@@ -200,6 +200,34 @@ object Bloom {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** [[nativeKeyBloom]] memoised per (session, canonical keys-plan) —
+    * the [[graft.queries.Relational]] bloomSemi contract: the key-scan +
+    * filter-build jobs run eagerly at first plan construction per
+    * session and are amortized out of repeated executions; an empty key
+    * set memoises the empty-array sentinel ([[nativePruned]] folds it to
+    * false). Entries are filter-bytes-sized; cleared wholesale past 64
+    * (leak guard). */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Byte]]()
+
+  def nativeKeyBloomMemo(keys: DataFrame, keyCol: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    if (bloomMemo.size > 64) bloomMemo.clear()
+    // keyed on the ANALYZED plan, not the optimized one: when the keys
+    // derive from a persisted Dataset, the optimized plan substitutes an
+    // InMemoryRelation whose identity changes with every persist cycle —
+    // a per-sample cache re-registration would miss the memo forever
+    // (measured: the dup-keys build job re-ran on every execution). The
+    // analyzed plan names the original sources and canonicalization
+    // normalizes expression ids, so identical constructions hit.
+    val memoKey = (System.identityHashCode(keys.sparkSession),
+      keys.queryExecution.analyzed.canonicalized.toString)
+    bloomMemo.computeIfAbsent(memoKey, _ => {
+      val b = nativeKeyBloom(keys, keyCol, expectedItems, numBits)
+      if (b == null) Array.emptyByteArray else b
+    })
+  }
+
   /** Drop `fact` rows whose `factKey` cannot be in the serialized filter
     * (no false negatives — sound below any inner/semi join on that key).
     * The bytes ride the plan as a Literal, exactly how the optimizer's

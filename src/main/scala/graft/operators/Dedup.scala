@@ -71,25 +71,51 @@ object Dedup {
     * max_occupancy) and [[GraftContext]]'s query-log listener records
     * observed metrics, so a fired guard shows up in the `log()` table.
     *
-    * Plan shape: occupancy and representative come from ONE window over
-    * the band keys (no second aggregation path); the cold self-join sides
-    * and the star branch all reuse that keyed exchange. Input columns:
-    * keyCols ++ (id [, payload]); output (id_a, id_b [, payload_a,
-    * payload_b]), distinct on (id_a, id_b) when `dedupe` (callers whose
-    * verify step kills ~all candidates dedupe AFTER filtering instead, so
-    * the dedup exchange only shuffles survivors).
+    * Plan shape: LSH band tables are overwhelmingly SINGLETON buckets —
+    * at sf100 the minhash table is 160 M banded rows yielding 350 k
+    * candidates — and a singleton emits nothing (id_a < id_b kills the
+    * self-pair), so the full-stream WindowExec the first formulation
+    * paid (an interpreted per-partition sort of every banded row:
+    * measured 139 s of dedup_clusters' 210 s at sf100) bought occupancy
+    * facts for rows that could never produce output. The dup-bucket KEY
+    * SET now rides a native Bloom filter (the bloomSemi pattern): one
+    * codegen'd count-aggregate finds keys with occ ≥ 2, the serialized
+    * filter prunes the stream MAP-SIDE — no exchange, no sort — and the
+    * occ/rep window runs over the ~0.2% survivors. A false positive
+    * admits a singleton row that the self-join drops anyway, and the
+    * filter has no false negatives, so the output is row-identical.
+    * The filter build is memoised per (session, canonical plan) like
+    * every bloom probe in this repo — repeated executions skip it.
+    * Input columns: keyCols ++ (id [, payload]); output (id_a, id_b
+    * [, payload_a, payload_b]), distinct on (id_a, id_b) when `dedupe`
+    * (callers whose verify step kills ~all candidates dedupe AFTER
+    * filtering instead, so the dedup exchange only shuffles survivors).
     */
   private[graft] def guardedBandPairs(banded: DataFrame, keyCols: Seq[String],
       cap: Int, payloadCol: Option[String] = None,
       dedupe: Boolean = true): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
     val keys = keyCols.map(col)
+    val keyHash = xxhash64(keys: _*)
+    // sized for ~1.6 M dup-bucket keys at 10 bits/key — a 2 MB literal,
+    // deliberately small: the serialized filter rides EVERY task binary
+    // of every stage whose lineage includes the pruned stream (a 16 MB
+    // filter measurably inflated downstream consumers' stages, r11). A
+    // larger dup set only raises the FP rate, which costs extra
+    // singleton rows in the window below, never correctness.
+    val dupKeys = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("graft_occ"))
+      .filter(col("graft_occ") >= 2)
+      .select(keyHash.as("graft_kh"))
+    val bloom = Bloom.nativeKeyBloomMemo(
+      dupKeys, col("graft_kh"), 1600000L, 1L << 24)
+    val pruned = Bloom.nativePruned(banded, keyHash, bloom)
     val w = Window.partitionBy(keys: _*)
     val repS = payloadCol match {
       case Some(p) => struct(col("id").as("id"), col(p).as("p"))
       case None    => struct(col("id").as("id"))
     }
-    val bn = banded
+    val bn = pruned
       .withColumn("occ", count(lit(1)).over(w))
       .withColumn("rep", min(repS).over(w))
     def side(suffix: String) = {
@@ -157,6 +183,15 @@ object Dedup {
   /** (band, band-hash) pairs of a signature, exploded one row per band —
     * shared by the batch candidate join and the streaming bucket keyer so
     * the banding scheme cannot drift between the two.
+    *
+    * Measured NON-obvious plan fact (r11, graft.tools.BandProbe at
+    * sf100, full-evaluation aggregate so the generator can't be pruned):
+    * this interpreted transform(sequence(...)) HOF runs the 160 M-row
+    * banded pass in 23.7 s; the "codegen-friendly" statically-unrolled
+    * explode(array(struct(lit(b), hash(slice(...))) ×32)) form takes
+    * 83 s — 3.5× SLOWER despite whole-stage codegen, because the
+    * unrolled generator materializes all 32 struct rows per input row
+    * before exploding. Do not "optimize" this into an unrolled array.
     */
   private[graft] def bandKeys(sig: Column, bands: Int, r: Int): Column =
     explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -513,22 +548,39 @@ object Dedup {
         concat(c.map(i => substring(col("bits"), i * w + 1, w)).toIndexedSeq: _*)
           .as("bkey"))
     }
+    // The (band, bkey) join key is a 40-char substring concatenation —
+    // joined AS a string it put ~80-byte rows through a sort-merge
+    // self-join at sf100 (two 280 M-row sorts: 98 GB mem / 34 GB disk
+    // spill at 32 g, the heavy family's one remaining spiller). Both
+    // fixes below are recall-exact:
+    //  - the join key collapses to xxhash64(band, bkey): equal keys hash
+    //    equal (no pair lost), and a hash-collision FALSE candidate is
+    //    either hamming > maxHamming (killed by the verify) or a true
+    //    near-dup pair that Manku's guarantee already surfaces through a
+    //    genuinely shared key — so the result SET is identical;
+    //  - hamming is verified map-side on the join output BEFORE the
+    //    distinct (the r10 reshape of simHashPairsBlocked, now applied
+    //    to the replayable twin too), so the dedupe exchange carries
+    //    only true pairs at (id_a, id_b, hamming) width instead of every
+    //    candidate with both 128-bit signatures;
+    // and the self-join hash-builds per partition (shuffle_hash: ~2.3 M
+    // narrow rows per task at sf100's data-sized partitions) instead of
+    // sorting both streams — the sorts bought nothing downstream.
     val banded = sigs.select(col("id"), col("h1"), col("h2"),
         explode(array(keys.toIndexedSeq: _*)).as("bk"))
       .select(col("id"), col("h1"), col("h2"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val left = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+        xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
+    val left = banded.select(col("bh"), col("id").as("id_a"),
       col("h1").as("a1"), col("h2").as("a2"))
-    val right = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+    val right = banded.select(col("bh"), col("id").as("id_b"),
       col("h1").as("b1"), col("h2").as("b2"))
     val hamming =
       expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")
-    left.join(right, Seq("band", "bkey"))
+    left.join(right.hint("shuffle_hash"), Seq("bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("a1"), col("a2"), col("b1"), col("b2"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Cross-document duplicated-span statistics (the signal behind exact
