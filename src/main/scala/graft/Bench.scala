@@ -349,13 +349,23 @@ object Bench {
       val repoRoot = java.nio.file.Paths.get(".").toAbsolutePath
       val head = new String(java.nio.file.Files.readAllBytes(
         repoRoot.resolve(".git/HEAD")), "UTF-8").trim
-      if (head.startsWith("ref: ")) {
+      val sha = if (head.startsWith("ref: ")) {
         val refPath = repoRoot.resolve(".git").resolve(head.drop(5))
         if (java.nio.file.Files.exists(refPath))
           new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8")
             .trim.take(12)
         else "unknown"
       } else head.take(12)
+      // r11 lesson: two sf100 legs were stamped with a sha that did NOT
+      // contain the code they measured (bench ran on a dirty tree).
+      // Provenance must say so: append -dirty when the working tree has
+      // uncommitted changes, so a stamped artifact is either exactly
+      // reproducible at its sha or visibly not.
+      val dirty = try {
+        import scala.sys.process._
+        Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+      } catch { case _: Throwable => false }
+      if (dirty) sha + "-dirty" else sha
     } catch { case _: Throwable => "unknown" }
     val executorMem =
       if (master.startsWith("local-cluster"))

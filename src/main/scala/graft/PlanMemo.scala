@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+
+/** The ONE sanctioned way to key a session-scoped plan memo.
+  *
+  * Several hot-path amortizations memoise per-plan driver state — a
+  * dimension cardinality probe, a serialized Bloom filter — keyed on the
+  * canonicalized plan TEXT. That text is data-blind for in-memory
+  * relations: a `LocalRelation`'s canonicalized string names its schema,
+  * not its rows, so two different same-shaped corpora in one session
+  * produce the IDENTICAL key and the second query silently reuses the
+  * first corpus's state (round-11 post-mortem: stale Bloom filters
+  * map-side dropped genuinely duplicated band buckets — wrong answers,
+  * caught by RegressionSpec only in full-suite order). Every memo must
+  * therefore route through [[keyOf]], which refuses to issue a key
+  * unless the plan's text-plus-file-identity pins the plan's DATA:
+  *
+  *  - file-backed leaves ([[LogicalRelation]] over [[HadoopFsRelation]]):
+  *    allowed — the key folds in a digest of the file listing (path,
+  *    length, modification time per file), so even a table OVERWRITTEN
+  *    IN PLACE mid-session (the snapshot-apply / incremental-dedup loop
+  *    shape) misses the stale entry instead of reusing it;
+  *  - [[Range]] / [[OneRowRelation]] leaves: allowed — their data is a
+  *    pure function of plan literals the canonicalized text contains;
+  *  - anything else (`LocalRelation`, `LogicalRDD`, V2 relations,
+  *    streaming sources, unknown nodes): REFUSED ([[keyOf]] → None) —
+  *    the caller computes un-memoised. Deliberately a whitelist: an
+  *    unrecognized leaf costs only a repeated driver job, never a wrong
+  *    answer.
+  */
+private[graft] object PlanMemo {
+
+  /** Memo key for `df`'s analyzed plan, or None when the plan must not
+    * be memoised because its key cannot pin its data. Keys on the
+    * ANALYZED plan (not optimized): when the input derives from a
+    * persisted Dataset the optimizer substitutes an `InMemoryRelation`
+    * whose identity changes per persist cycle, so an optimized-plan key
+    * would miss forever; the analyzed plan names the original sources
+    * and canonicalization normalizes expression ids, so identical
+    * constructions hit.
+    */
+  def keyOf(df: DataFrame): Option[(Int, String)] = {
+    val analyzed = df.queryExecution.analyzed
+    val leafIds = analyzed.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fileIdentity(fs)
+        case _ => null // JDBC & friends: data invisible to the plan text
+      }
+      case _: Range | _: OneRowRelation => "" // data pinned by plan text
+      case _: LocalRelation => null
+      case _ => null
+    }
+    if (leafIds.contains(null)) None
+    else Some((System.identityHashCode(df.sparkSession),
+      analyzed.canonicalized.toString + "\n@files:" + leafIds.mkString("|")))
+  }
+
+  /** Digest of the relation's file listing — paths, sizes, mtimes. The
+    * listing is already cached in the in-memory file index (listed once
+    * at DataFrame construction), so this is a driver memory walk, never
+    * a filesystem call. Falls back to paths+total size when the index
+    * doesn't expose per-file status.
+    */
+  private def fileIdentity(fs: HadoopFsRelation): String = {
+    val listing = fs.location match {
+      case p: PartitioningAwareFileIndex =>
+        p.allFiles().map(f =>
+          s"${f.getPath},${f.getLen},${f.getModificationTime}")
+      case other =>
+        other.inputFiles.toSeq.sorted :+ s"bytes=${other.sizeInBytes}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    listing.foreach(s => md.update(s.getBytes("UTF-8")))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+}

@@ -187,11 +187,19 @@ object Bloom {
     // the runtime.bloomFilter session confs (defaults: 4M items, 2^26
     // bits = 8 MB) — at sf100 key sets that would shrink the requested
     // 10 bits/key to ~4.5 and the real FPR far past the documented ~1%.
-    // Raise the caps to the requested size (monotonic: concurrent
-    // builders only ever widen, never shrink another's in-flight build).
+    // Raise the caps to the requested size. Deliberately MONOTONIC and
+    // never restored: concurrent builders only ever widen, never shrink
+    // another's in-flight build (a save/restore scope racing a parallel
+    // build could shrink its cap mid-job and silently over-compress its
+    // filter). The widened caps also govern Spark's own injected runtime
+    // filters for the session's later queries — benign (they grow only
+    // up to their OWN requested sizes; the cap is a ceiling, not a
+    // target). A non-numeric user-set conf value parses as "unknown":
+    // widen past it rather than throw.
     val conf = keys.sparkSession.conf
     def raise(k: String, v: Long): Unit =
-      if (conf.getOption(k).forall(_.toLong < v)) conf.set(k, v)
+      if (conf.getOption(k).forall(s =>
+        scala.util.Try(s.trim.toLong).toOption.forall(_ < v))) conf.set(k, v)
     raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
     raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     val agg = new BloomFilterAggregate(
@@ -200,32 +208,38 @@ object Bloom {
       .head().getAs[Array[Byte]](0)
   }
 
-  /** [[nativeKeyBloom]] memoised per (session, canonical keys-plan) —
-    * the [[graft.queries.Relational]] bloomSemi contract: the key-scan +
+  /** [[nativeKeyBloom]] memoised per [[graft.PlanMemo]] key — the
+    * [[graft.queries.Relational]] bloomSemi contract: the key-scan +
     * filter-build jobs run eagerly at first plan construction per
     * session and are amortized out of repeated executions; an empty key
     * set memoises the empty-array sentinel ([[nativePruned]] folds it to
     * false). Entries are filter-bytes-sized; cleared wholesale past 64
-    * (leak guard). */
+    * (leak guard) and on every [[Dedup.releaseCaches]]. */
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Array[Byte]]()
 
+  /** Drop every memoised filter — wired into [[Dedup.releaseCaches]] so
+    * the between-queries hygiene point also bounds filter staleness. */
+  private[graft] def clearMemo(): Unit = bloomMemo.clear()
+
   def nativeKeyBloomMemo(keys: DataFrame, keyCol: Column,
       expectedItems: Long, numBits: Long): Array[Byte] = {
-    if (bloomMemo.size > 64) bloomMemo.clear()
-    // keyed on the ANALYZED plan, not the optimized one: when the keys
-    // derive from a persisted Dataset, the optimized plan substitutes an
-    // InMemoryRelation whose identity changes with every persist cycle —
-    // a per-sample cache re-registration would miss the memo forever
-    // (measured: the dup-keys build job re-ran on every execution). The
-    // analyzed plan names the original sources and canonicalization
-    // normalizes expression ids, so identical constructions hit.
-    val memoKey = (System.identityHashCode(keys.sparkSession),
-      keys.queryExecution.analyzed.canonicalized.toString)
-    bloomMemo.computeIfAbsent(memoKey, _ => {
+    def build(): Array[Byte] = {
       val b = nativeKeyBloom(keys, keyCol, expectedItems, numBits)
       if (b == null) Array.emptyByteArray else b
-    })
+    }
+    // PlanMemo refuses a key when the plan's text + file identity cannot
+    // pin its DATA (in-memory corpora, overwritten files): round 11
+    // memoised those under a data-blind key and a second same-schema
+    // corpus silently reused the first corpus's filter — whole dup
+    // buckets pruned map-side, near-dup pairs lost. Un-memoisable plans
+    // build fresh every time; only file-pinned plans amortize.
+    graft.PlanMemo.keyOf(keys) match {
+      case None => build()
+      case Some(memoKey) =>
+        if (bloomMemo.size > 64) bloomMemo.clear()
+        bloomMemo.computeIfAbsent(memoKey, _ => build())
+    }
   }
 
   /** Drop `fact` rows whose `factKey` cannot be in the serialized filter

@@ -26,14 +26,14 @@ object Dedup {
     * makes the job recompute signatures. Kept on Dedup for harness
     * compatibility (Bench/Verify call this between queries).
     */
-  def releaseCaches(): Unit = Caches.release()
+  def releaseCaches(): Unit = { Caches.release(); Bloom.clearMemo() }
 
   /** Session-teardown hatch: unpersist every registered intermediate
     * regardless of owning thread (see [[Caches.releaseAll]]) — for
     * cleanup after a worker thread died without releasing. Do not call
     * with queries in flight.
     */
-  def releaseAllCaches(): Unit = Caches.releaseAll()
+  def releaseAllCaches(): Unit = { Caches.releaseAll(); Bloom.clearMemo() }
 
   /** Default per-(band, key) occupancy cap for LSH candidate generation —
     * see [[guardedBandPairs]]. 1024 bounds worst-case within-bucket pair
@@ -84,8 +84,10 @@ object Dedup {
     * occ/rep window runs over the ~0.2% survivors. A false positive
     * admits a singleton row that the self-join drops anyway, and the
     * filter has no false negatives, so the output is row-identical.
-    * The filter build is memoised per (session, canonical plan) like
-    * every bloom probe in this repo — repeated executions skip it.
+    * The filter build is memoised through [[graft.PlanMemo]] like every
+    * bloom probe in this repo — repeated executions over file-backed
+    * inputs skip it; in-memory inputs (whose plan text cannot pin their
+    * data) rebuild every time, and [[releaseCaches]] drops the memo.
     * Input columns: keyCols ++ (id [, payload]); output (id_a, id_b
     * [, payload_a, payload_b]), distinct on (id_a, id_b) when `dedupe`
     * (callers whose verify step kills ~all candidates dedupe AFTER
@@ -147,6 +149,35 @@ object Dedup {
     }
     val all = coldPairs.unionByName(hotPairs)
     if (dedupe) all.dropDuplicates("id_a", "id_b") else all
+  }
+
+  /** Restrict `table` MAP-SIDE to rows whose `keyCol` appears on either
+    * side of a candidate pair — the verify-join prune.
+    *
+    * The LSH verify step joins the candidate pairs back to a CORPUS-SIZED
+    * table (minhash signatures: k longs per doc; ngram verify: the docs
+    * themselves) while candidates are a sliver of the corpus (sf100:
+    * ~0.3 M pairs from millions of docs). A plain shuffle join — or a
+    * left_semi against the id set — still shuffle-WRITES the entire big
+    * side before AQE can see how small the other side is; measured as
+    * the dominant remaining cost of dedup_clusters at sf100 (13.3 GB of
+    * spill through two signature exchanges). A native Bloom over the
+    * candidate ids (the guardedBandPairs pattern; 2 MB literal riding
+    * the task binary) drops non-candidate rows IN THE SCAN STAGE, so
+    * each verify join exchanges ~the candidate count instead of the
+    * corpus. No false negatives, and a false positive only admits a row
+    * the join drops — output identical, so the hash-exact oracle twins
+    * (dedup_minhash_oracle) replay unchanged.
+    *
+    * `cands` must be persisted by the caller: the filter build is an
+    * eager job at plan construction, and the persist makes the main
+    * query reuse the banding work instead of re-running it.
+    */
+  private def pruneToCandidateIds(table: DataFrame, keyCol: Column,
+      cands: DataFrame): DataFrame = {
+    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as("cid"))
+    val bloom = Bloom.nativeKeyBloomMemo(ids, col("cid"), 1600000L, 1L << 24)
+    Bloom.nativePruned(table, keyCol, bloom)
   }
 
   /** Exact duplicates by normalized text: md5 fingerprint → hash-agg.
@@ -225,16 +256,22 @@ object Dedup {
       p
     } else sigs0
 
-    val candidates = bandCandidates(sigs, bands, r, bucketCap)
+    // persisted: consumed by the candidate-id filter build AND the verify
+    // join — one banding/self-join pass, released via releaseCaches
+    val candidates = Caches.register(bandCandidates(sigs, bands, r, bucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // fused per-pair match count (SigEqCount) — bit-identical to the
     // interpreted zip_with/aggregate fold (RegressionSpec); this runs
     // once per candidate pair, the LSH-verify hot loop
     val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
 
+    // verify joins move only candidate signatures, not the corpus's —
+    // see [[pruneToCandidateIds]]
+    val sigsV = pruneToCandidateIds(sigs, col("id"), candidates)
     candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsV.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsV.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -288,14 +325,20 @@ object Dedup {
     // SQL mirrors the same occ/rep window and star fallback with the same
     // cap literal, so a fired guard stays hash-exact (Pipeline.scala,
     // dedup_minhash_oracle)
-    val cands = guardedBandPairs(banded, Seq("band", "bkey"), bucketCap)
+    val cands = Caches.register(
+      guardedBandPairs(banded, Seq("band", "bkey"), bucketCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // fused per-pair match count (SigEqCount) — bit-identical to the
     // interpreted zip_with/aggregate fold (RegressionSpec); this runs
     // once per candidate pair, the LSH-verify hot loop
     val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
+    // verify joins move only candidate signatures — see
+    // [[pruneToCandidateIds]]; transparent to the DuckDB oracle replay
+    // (no false negatives, join drops the false positives)
+    val sigsV = pruneToCandidateIds(sigs, col("id"), cands)
     cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsV.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsV.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -369,9 +412,11 @@ object Dedup {
     // are irrelevant at 64 bits), long-array intersection, one kernel
     // pass, and the verify join moves 8 bytes per shingle instead of the
     // shingle text.
-    val candIds = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+    // map-side Bloom prune instead of a left_semi: the semi join still
+    // shuffle-writes the whole corpus before AQE sees the tiny id set —
+    // see [[pruneToCandidateIds]] (FPs build a few extra sets; the
+    // verify joins below drop them)
+    val sets = pruneToCandidateIds(docs, col(idCol), cands)
       .select(col(idCol).as("sid"),
         shingle_hashes(col(textCol), shingle).as("sset"))
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")

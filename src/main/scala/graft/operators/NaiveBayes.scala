@@ -123,6 +123,13 @@ object NaiveBayes {
     val lidx = model.priors.select(col("label"))
       .withColumn("graft_lidx", (row_number().over(lw) - 1).cast("int"))
     val nLabels = lidx.count()
+    // an empty model must stay a LOUD error: the fallback below rides a
+    // crossJoin against priors.limit(1), and crossing with an EMPTY
+    // 1-row frame would silently return zero predictions for every doc
+    // (the pre-r11 collect()(0) form threw here — keep that contract)
+    require(nLabels > 0,
+      "NaiveBayes.predict: model has no classes (empty priors) — " +
+        "fit on a corpus with at least one labeled document")
     val adj = col("tf") * (col("logp") - col("logunseen"))
     val scored = if (nLabels > 0 && nLabels <= 64) {
       val n = nLabels.toInt

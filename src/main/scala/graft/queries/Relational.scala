@@ -45,16 +45,17 @@ object Relational {
 
   /** [[dimCounted]]'s probe memo: repeated executions of the same query
     * (bench samples, a dashboard refresh) would otherwise pay the
-    * dimension-scan count JOB at every plan time. Keyed by (session
-    * identity, canonicalized optimized plan) — canonicalization
-    * normalizes expression ids, so the same (path, filter) pair hits
-    * across separately-built DataFrames in one session, while different
-    * filters or paths miss. Entries are one Long each and only dimension
-    * probes land here; cleared wholesale if it ever grows past 512 (a
-    * leak guard, not an LRU — dim probes number in the dozens).
-    * Staleness: files appended under a memoed path mid-session keep the
-    * old cardinality until the map clears — the same tradeoff Spark's
-    * own CBO table stats make. */
+    * dimension-scan count JOB at every plan time. Keyed by
+    * [[graft.PlanMemo.keyOf]] — session identity + canonicalized plan
+    * text + a digest of every leaf's FILE listing (path, size, mtime),
+    * so the same (path, filter) pair hits across separately-built
+    * DataFrames in one session while different filters, different
+    * paths, or the SAME path overwritten in place all miss. Plans whose
+    * data the key cannot pin (in-memory relations) are never memoised —
+    * PlanMemo refuses them and the probe re-runs. Entries are one Long
+    * each and only dimension probes land here; cleared wholesale if it
+    * ever grows past 512 (a leak guard, not an LRU — dim probes number
+    * in the dozens). */
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
 
@@ -68,15 +69,16 @@ object Relational {
   private[graft] def dimCounted(df: DataFrame,
       maxRows: Long = 4000000L): DataFrame = {
     if (probeMemo.size > 512) probeMemo.clear()
-    val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.optimizedPlan.canonicalized.toString)
-    val n = probeMemo.computeIfAbsent(key, _ => df.count())
+    val n = graft.PlanMemo.keyOf(df) match {
+      case None      => df.count()
+      case Some(key) => probeMemo.computeIfAbsent(key, _ => df.count()).longValue()
+    }
     if (n <= maxRows) broadcast(df) else df
   }
 
-  /** Serialized native Bloom filters by (session, canonical keys-plan) —
-    * same lifecycle and staleness contract as [[probeMemo]]; entries are
-    * a few MB each, so the leak guard trips earlier. */
+  /** Serialized native Bloom filters by [[graft.PlanMemo]] key — same
+    * lifecycle and staleness contract as [[probeMemo]]; entries are a
+    * few MB each, so the leak guard trips earlier. */
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Array[Byte]]()
 
@@ -101,10 +103,11 @@ object Relational {
   private def bloomSemi(fact: DataFrame, factKey: Column,
       keys: DataFrame, keyCol: Column): DataFrame = {
     if (bloomMemo.size > 64) bloomMemo.clear()
-    val memoKey = (System.identityHashCode(keys.sparkSession),
-      keys.queryExecution.optimizedPlan.canonicalized.toString)
-    val bytes = bloomMemo.computeIfAbsent(memoKey, _ => {
-      val n = probeMemo.computeIfAbsent(memoKey, _ => keys.count())
+    def build(memoKey: Option[(Int, String)]): Array[Byte] = {
+      val n = memoKey match {
+        case Some(k) => probeMemo.computeIfAbsent(k, _ => keys.count()).longValue()
+        case None    => keys.count()
+      }
       val b = graft.operators.Bloom.nativeKeyBloom(
         keys, keyCol, n, math.min(n * 10L, 1L << 28))
       // empty build side → null filter; ConcurrentHashMap drops null
@@ -112,7 +115,14 @@ object Relational {
       // translates both to a foldable false) and the empty case caches
       // like the non-empty one instead of re-running the probe jobs.
       if (b == null) Array.emptyByteArray else b
-    })
+    }
+    // PlanMemo refuses plans whose key cannot pin their data (in-memory
+    // relations, overwritten files) — those rebuild the filter at every
+    // plan construction rather than risk pruning through a stale one.
+    val bytes = graft.PlanMemo.keyOf(keys) match {
+      case None          => build(None)
+      case k @ Some(key) => bloomMemo.computeIfAbsent(key, _ => build(k))
+    }
     graft.operators.Bloom.nativePruned(fact, factKey, bytes)
   }
 

@@ -235,7 +235,10 @@ object AvroLite {
   * conversion is the exact inverse of [[AvroLite.toSparkType]]: nullable
   * fields become [null, T] unions, dates ride int/date, timestamps
   * long/timestamp-micros (NTZ → local-timestamp-micros), decimals
-  * bytes/decimal — so a write→read round trip is type-identity.
+  * bytes/decimal — so a write→read round trip is type-identity for
+  * every type EXCEPT short/byte, which Avro has no narrow integer for:
+  * they widen to int on the way out (same as spark-avro) and read back
+  * as IntegerType.
   */
 object AvroLiteWriter {
 
@@ -300,7 +303,11 @@ object AvroLiteWriter {
       Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
     case TimestampType => v => {
       val t = v.asInstanceOf[java.sql.Timestamp]
-      Long.box(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      // floorDiv, not /: pre-epoch fractional seconds have a NEGATIVE
+      // getTime whose truncating division rounds toward zero while
+      // getNanos stays positive — 1969-12-31T23:59:59.5 would encode as
+      // +500000 µs instead of -500000 µs
+      Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     }
     case TimestampNTZType => v => {
       val ldt = v.asInstanceOf[java.time.LocalDateTime]
@@ -344,7 +351,23 @@ object AvroLiteWriter {
 
   /** Write `df` as `<dir>/part-<NNNNN>.avro`, one container per
     * partition, written by the owning task. `codec`: null | deflate |
-    * snappy | zstandard. */
+    * snappy | zstandard.
+    *
+    * Commit protocol (two-level, the FileOutputCommitter shape):
+    *  - TASK level: each attempt writes `part-<pid>-<taskAttemptId>
+    *    .avro.tmp` inside the job's staging dir and renames to its
+    *    final part name on successful close — a speculative or retried
+    *    attempt never interleaves bytes with a still-running first
+    *    attempt (each owns its temp file), and a rename loser deletes
+    *    its copy (partition contents are deterministic, either copy is
+    *    the same data).
+    *  - JOB level: all parts land in `<dir>/_staging-<uuid>/`
+    *    (`_`-prefixed, hidden from Spark's file listing); only after
+    *    the whole job succeeds does the DRIVER move them into `dir`
+    *    (overwriting prior parts) and drop the staging dir. A failed
+    *    job leaves no new visible files — readers keep seeing the
+    *    previous complete output.
+    */
   def write(df: org.apache.spark.sql.DataFrame, dir: String,
       codec: String = "deflate"): Unit = {
     val schema = df.schema
@@ -355,21 +378,46 @@ object AvroLiteWriter {
     val out = new Path(dir)
     val fs = out.getFileSystem(confSer.conf)
     fs.mkdirs(out)
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val avro = new Schema.Parser().parse(avroJson)
-      val enc = recordEncoder(schema, avro)
-      val p = new Path(dir, f"part-$pid%05d.avro")
-      val stream = p.getFileSystem(confSer.conf).create(p, true)
-      val w = new org.apache.avro.file.DataFileWriter(
-        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
-      codec match {
-        case "null" => ()
-        case c => w.setCodec(org.apache.avro.file.CodecFactory.fromString(c))
-      }
-      w.create(avro, stream)
-      try rows.foreach(r => w.append(enc(r))) finally w.close()
-      Iterator.single(1)
-    }.count() // action: materialize the writes
+    val staging = new Path(dir,
+      "_staging-" + java.util.UUID.randomUUID().toString)
+    fs.mkdirs(staging)
+    try {
+      df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val avro = new Schema.Parser().parse(avroJson)
+        val enc = recordEncoder(schema, avro)
+        val tc = org.apache.spark.TaskContext.get()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
+        val tmp = new Path(staging, f"part-$pid%05d-$attempt.avro.tmp")
+        val fin = new Path(staging, f"part-$pid%05d.avro")
+        val pfs = tmp.getFileSystem(confSer.conf)
+        val stream = pfs.create(tmp, true)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
+        codec match {
+          case "null" => ()
+          case c => w.setCodec(org.apache.avro.file.CodecFactory.fromString(c))
+        }
+        w.create(avro, stream)
+        var ok = false
+        try { rows.foreach(r => w.append(enc(r))); ok = true }
+        finally {
+          w.close()
+          if (ok) {
+            // first finished attempt wins; a loser discards its
+            // identical copy
+            if (!pfs.rename(tmp, fin)) pfs.delete(tmp, false)
+          } else pfs.delete(tmp, false)
+        }
+        Iterator.single(1)
+      }.count() // action: materialize the writes
+      // job commit: promote completed parts, overwrite prior output
+      fs.listStatus(staging).filter(_.getPath.getName.endsWith(".avro"))
+        .foreach { st =>
+          val fin = new Path(dir, st.getPath.getName)
+          if (fs.exists(fin)) fs.delete(fin, false)
+          fs.rename(st.getPath, fin)
+        }
+    } finally fs.delete(staging, true) // abort/cleanup: nothing visible
     ()
   }
 }

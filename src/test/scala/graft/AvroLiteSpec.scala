@@ -215,7 +215,14 @@ class AvroLiteSpec extends SparkSuite {
         new java.math.BigDecimal("12345.67"),
         Seq(1, null, 3), Map("k" -> 7L), Row(4, "n")),
       Row(false, null, 20L, null, 3.5, null, null, null, null, null,
-        null, null, null))
+        null, null, null),
+      // pre-epoch fractional second: getTime is NEGATIVE (-500 ms) while
+      // getNanos is positive — a truncating (non-floor) division in the
+      // micros encoder flips it to +500000 µs and the round-trip drifts
+      Row(true, Int.box(2), 30L, Float.box(0f), 0.0, "pre-epoch",
+        Array[Byte](9), java.sql.Date.valueOf("1969-12-31"),
+        new java.sql.Timestamp(-500L), new java.math.BigDecimal("-1.25"),
+        Seq(0), Map("z" -> 0L), Row(0, "z")))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val dir = tmpDir("avro_writer")

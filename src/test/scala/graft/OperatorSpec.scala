@@ -379,6 +379,16 @@ class OperatorSpec extends SparkSuite {
         Seq((9L, " ")).toDF("doc_id", "text"))
       .collect()(0).getInt(1)
     assert(fb == 7 || fb == 42, s"int-label fallback: $fb")
+    // an EMPTY model (zero labeled docs) must stay a loud error — the
+    // broadcast-fallback form would otherwise cross-join with an empty
+    // 1-row frame and silently return zero predictions (ADVICE r11)
+    val emptyModel = operators.NaiveBayes.fit(
+      intLab.filter($"doc_id" < 0))
+    val err = intercept[IllegalArgumentException] {
+      operators.NaiveBayes.predict(emptyModel,
+        Seq((1L, "alpha")).toDF("doc_id", "text")).collect()
+    }
+    assert(err.getMessage.contains("no classes"), err.getMessage)
   }
 
   test("NaiveBayes on the fixture beats the majority-class prior") {
