@@ -75,35 +75,24 @@ class PlanMemoSpec extends SparkSuite {
   }
 
   test("nativeKeyBloomMemo amortizes file-backed builds and releaseCaches drops them") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // asserted via INSTANCE identity, not job counting: computeIfAbsent
+    // returning the stored array proves the builder (and its Spark jobs)
+    // did not re-run, and the assert stays immune to the async listener
+    // bus delivering earlier tests' backlogged job events mid-window (a
+    // job-count formulation failed exactly that way in full-suite order)
     Dedup.releaseCaches() // start from an empty memo
     def build() = Bloom.nativeKeyBloomMemo(
       Tables.load(spark, sfDir, "part").select(col("p_partkey")),
       col("p_partkey"), 1000L, 1L << 14)
     val first = build() // pays the aggregate job, seeds the memo
-    def jobsDuring(f: => Unit): Int = {
-      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-      val listener = new SparkListener {
-        override def onJobStart(j: SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        f
-        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-          .invoke(spark.sparkContext)
-        bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
-          .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
-      } finally spark.sparkContext.removeSparkListener(listener)
-      jobs.get()
-    }
-    var second: Array[Byte] = null
-    assert(jobsDuring { second = build() } == 0,
-      "second build over unchanged files must hit the memo (zero jobs)")
-    assert(java.util.Arrays.equals(first, second))
+    val second = build()
+    assert(second eq first,
+      "second build over unchanged files must return the memoised instance")
     Dedup.releaseCaches()
-    assert(jobsDuring { build() } > 0,
+    val third = build()
+    assert(!(third eq first),
       "releaseCaches must drop the bloom memo (post-release build re-runs)")
+    assert(java.util.Arrays.equals(first, third),
+      "rebuilt filter must be bit-identical to the original")
   }
 }
