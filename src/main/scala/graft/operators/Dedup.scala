@@ -103,22 +103,45 @@ object Dedup {
     * (callers whose verify step kills ~all candidates dedupe AFTER
     * filtering instead, so the dedup exchange only shuffles survivors).
     */
-  private[graft] def guardedBandPairs(banded: DataFrame, keyCols: Seq[String],
+  private[graft] def guardedBandPairs(banded0: DataFrame, keyCols: Seq[String],
       cap: Int, payloadCol: Option[String] = None,
       dedupe: Boolean = true): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
     val keys = keyCols.map(col)
     val keyHash = xxhash64(keys: _*)
+    // the banded table feeds two full passes (the dup-key count below
+    // and the Bloom-pruned occupancy/pair stream) — persist it so the
+    // band-key computation (32 hash-slices per row for minhash, 56
+    // combination keys for blocked simhash) runs once per execution, not
+    // once per consumer. Columnar-compressed cache, ~tens of bytes per
+    // banded row; released via [[releaseCaches]] like the signatures.
+    val banded = Caches.register(banded0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // sized for ~1.6 M dup-bucket keys at 10 bits/key — a 2 MB literal,
     // deliberately small: the serialized filter rides EVERY task binary
     // of every stage whose lineage includes the pruned stream (a 16 MB
     // filter measurably inflated downstream consumers' stages, r11). A
     // larger dup set only raises the FP rate, which costs extra
     // singleton rows in the window below, never correctness.
-    val dupKeys = banded.groupBy(keys: _*)
+    //
+    // Shape of the dup-key count (r12, CcProfile): band keys are
+    // near-UNIQUE (160 M banded rows → ~0.2% dup keys at sf100), so a
+    // plain groupBy's map-side partial aggregate builds a multi-million-
+    // entry hashmap per task that reduces almost nothing — measured as
+    // 13.3 GB of spill and the bulk of the 220 s candidate stage.
+    // Repartitioning the RAW 8-byte key hashes first moves the exchange
+    // BEFORE the aggregate: the shuffle carries narrow longs (no partial
+    // agg, no hashmaps at scan width) and the post-exchange aggregate
+    // holds only rows/shuffle-partitions keys per task. Grouping by the
+    // HASH (not the key pair) is what the Bloom membership already
+    // sees — a collision admits a singleton the self-join drops, exactly
+    // like a filter false positive.
+    val dupKeys = banded.select(keyHash.as("graft_kh"))
+      .repartition(col("graft_kh"))
+      .groupBy(col("graft_kh"))
       .agg(count(lit(1)).as("graft_occ"))
       .filter(col("graft_occ") >= 2)
-      .select(keyHash.as("graft_kh"))
+      .select(col("graft_kh"))
     val bloom = Bloom.nativeKeyBloomMemo(
       dupKeys, col("graft_kh"), 1600000L, 1L << 24)
     val pruned = Bloom.nativePruned(banded, keyHash, bloom)
