@@ -55,6 +55,30 @@ object Dedup {
 
   private val guardSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Scale-path decision for the LSH pipelines — the [[graft.queries]]
+    * `dim()` pattern applied to dedup: the Bloom-pruned, persist-backed
+    * candidate machinery (banded-table cache, map-side dup-bucket prune,
+    * candidate-id verify prune) pays off when the corpus is large (sf100:
+    * clusters 183.9 → 108.6 s, 13.3 GB spill → 0) but is pure fixed
+    * overhead at fixture scale — two 2 MB filter literals riding every
+    * tiny stage's task binary, three persist populations per execution,
+    * and an AQE-broadcast of pruned fat-array sides that OOM'd an 8 GB
+    * heap on the sf0.1 ngram verify. Gate on the SOURCE's file-stat
+    * estimate (the same signal `dim()` broadcasts on): above the
+    * threshold the scale machinery engages; below it the plans keep the
+    * direct small-corpus shapes, which are both faster and broadcast-
+    * safe there. Conf `spark.graft.lsh.scalePath.minInputBytes`
+    * (default 256 MB — sf100's 590 MB documents qualify, sf0.1's ~6 MB
+    * do not); tests pin it to 0 to force the scale path on in-memory
+    * corpora.
+    */
+  private[graft] def scaleLsh(source: DataFrame): Boolean = {
+    val threshold = source.sparkSession.conf
+      .get("spark.graft.lsh.scalePath.minInputBytes", (256L << 20).toString)
+    val t = scala.util.Try(threshold.trim.toLong).getOrElse(256L << 20)
+    source.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(t)
+  }
+
   /** Within-bucket candidate pairs from a banded table, with a HOT-BUCKET
     * GUARD bounding the per-bucket work.
     *
@@ -105,46 +129,57 @@ object Dedup {
     */
   private[graft] def guardedBandPairs(banded0: DataFrame, keyCols: Seq[String],
       cap: Int, payloadCol: Option[String] = None,
-      dedupe: Boolean = true): DataFrame = {
+      dedupe: Boolean = true, scalePath: Option[Boolean] = None): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
     val keys = keyCols.map(col)
     val keyHash = xxhash64(keys: _*)
-    // the banded table feeds two full passes (the dup-key count below
+    // callers pass the source-table decision ([[scaleLsh]] on the docs /
+    // embeddings table); a direct caller without one is judged on the
+    // banded plan's own estimate
+    val scale = scalePath.getOrElse(scaleLsh(banded0))
+    // SCALE PATH ONLY — at fixture scale the persist + filter builds are
+    // pure overhead (see [[scaleLsh]]) and the window below runs over
+    // the raw banded table directly, which is exactly right for small
+    // corpora.
+    //
+    // The banded table feeds two full passes (the dup-key count below
     // and the Bloom-pruned occupancy/pair stream) — persist it so the
     // band-key computation (32 hash-slices per row for minhash, 56
     // combination keys for blocked simhash) runs once per execution, not
     // once per consumer. Columnar-compressed cache, ~tens of bytes per
     // banded row; released via [[releaseCaches]] like the signatures.
-    val banded = Caches.register(banded0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // sized for ~1.6 M dup-bucket keys at 10 bits/key — a 2 MB literal,
-    // deliberately small: the serialized filter rides EVERY task binary
-    // of every stage whose lineage includes the pruned stream (a 16 MB
-    // filter measurably inflated downstream consumers' stages, r11). A
-    // larger dup set only raises the FP rate, which costs extra
-    // singleton rows in the window below, never correctness.
-    //
-    // Shape of the dup-key count (r12, CcProfile): band keys are
-    // near-UNIQUE (160 M banded rows → ~0.2% dup keys at sf100), so a
-    // plain groupBy's map-side partial aggregate builds a multi-million-
-    // entry hashmap per task that reduces almost nothing — measured as
-    // 13.3 GB of spill and the bulk of the 220 s candidate stage.
-    // Repartitioning the RAW 8-byte key hashes first moves the exchange
-    // BEFORE the aggregate: the shuffle carries narrow longs (no partial
-    // agg, no hashmaps at scan width) and the post-exchange aggregate
-    // holds only rows/shuffle-partitions keys per task. Grouping by the
-    // HASH (not the key pair) is what the Bloom membership already
-    // sees — a collision admits a singleton the self-join drops, exactly
-    // like a filter false positive.
-    val dupKeys = banded.select(keyHash.as("graft_kh"))
-      .repartition(col("graft_kh"))
-      .groupBy(col("graft_kh"))
-      .agg(count(lit(1)).as("graft_occ"))
-      .filter(col("graft_occ") >= 2)
-      .select(col("graft_kh"))
-    val bloom = Bloom.nativeKeyBloomMemo(
-      dupKeys, col("graft_kh"), 1600000L, 1L << 24)
-    val pruned = Bloom.nativePruned(banded, keyHash, bloom)
+    val banded = if (scale) Caches.register(banded0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else banded0
+    val pruned = if (!scale) banded else {
+      // sized for ~1.6 M dup-bucket keys at 10 bits/key — a 2 MB literal,
+      // deliberately small: the serialized filter rides EVERY task binary
+      // of every stage whose lineage includes the pruned stream (a 16 MB
+      // filter measurably inflated downstream consumers' stages, r11). A
+      // larger dup set only raises the FP rate, which costs extra
+      // singleton rows in the window below, never correctness.
+      //
+      // Shape of the dup-key count (r12, CcProfile): band keys are
+      // near-UNIQUE (160 M banded rows → ~0.2% dup keys at sf100), so a
+      // plain groupBy's map-side partial aggregate builds a multi-million-
+      // entry hashmap per task that reduces almost nothing — measured as
+      // 13.3 GB of spill and the bulk of the 220 s candidate stage.
+      // Repartitioning the RAW 8-byte key hashes first moves the exchange
+      // BEFORE the aggregate: the shuffle carries narrow longs (no partial
+      // agg, no hashmaps at scan width) and the post-exchange aggregate
+      // holds only rows/shuffle-partitions keys per task. Grouping by the
+      // HASH (not the key pair) is what the Bloom membership already
+      // sees — a collision admits a singleton the self-join drops, exactly
+      // like a filter false positive.
+      val dupKeys = banded.select(keyHash.as("graft_kh"))
+        .repartition(col("graft_kh"))
+        .groupBy(col("graft_kh"))
+        .agg(count(lit(1)).as("graft_occ"))
+        .filter(col("graft_occ") >= 2)
+        .select(col("graft_kh"))
+      val bloom = Bloom.nativeKeyBloomMemo(
+        dupKeys, col("graft_kh"), 1600000L, 1L << 24)
+      Bloom.nativePruned(banded, keyHash, bloom)
+    }
     val w = Window.partitionBy(keys: _*)
     val repS = payloadCol match {
       case Some(p) => struct(col("id").as("id"), col(p).as("p"))
@@ -289,19 +324,24 @@ object Dedup {
       p
     } else sigs0
 
-    // persisted: consumed by the candidate-id filter build AND the verify
-    // join — one banding/self-join pass, released via releaseCaches
-    val candidates = Caches.register(bandCandidates(sigs, bands, r, bucketCap)
+    val scale = scaleLsh(docs)
+    // scale path: persisted (consumed by the candidate-id filter build
+    // AND the verify join — one banding/self-join pass, released via
+    // releaseCaches); small corpora keep the direct single-pass plan
+    val candidates0 = bandCandidates(sigs, bands, r, bucketCap, scale)
+    val candidates = if (scale) Caches.register(candidates0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else candidates0
 
     // fused per-pair match count (SigEqCount) — bit-identical to the
     // interpreted zip_with/aggregate fold (RegressionSpec); this runs
     // once per candidate pair, the LSH-verify hot loop
     val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
 
-    // verify joins move only candidate signatures, not the corpus's —
-    // see [[pruneToCandidateIds]]
-    val sigsV = pruneToCandidateIds(sigs, col("id"), candidates)
+    // scale path: verify joins move only candidate signatures, not the
+    // corpus's — see [[pruneToCandidateIds]]
+    val sigsV = if (scale) pruneToCandidateIds(sigs, col("id"), candidates)
+      else sigs
     candidates
       .join(sigsV.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsV.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -358,17 +398,20 @@ object Dedup {
     // SQL mirrors the same occ/rep window and star fallback with the same
     // cap literal, so a fired guard stays hash-exact (Pipeline.scala,
     // dedup_minhash_oracle)
-    val cands = Caches.register(
-      guardedBandPairs(banded, Seq("band", "bkey"), bucketCap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val scale = scaleLsh(docs)
+    val cands0 = guardedBandPairs(banded, Seq("band", "bkey"), bucketCap,
+      scalePath = Some(scale))
+    val cands = if (scale) Caches.register(cands0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else cands0
     // fused per-pair match count (SigEqCount) — bit-identical to the
     // interpreted zip_with/aggregate fold (RegressionSpec); this runs
     // once per candidate pair, the LSH-verify hot loop
     val est = sig_eq_count(col("sig_a"), col("sig_b")).cast("double") / k
-    // verify joins move only candidate signatures — see
+    // scale path: verify joins move only candidate signatures — see
     // [[pruneToCandidateIds]]; transparent to the DuckDB oracle replay
     // (no false negatives, join drops the false positives)
-    val sigsV = pruneToCandidateIds(sigs, col("id"), cands)
+    val sigsV = if (scale) pruneToCandidateIds(sigs, col("id"), cands) else sigs
     cands
       .join(sigsV.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsV.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -408,10 +451,10 @@ object Dedup {
     * [[guardedBandPairs]].
     */
   private def bandCandidates(sigs: DataFrame, bands: Int, r: Int,
-      cap: Int = DefaultBucketCap): DataFrame = {
+      cap: Int = DefaultBucketCap, scale: Boolean = false): DataFrame = {
     val banded = sigs.select(col("id"), bandKeys(col("sig"), bands, r).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    guardedBandPairs(banded, Seq("band", "bh"), cap)
+    guardedBandPairs(banded, Seq("band", "bh"), cap, scalePath = Some(scale))
   }
 
   /** Exact n-gram Jaccard for candidate pairs: MinHash-LSH banding
@@ -431,7 +474,8 @@ object Dedup {
       .filter(hasShingles(col("sig")))
     val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Caches.register(sigs)
-    val cands0 = bandCandidates(sigs, bands, k / bands, bucketCap)
+    val scale = scaleLsh(docs)
+    val cands0 = bandCandidates(sigs, bands, k / bands, bucketCap, scale)
     // Candidates feed two consumers (the id prune below + the verify join)
     // — persist so banding/join runs once; released via releaseCaches.
     val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -445,13 +489,25 @@ object Dedup {
     // are irrelevant at 64 bits), long-array intersection, one kernel
     // pass, and the verify join moves 8 bytes per shingle instead of the
     // shingle text.
-    // map-side Bloom prune instead of a left_semi: the semi join still
-    // shuffle-writes the whole corpus before AQE sees the tiny id set —
-    // see [[pruneToCandidateIds]] (FPs build a few extra sets; the
-    // verify joins below drop them)
-    val sets = pruneToCandidateIds(docs, col(idCol), cands)
+    // Scale path: map-side Bloom prune instead of a left_semi — the semi
+    // join still shuffle-writes the whole corpus before AQE sees the
+    // tiny id set; see [[pruneToCandidateIds]] (FPs build a few extra
+    // sets; the verify joins below drop them). Small corpora keep the
+    // semi join. Either way the verify joins are pinned shuffle_hash:
+    // the sets side is SMALL IN ROWS but FAT PER ROW (a full shingle-
+    // hash array per doc), and an AQE broadcast of it hash-builds
+    // multi-hundred-MB relations on the driver — measured as an 8 GB-
+    // heap OOM on the sf0.1 leg.
+    val setSource =
+      if (scale) pruneToCandidateIds(docs, col(idCol), cands)
+      else docs.join(
+        cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+          .distinct(),
+        Seq(idCol), "left_semi")
+    val sets = setSource
       .select(col(idCol).as("sid"),
         shingle_hashes(col(textCol), shingle).as("sset"))
+      .hint("shuffle_hash")
     val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
     val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
     cands
@@ -529,7 +585,7 @@ object Dedup {
     // same pre-distinct verify shape as [[simHashPairsBlocked]]: filter
     // on map-side hamming, then dedupe (id_a, id_b, hamming)-narrow rows
     guardedBandPairs(banded, Seq("band", "bh"), bucketCap, Some("sh"),
-        dedupe = false)
+        dedupe = false, scalePath = Some(scaleLsh(docs)))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -551,7 +607,7 @@ object Dedup {
     */
   private[graft] def blockedCandidates(sigs: DataFrame, maxHamming: Int,
       blocks: Int, cap: Int = DefaultBucketCap,
-      dedupe: Boolean = true): DataFrame = {
+      dedupe: Boolean = true, scale: Boolean = false): DataFrame = {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     require(maxHamming >= 1 && maxHamming < blocks,
       s"need 1 <= maxHamming < blocks, got h=$maxHamming b=$blocks")
@@ -570,7 +626,8 @@ object Dedup {
         explode(array(keys.toIndexedSeq: _*)).as("bk"))
       .select(col("id"), col("sh"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    guardedBandPairs(banded, Seq("band", "bkey"), cap, Some("sh"), dedupe)
+    guardedBandPairs(banded, Seq("band", "bkey"), cap, Some("sh"), dedupe,
+      scalePath = Some(scale))
   }
 
   /** Near-duplicate pairs via 64-bit SimHash with the GUARANTEED-recall,
@@ -601,7 +658,8 @@ object Dedup {
     // combination banding: a hamming-0 pair shares all C(b, b−h) keys
     // and must cross once per shared-cold-bucket — collapsing those
     // earlier would need each row to know OTHER buckets' occupancy.
-    blockedCandidates(sigs, maxHamming, blocks, bucketCap, dedupe = false)
+    blockedCandidates(sigs, maxHamming, blocks, bucketCap, dedupe = false,
+        scale = scaleLsh(docs))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -1020,7 +1078,7 @@ object Dedup {
     // payloads for every candidate pair (2×dim×4 bytes each), the
     // dominant cost at corpus scale.
     guardedBandPairs(tagged, Seq("probe", "bkt"), cap, Some("v"),
-        dedupe = false)
+        dedupe = false, scalePath = Some(scaleLsh(embs)))
       .select(col("id_a"), col("id_b"),
         cosine_similarity(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

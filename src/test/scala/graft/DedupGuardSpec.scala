@@ -68,6 +68,19 @@ class DedupGuardSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("scale path (persist + Bloom dup-key prune) is row-identical to the " +
+      "direct small-corpus path, hot and cold buckets included") {
+    val direct = Dedup.guardedBandPairs(banded, Seq("band", "bh"), cap = 100,
+      scalePath = Some(false))
+    val scaled = Dedup.guardedBandPairs(banded, Seq("band", "bh"), cap = 100,
+      scalePath = Some(true))
+    try {
+      assert(scaled.count() === direct.count())
+      assert(scaled.except(direct).count() === 0L)
+      assert(direct.except(scaled).count() === 0L)
+    } finally Dedup.releaseCaches() // scale path registers the banded persist
+  }
+
   test("guard is the identity when no bucket exceeds the cap") {
     val naive = banded.select($"band", $"bh", $"id".as("id_a"))
       .join(banded.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))

@@ -14,6 +14,20 @@ import graft.operators.{Bloom, Dedup}
 class PlanMemoSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Force the LSH scale path (Bloom prune + persists) regardless of
+    * input size — these specs exist to exercise exactly that machinery
+    * on small in-memory / tiny-file corpora. */
+  private def forcingScalePath[T](body: => T): T = {
+    val key = "spark.graft.lsh.scalePath.minInputBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("keyOf refuses in-memory plans: two same-schema corpora must not share a key") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val b = Seq((9L, "p"), (8L, "q")).toDF("doc_id", "text")
@@ -64,7 +78,7 @@ class PlanMemoSpec extends SparkSuite {
       (5L, "large scale training data pipelines need deduplication now"),
       (6L, "another unrelated document about spark physical planning"))
       .toDF("doc_id", "text")
-    try {
+    try forcingScalePath {
       val p1 = Dedup.minHashPairs(corpus1, threshold = 0.5).collect()
       assert(p1.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
         s"corpus1 planted pair lost: ${p1.mkString(";")}")
@@ -115,7 +129,7 @@ class PlanMemoSpec extends SparkSuite {
       rows.toDF("doc_id", "text").coalesce(1)
         .write.mode("overwrite").parquet(dir)
     }
-    try {
+    try forcingScalePath {
       writeCorpus(Seq(
         (1L, "the quick brown fox jumps over the lazy dog again"),
         (2L, "the quick brown fox jumps over the lazy dog today"),
