@@ -360,10 +360,15 @@ object Bench {
       // contain the code they measured (bench ran on a dirty tree).
       // Provenance must say so: append -dirty when the working tree has
       // uncommitted changes, so a stamped artifact is either exactly
-      // reproducible at its sha or visibly not.
+      // reproducible at its sha or visibly not. Untracked files are
+      // ignored (`git describe --dirty` semantics): a previous leg's
+      // not-yet-committed JSON artifact must not taint the next leg's
+      // stamp — only MODIFIED tracked content can change what the sha
+      // builds.
       val dirty = try {
         import scala.sys.process._
-        Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+        Seq("git", "status", "--porcelain", "--untracked-files=no")
+          .!!.trim.nonEmpty
       } catch { case _: Throwable => false }
       if (dirty) sha + "-dirty" else sha
     } catch { case _: Throwable => "unknown" }
