@@ -23,8 +23,79 @@ object Bench {
     sb.append('"').toString
   }
 
+  /** True when a JVM arg vector names a Spark/graft MAIN — matched on
+    * whole argument tokens, never substrings of the classpath (a test
+    * JVM whose -cp contains .../graft-classes must not count as a
+    * running bench). Package-private for the spec.
+    */
+  private[graft] def isSparkMain(argv: Seq[String]): Boolean =
+    argv.exists(a =>
+      a == "graft.Bench" || a == "graft.Verify" ||
+      a.startsWith("graft.tools.") ||
+      a == "org.apache.spark.deploy.SparkSubmit" ||
+      a == "org.apache.spark.deploy.worker.Worker" ||
+      a.endsWith("CoarseGrainedExecutorBackend"))
+
+  /** Pids of Spark/graft JVMs that are NOT this process, NOT its
+    * ancestors (the launcher chain) and NOT its descendants (our own
+    * local-cluster workers): the processes that would contend for the
+    * box's 32 cores and poison the leg (r12: the official sf0.1 leg ran
+    * 100% inside a background sf100 cluster leg — 162 s vs the clean
+    * 98 s). `procs` = (pid, ppid, argv); package-private for the spec.
+    */
+  private[graft] def foreignSparkJvms(
+      procs: Seq[(Long, Long, Seq[String])], self: Long): Seq[Long] = {
+    val parentOf = procs.map(p => p._1 -> p._2).toMap
+    def isDescendantOfSelf(pid: Long): Boolean = {
+      var p = pid; var hops = 0
+      while (p > 1 && hops < 64) {
+        if (p == self) return true
+        p = parentOf.getOrElse(p, 1L); hops += 1
+      }
+      false
+    }
+    val ancestors = {
+      var s = Set.empty[Long]
+      var p = parentOf.getOrElse(self, 1L); var hops = 0
+      while (p > 1 && hops < 64) { s += p; p = parentOf.getOrElse(p, 1L); hops += 1 }
+      s
+    }
+    procs.collect {
+      case (pid, _, argv) if pid != self && !ancestors(pid) &&
+        !isDescendantOfSelf(pid) && isSparkMain(argv) => pid
+    }
+  }
+
+  /** Walk /proc for (pid, ppid, argv) of every java process. */
+  private def scanJavaProcs(): Seq[(Long, Long, Seq[String])] = {
+    val proc = new java.io.File("/proc")
+    Option(proc.listFiles).getOrElse(Array.empty).toSeq
+      .filter(_.getName.forall(_.isDigit)).flatMap { d =>
+        try {
+          val cmdline = java.nio.file.Files.readAllBytes(
+            d.toPath.resolve("cmdline"))
+          val argv = new String(cmdline, "UTF-8").split('\u0000').toSeq
+          if (argv.headOption.exists(_.contains("java"))) {
+            val stat = new String(java.nio.file.Files.readAllBytes(
+              d.toPath.resolve("stat")), "UTF-8")
+            // field 4 = ppid; field 2 is "(comm)" which may contain
+            // spaces — split after the closing paren
+            val ppid = stat.substring(stat.lastIndexOf(')') + 2)
+              .split(' ')(1).toLong
+            Some((d.getName.toLong, ppid, argv))
+          } else None
+        } catch { case _: Throwable => None }
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contention guard (r12 "what's wrong" #1): detect OTHER Spark/graft
+    // JVMs before this leg starts — scanned here, before our own
+    // local-cluster workers exist.
+    val foreignJvmsAtStart = try {
+      foreignSparkJvms(scanJavaProcs(), ProcessHandle.current().pid)
+    } catch { case _: Throwable => Seq.empty[Long] }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val fixtureBytes = try {
       val d = new java.io.File(sfDir)
@@ -155,6 +226,26 @@ object Bench {
       }.min
     }
     val canaryStart = canarySec()
+
+    // Clean-band gate: a start canary above the fixture's clean band, or
+    // a foreign Spark JVM on the box, means every number this leg will
+    // produce is contention-shaped, not code-shaped. The leg is stamped
+    // "contended":true (machine-readable — a reader comparing legs must
+    // discard it) and, under SPARK_GRAFT_REFUSE_CONTENDED=1, refuses to
+    // run at all (exit 3) so a detached long leg can't burn an hour
+    // producing junk. Bands observed over rounds 10-12: sf0.1 clean
+    // canary 0.13-0.22 s (contaminated r12 leg: 0.66); sf100 clean
+    // 2.15-2.26 s. Threshold = 1.6× the band ceiling, overridable.
+    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_MAX").map(_.toDouble)
+      .getOrElse(if (fixtureBytes < (4L << 30)) 0.35 else 3.6)
+    val contendedAtStart = canaryStart > canaryMax || foreignJvmsAtStart.nonEmpty
+    val contentionJson =
+      s""""contended":$contendedAtStart,"contention":{"canary_max_sec":$canaryMax,"foreign_jvms":[${foreignJvmsAtStart.mkString(",")}]}"""
+    if (contendedAtStart && sys.env.get("SPARK_GRAFT_REFUSE_CONTENDED").contains("1")) {
+      println(s"""{"metric":"refused","reason":"contended","canary_start_sec":$canaryStart,$contentionJson,"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(3)
+    }
 
     // local profiling hook: run a subset (comma-separated names). The
     // driver never sets this — the contract stays "run every query".
@@ -365,12 +456,20 @@ object Bench {
       // not-yet-committed JSON artifact must not taint the next leg's
       // stamp — only MODIFIED tracked content can change what the sha
       // builds.
-      val dirty = try {
+      // Failure to RUN the check must not stamp a bare sha (that is the
+      // exact r11 provenance failure this code prevents) — an unknown
+      // tree state is stamped as such. -C pins git to the repo root so a
+      // JVM launched from elsewhere still checks the right tree.
+      val dirty: Option[Boolean] = try {
         import scala.sys.process._
-        Seq("git", "status", "--porcelain", "--untracked-files=no")
-          .!!.trim.nonEmpty
-      } catch { case _: Throwable => false }
-      if (dirty) sha + "-dirty" else sha
+        Some(Seq("git", "-C", repoRoot.toString, "status", "--porcelain",
+          "--untracked-files=no").!!.trim.nonEmpty)
+      } catch { case _: Throwable => None }
+      dirty match {
+        case Some(true)  => sha + "-dirty"
+        case Some(false) => sha
+        case None        => sha + "-dirtyunknown"
+      }
     } catch { case _: Throwable => "unknown" }
     val executorMem =
       if (master.startsWith("local-cluster"))
@@ -379,7 +478,7 @@ object Bench {
         (Runtime.getRuntime.maxMemory >> 30) + "g(driver-heap)")
     val stamp = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,"ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,"ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$contentionJson,$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a

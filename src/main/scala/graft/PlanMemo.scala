@@ -30,6 +30,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    the caller computes un-memoised. Deliberately a whitelist: an
   *    unrecognized leaf costs only a repeated driver job, never a wrong
   *    answer.
+  *
+  * EVICTION POLICY for consumers: the existing memos cap size with a
+  * wholesale `clear()` past a threshold (`Bloom.bloomMemo` > 64,
+  * `Relational.probeMemo` > 512). That is deliberate, not an oversight:
+  * entries are pure performance state, a clear costs one recomputation
+  * per live plan, and the caps are far above any observed working set
+  * (≤ ~10 distinct plans per bench leg). A many-corpora session that
+  * thrashes a cap should swap in an LRU (LinkedHashMap accessOrder) —
+  * correctness is unaffected either way because keys pin their data.
   */
 private[graft] object PlanMemo {
 
@@ -61,19 +70,20 @@ private[graft] object PlanMemo {
   /** Digest of the relation's file listing — paths, sizes, mtimes. The
     * listing is already cached in the in-memory file index (listed once
     * at DataFrame construction), so this is a driver memory walk, never
-    * a filesystem call. Falls back to paths+total size when the index
-    * doesn't expose per-file status.
+    * a filesystem call. An index that does NOT expose per-file status
+    * is UNPINNABLE (returns null → keyOf yields None): paths + total
+    * byte count can't see an in-place overwrite that preserves both —
+    * exactly the stale-reuse class keyOf exists to block. Refusing to
+    * memoise is a compute cost; a wrong answer is not.
     */
-  private def fileIdentity(fs: HadoopFsRelation): String = {
-    val listing = fs.location match {
+  private def fileIdentity(fs: HadoopFsRelation): String =
+    fs.location match {
       case p: PartitioningAwareFileIndex =>
-        p.allFiles().map(f =>
-          s"${f.getPath},${f.getLen},${f.getModificationTime}")
-      case other =>
-        other.inputFiles.toSeq.sorted :+ s"bytes=${other.sizeInBytes}"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        p.allFiles().foreach(f => md.update(
+          s"${f.getPath},${f.getLen},${f.getModificationTime}"
+            .getBytes("UTF-8")))
+        java.util.Base64.getEncoder.encodeToString(md.digest())
+      case _ => null
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    listing.foreach(s => md.update(s.getBytes("UTF-8")))
-    java.util.Base64.getEncoder.encodeToString(md.digest())
-  }
 }

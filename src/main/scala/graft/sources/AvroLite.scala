@@ -404,19 +404,37 @@ object AvroLiteWriter {
           w.close()
           if (ok) {
             // first finished attempt wins; a loser discards its
-            // identical copy
-            if (!pfs.rename(tmp, fin)) pfs.delete(tmp, false)
+            // identical copy. Create-if-absent: POSIX/RawLocalFileSystem
+            // rename OVERWRITES an existing destination, so relying on
+            // rename failure would let a slow speculative attempt
+            // replace the winner's file — check exists first (attempts
+            // racing the check at worst swap identical deterministic
+            // bytes before the job-level commit reads them).
+            if (pfs.exists(fin) || !pfs.rename(tmp, fin))
+              pfs.delete(tmp, false)
           } else pfs.delete(tmp, false)
         }
         Iterator.single(1)
       }.count() // action: materialize the writes
-      // job commit: promote completed parts, overwrite prior output
-      fs.listStatus(staging).filter(_.getPath.getName.endsWith(".avro"))
-        .foreach { st =>
-          val fin = new Path(dir, st.getPath.getName)
-          if (fs.exists(fin)) fs.delete(fin, false)
-          fs.rename(st.getPath, fin)
-        }
+      // job commit: promote completed parts, overwrite prior output.
+      val newParts = fs.listStatus(staging)
+        .filter(_.getPath.getName.endsWith(".avro"))
+      val newNames = newParts.map(_.getPath.getName).toSet
+      newParts.foreach { st =>
+        val fin = new Path(dir, st.getPath.getName)
+        if (fs.exists(fin)) fs.delete(fin, false)
+        fs.rename(st.getPath, fin)
+      }
+      // A rewrite that produced FEWER partitions than the prior output
+      // must not leave stale higher-numbered parts behind — the reader
+      // lists every non-hidden file, so survivors would mix old and new
+      // data. Overwrite semantics = the new part set is the whole output.
+      fs.listStatus(out).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("part-") && n.endsWith(".avro") &&
+            !newNames.contains(n))
+          fs.delete(st.getPath, false)
+      }
     } finally fs.delete(staging, true) // abort/cleanup: nothing visible
     ()
   }

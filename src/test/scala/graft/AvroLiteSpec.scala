@@ -242,6 +242,25 @@ class AvroLiteSpec extends SparkSuite {
     assert(a == b, s"row drift:\n$a\nvs\n$b")
   }
 
+  test("rewrite with fewer partitions deletes stale higher-numbered parts") {
+    // Overwrite-in-place is a supported pattern (the PlanMemo loop shape):
+    // a second write that produces FEWER partitions must not leave the
+    // first write's extra part files behind — the reader lists every
+    // non-hidden .avro, so a survivor would mix old and new data.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("avro_rewrite")
+    val first = spark.range(0, 40).select(col("id")).repartition(4)
+    sources.AvroLiteWriter.write(first, dir.getAbsolutePath)
+    assert(dir.listFiles.count(_.getName.endsWith(".avro")) == 4)
+    val second = spark.range(100, 110).select(col("id")).repartition(2)
+    sources.AvroLiteWriter.write(second, dir.getAbsolutePath)
+    assert(dir.listFiles.count(_.getName.endsWith(".avro")) == 2,
+      s"stale parts survived: ${dir.listFiles.map(_.getName).mkString(",")}")
+    val back = spark.read.format("avrolite").load(dir.getAbsolutePath)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == (100L until 110L).toSeq, s"mixed old+new data: $back")
+  }
+
   test("non-nullable union and unsupported unions fail loudly") {
     val s = SchemaBuilder.record("u").fields()
       .name("v").`type`(Schema.createUnion(

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench contention guard (r12 post-mortem: the round's official sf0.1
+  * leg ran 100% wall-clock-inside a 48-minute background sf100 cluster
+  * leg — 162.4 s vs the clean 98.4 s record — and only the canary
+  * flagged it). The guard has two independent signals: a start-canary
+  * clean band, and a /proc scan for foreign Spark/graft JVMs. These
+  * tests pin the scan's classification logic: what counts as a Spark
+  * main, and which process-tree relatives are excluded.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("isSparkMain matches main-class tokens, not classpath substrings") {
+    assert(Bench.isSparkMain(Seq("java", "-cp", "x.jar", "graft.Bench")))
+    assert(Bench.isSparkMain(Seq("java", "graft.Verify")))
+    assert(Bench.isSparkMain(Seq("java", "graft.tools.ScaleData", "/a", "/b")))
+    assert(Bench.isSparkMain(Seq("java", "org.apache.spark.deploy.SparkSubmit")))
+    assert(Bench.isSparkMain(Seq("java",
+      "org.apache.spark.executor.CoarseGrainedExecutorBackend", "--driver-url", "x")))
+    assert(Bench.isSparkMain(Seq("java", "org.apache.spark.deploy.worker.Worker")))
+    // a test/sbt JVM whose CLASSPATH mentions graft classes is NOT a
+    // running bench — matching substrings there would false-positive
+    // every sbt test fork on the box
+    assert(!Bench.isSparkMain(Seq("java", "-cp",
+      "/tmp/graft-classes-r12:/root/repo/target/scala-2.13/classes",
+      "sbt.ForkMain", "41234")))
+    assert(!Bench.isSparkMain(Seq("java", "-jar", "sbt-launch.jar")))
+    assert(!Bench.isSparkMain(Seq.empty))
+  }
+
+  test("foreignSparkJvms excludes self, ancestors, and descendants") {
+    // tree: 1 -> 10 (launcher) -> 100 (self, graft.Bench)
+    //                              -> 1000, 1001 (our cluster workers)
+    //       1 -> 20 (foreign graft.Bench) -> 200 (its executor)
+    //       1 -> 30 (unrelated java, not spark)
+    val procs = Seq[(Long, Long, Seq[String])](
+      (10L, 1L, Seq("java", "graft.Bench")), // ancestor: launcher wrapper
+      (100L, 10L, Seq("java", "graft.Bench")), // self
+      (1000L, 100L, Seq("java",
+        "org.apache.spark.executor.CoarseGrainedExecutorBackend")),
+      (1001L, 100L, Seq("java",
+        "org.apache.spark.deploy.worker.Worker")),
+      (20L, 1L, Seq("java", "graft.Bench")),
+      (200L, 20L, Seq("java",
+        "org.apache.spark.executor.CoarseGrainedExecutorBackend")),
+      (30L, 1L, Seq("java", "-jar", "other-app.jar")))
+    val foreign = Bench.foreignSparkJvms(procs, self = 100L)
+    assert(foreign.toSet == Set(20L, 200L),
+      s"expected the foreign leg and its executor only, got $foreign")
+  }
+
+  test("foreignSparkJvms is empty when only our own tree runs") {
+    val procs = Seq[(Long, Long, Seq[String])](
+      (100L, 1L, Seq("java", "graft.Bench")),
+      (1000L, 100L, Seq("java",
+        "org.apache.spark.executor.CoarseGrainedExecutorBackend")))
+    assert(Bench.foreignSparkJvms(procs, self = 100L).isEmpty)
+  }
+
+  test("foreignSparkJvms tolerates a truncated process table (no cycles)") {
+    // a pid whose ppid is missing from the scan (raced exit) must not
+    // loop or throw; parent defaults to init
+    val procs = Seq[(Long, Long, Seq[String])](
+      (100L, 99L, Seq("java", "graft.Bench")), // ppid 99 not in table
+      (20L, 7L, Seq("java", "graft.Verify"))) // ppid 7 not in table
+    assert(Bench.foreignSparkJvms(procs, self = 100L) == Seq(20L))
+  }
+}
