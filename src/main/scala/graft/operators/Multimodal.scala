@@ -34,6 +34,47 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Fan a CPU-bound per-row stage out by ROWS, not input bytes. Spark
+    * sizes scan partitions by FILE bytes, so a few MB of encoded blobs
+    * arrive in one partition — but decode/resample work per row is
+    * 100-1000× the input (a 224×224 raster is 150 KB derived from a
+    * ~1 KB PNG), so a byte-sized scan serializes the whole stage on one
+    * core (measured: multimodal_resize 4.6 s single-threaded at sf0.1).
+    * Widen ONLY when the scan gave fewer partitions than cores; at real
+    * scale the scan is already wide and this is a no-op — no shuffle.
+    */
+  private def widenForCpu(df: DataFrame,
+      heavyPerRow: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's partition count from file stats on the ANALYZED
+    // plan (the dim() pattern) — `df.rdd.getNumPartitions` would be exact
+    // but runs a second full physical-planning pass (~0.4 s measured),
+    // which dominated every light multimodal query at sf0.1.
+    val maxPart = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    var bytes = 0L
+    var unknownLeaf = false
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        bytes += lr.relation.sizeInBytes
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
+      case _ => unknownLeaf = true // V2/streaming: leave its partitioning
+    }
+    val estParts = math.max(1L, (bytes + maxPart - 1) / maxPart)
+    // repartition with an EXPLICIT count: AQE never coalesces a
+    // user-numbered repartition, whereas a keyed one would be merged
+    // back to one tiny-bytes partition — the exact pathology this fixes
+    // A light per-row stage (decode: ~50 µs/row) only pays for the
+    // widen shuffle when the input is sizable AND narrow; a heavy one
+    // (224×224 resample: ~1 ms/row) wins even on a one-partition scan
+    // (measured 7× at sf0.1).
+    val worth = heavyPerRow || estParts > 1
+    if (!unknownLeaf && worth && estParts < target) df.repartition(target)
+    else df
+  }
+
   /** Build a media table from any table with an id + string column: the
     * string bytes stand in for encoded media (deterministic fake payload).
     */
@@ -179,6 +220,8 @@ object Multimodal {
     */
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
     import spark.implicits._
+    // no widenForCpu here: the WAV chunk walk is ~1 µs/row — the widen
+    // shuffle would cost more than the work it parallelizes
     media.as[MediaRow].mapPartitions(_.flatMap { row =>
       val fast =
         try parseWav8(row.content, row.media_id)
@@ -247,7 +290,7 @@ object Multimodal {
     */
   def decodeVideoFrames(spark: SparkSession, media: DataFrame): Dataset[DecodedFrame] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.flatMap { row =>
+    widenForCpu(media).as[MediaRow].mapPartitions(_.flatMap { row =>
       val b = row.content
       if (b == null || b.length < 8 ||
           b(0) != 'G' || b(1) != 'F' || b(2) != 'V' || b(3) != '0') Iterator.empty
@@ -455,7 +498,8 @@ object Multimodal {
     */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(decodeOne))
+    widenForCpu(media, heavyPerRow = false).as[MediaRow]
+      .mapPartitions(_.map(decodeOne))
   }
 
   /** REAL image resize: decode via `javax.imageio`, resample with
@@ -470,7 +514,7 @@ object Multimodal {
   def resizeImages(spark: SparkSession, media: DataFrame, targetW: Int,
       targetH: Int): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map { row =>
+    widenForCpu(media).as[MediaRow].mapPartitions(_.map { row =>
       val bytes = if (row.content == null) Array.empty[Byte] else row.content
       val img =
         if (row.media_type == "image" && looksLikeImage(bytes))
@@ -490,25 +534,45 @@ object Multimodal {
             img.getRaster.getDataBuffer
               .asInstanceOf[java.awt.image.DataBufferByte].getData
           else null
+        // NN upscaling repeats each source row ~targetH/h times (a
+        // 224-target over a 8-20px source replicates 11-28×): compute
+        // each UNIQUE source row once (sx map hoisted — two integer
+        // divisions per pixel were the inner-loop cost), then arraycopy
+        // the rendered row for every repeat. Byte-identical to the
+        // per-pixel loop (same floor sampling), ~10× less pixel math.
+        val sxm = new Array[Int](targetW)
+        var sxi = 0
+        while (sxi < targetW) { sxm(sxi) = sxi * w / targetW; sxi += 1 }
+        var lastSy = -1
+        var rowR = 0L; var rowG = 0L; var rowB = 0L
         var y = 0
         while (y < targetH) {
           val sy = y * h / targetH
-          var x = 0
-          while (x < targetW) {
-            val sx = x * w / targetW
-            val i = (y * targetW + x) * 3
-            var r = 0; var g = 0; var b = 0
-            if (bgr != null) {
-              val s = (sy * w + sx) * 3
-              b = bgr(s) & 0xff; g = bgr(s + 1) & 0xff; r = bgr(s + 2) & 0xff
-            } else {
-              val rgb = img.getRGB(sx, sy)
-              r = (rgb >> 16) & 0xff; g = (rgb >> 8) & 0xff; b = rgb & 0xff
+          val base = y * targetW * 3
+          if (sy == lastSy) {
+            // sy is monotonic in y: the previous output row is this row
+            System.arraycopy(out, base - targetW * 3, out, base, targetW * 3)
+          } else {
+            lastSy = sy
+            rowR = 0L; rowG = 0L; rowB = 0L
+            var x = 0
+            while (x < targetW) {
+              val sx = sxm(x)
+              val i = base + x * 3
+              var r = 0; var g = 0; var b = 0
+              if (bgr != null) {
+                val s = (sy * w + sx) * 3
+                b = bgr(s) & 0xff; g = bgr(s + 1) & 0xff; r = bgr(s + 2) & 0xff
+              } else {
+                val rgb = img.getRGB(sx, sy)
+                r = (rgb >> 16) & 0xff; g = (rgb >> 8) & 0xff; b = rgb & 0xff
+              }
+              out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+              rowR += r; rowG += g; rowB += b
+              x += 1
             }
-            out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
-            sumR += r; sumG += g; sumB += b
-            x += 1
           }
+          sumR += rowR; sumG += rowG; sumB += rowB
           y += 1
         }
         val n = targetW.toLong * targetH
