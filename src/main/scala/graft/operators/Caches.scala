@@ -47,9 +47,9 @@ private[graft] object Caches {
     * AFTER materializing (count/collect/write) the consuming plan —
     * earlier just makes the job recompute the intermediate.
     */
-  def release(): Unit = {
+  def release(blocking: Boolean = false): Unit = {
     val buf = local.get
-    buf.foreach { df => df.unpersist(blocking = false); all.remove(df) }
+    buf.foreach { df => df.unpersist(blocking); all.remove(df) }
     buf.clear()
   }
 
@@ -59,9 +59,9 @@ private[graft] object Caches {
     * are in flight (it is exactly the cross-release the per-thread
     * registry exists to prevent).
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     val it = all.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    while (it.hasNext) { it.next().unpersist(blocking); it.remove() }
   }
 }
 

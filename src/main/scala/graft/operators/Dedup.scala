@@ -702,10 +702,31 @@ object Dedup {
     // and the self-join hash-builds per partition (shuffle_hash: ~2.3 M
     // narrow rows per task at sf100's data-sized partitions) instead of
     // sorting both streams — the sorts bought nothing downstream.
-    val banded = sigs.select(col("id"), col("h1"), col("h2"),
+    val banded0 = sigs.select(col("id"), col("h1"), col("h2"),
         explode(array(keys.toIndexedSeq: _*)).as("bk"))
       .select(col("id"), col("h1"), col("h2"),
         xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
+    // SCALE PATH (same [[scaleLsh]] gate as guardedBandPairs): the 2⁴⁰
+    // Manku key space means ~99.8% of the 280 M banded rows at sf100
+    // hold a UNIQUE bh that can't produce a pair, yet the raw self-join
+    // exchanges and hash-builds all of them on BOTH sides (the heavy
+    // family's slowest query, 133 s). Count dup keys with the r12
+    // repartition-first shape (narrow 8-byte longs on the wire, no
+    // scan-width map-side hashmaps), Bloom the ~0.2% that recur, and
+    // prune both join inputs. Recall-exact: a key with one occurrence
+    // cannot emit a pair, and a Bloom FP only admits rows the join
+    // drops. Banding is re-derived per pass, but from the PERSISTED
+    // signatures — explode + xxhash64 arithmetic, no md5 recompute.
+    val banded = if (!scaleLsh(docs)) banded0 else {
+      val dupKeys = banded0.select(col("bh"))
+        .repartition(col("bh"))
+        .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
+        .filter(col("graft_occ") >= 2)
+        .select(col("bh"))
+      val bloom = graft.operators.Bloom.nativeKeyBloomMemo(
+        dupKeys, col("bh"), 1600000L, 1L << 24)
+      graft.operators.Bloom.nativePruned(banded0, col("bh"), bloom)
+    }
     val left = banded.select(col("bh"), col("id").as("id_a"),
       col("h1").as("a1"), col("h2").as("a2"))
     val right = banded.select(col("bh"), col("id").as("id_b"),
@@ -866,8 +887,9 @@ object Dedup {
     *
     * Scale shape: duplicate resolution shuffles only (id, seg_idx, 16-byte
     * md5) — segment TEXT never rides the fingerprint exchange. Winners come
-    * from a hash-agg `min(struct(id, idx))` (map-side partial min, no
-    * window sort over the corpus); the kept-key set semi-joins back to the
+    * from a hash-agg `min(packed id·2³²+idx)` (map-side partial min, no
+    * window or SortAggregate sort over the corpus — a `min(struct)` buffer
+    * can't live in HashAggregateExec); the kept-key set semi-joins back to the
     * exploded segments, and reassembly is one id-keyed agg. Documents
     * reassemble via sort_array over their own ≤⌈n/segTokens⌉ segments —
     * per-doc state, never corpus-ordered.
@@ -887,9 +909,24 @@ object Dedup {
         .toDF("id", "seg_idx", "seg")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val fps = segs.select(col("id"), col("seg_idx"), md5(col("seg")).as("fp"))
-    val winners = fps.groupBy(col("fp"))
-      .agg(min(struct(col("id"), col("seg_idx"))).as("w"))
-      .select(col("w.id").as("id"), col("w.seg_idx").as("seg_idx"))
+    // Lexicographic min (id, seg_idx) as a PACKED decimal min:
+    // `min(struct(...))` has a struct aggregation buffer, which
+    // HashAggregateExec can't hold — the whole fp stream falls to
+    // SortAggregate (a corpus-wide sort per execution, ~70 M rows ×
+    // 50 B at sf100). seg_idx is a posexplode Int in [0, 2³¹), so
+    // id·2³² + seg_idx is strictly monotone in (id, seg_idx) for EVERY
+    // long id including negatives (the 2³² stride dominates the
+    // seg_idx range), and decimal(38,0) holds 2⁶³·2³² exactly. floor()
+    // unpack is sign-correct (floor toward -∞).
+    val stride = lit(4294967296L) // 2³²
+    val winners = fps
+      .select(col("fp"),
+        (col("id").cast("decimal(38,0)") * stride + col("seg_idx")).as("pk"))
+      .groupBy(col("fp")).agg(min(col("pk")).as("pk"))
+      .withColumn("wid", floor(col("pk") / stride).cast("long"))
+      .select(col("wid").as("id"),
+        (col("pk") - col("wid").cast("decimal(38,0)") * stride)
+          .cast("int").as("seg_idx"))
     val kept = segs.join(winners, Seq("id", "seg_idx"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
