@@ -66,6 +66,34 @@ object Bench {
     }
   }
 
+  /** Bytes of shuffle/cache block files under the given local-dir roots
+    * (every `blockmgr-*` child, the BlockManager's on-disk footprint for
+    * all JVMs sharing the box's local dirs). Tolerates files deleted
+    * mid-walk — the drain loop reads this concurrently with executor
+    * cleanup. Package-private for the spec.
+    */
+  private[graft] def blockmgrBytesUnder(
+      roots: Seq[java.nio.file.Path]): Long = roots.map { root =>
+    var total = 0L
+    val ds = java.nio.file.Files.newDirectoryStream(root, "blockmgr-*")
+    try {
+      ds.forEach { d =>
+        val walk = try java.nio.file.Files.walk(d)
+          catch { case _: java.io.IOException => null }
+        if (walk != null) try {
+          walk.forEach { p =>
+            try {
+              if (java.nio.file.Files.isRegularFile(p))
+                total += java.nio.file.Files.size(p)
+            } catch { case _: java.io.IOException => } // deleted mid-walk
+          }
+        } catch { case _: java.io.UncheckedIOException => }
+        finally walk.close()
+      }
+    } finally ds.close()
+    total
+  }.sum
+
   /** Walk /proc for (pid, ppid, argv) of every java process. */
   private def scanJavaProcs(): Seq[(Long, Long, Seq[String])] = {
     val proc = new java.io.File("/proc")
@@ -283,6 +311,48 @@ object Bench {
           }
         }
       })
+    // Shuffle-file DRAIN between samples (r12 verdict: graph_pagerank
+    // rose monotonically 11.9→37.9 s across samples under local-cluster,
+    // unexplained). Root cause: in multi-JVM mode executors are separate
+    // processes and shuffle-file deletion is an ASYNC RPC
+    // (spark.cleaner.referenceTracking.blocking.shuffle defaults false),
+    // so the between-sample System.gc() only ENQUEUES cleanup — sample
+    // k's files (graph_pagerank writes multi-GB across ~15 exchanges per
+    // sample at sf100) are still on disk, and in page cache, while
+    // sample k+1 runs, evicting the parquet columns every scan needs. In
+    // single-JVM local mode the same RPC is in-process and near-
+    // immediate, which is why only the cluster leg degraded. The drain
+    // polls the box's blockmgr-* dirs (this harness always runs all its
+    // JVMs on one box) until deletion stops making progress — OUTSIDE
+    // the timed window, the way an idle real cluster drains between
+    // jobs. Per-sample [pre, post] MB are stamped as blockmgr_mb so the
+    // accumulation is measured, not inferred. SPARK_GRAFT_SHUFFLE_DRAIN=0
+    // reverts to the bare GC.
+    val localDirRoots: Seq[java.nio.file.Path] =
+      spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir", "/tmp"))
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.isDirectory(_))
+    def blockmgrBytes(): Long = Bench.blockmgrBytesUnder(localDirRoots)
+    val drainEnabled = !sys.env.get("SPARK_GRAFT_SHUFFLE_DRAIN").contains("0")
+    def drainShuffle(): (Long, Long) = {
+      val pre = blockmgrBytes()
+      System.gc()
+      if (!drainEnabled) return (pre, pre)
+      // exit once three consecutive polls make no progress (cleanup RPCs
+      // have drained or nothing was pending) or after 20 s — a bounded,
+      // untimed pause, ~1.2 s when the dirs are already clean
+      var last = pre; var stable = 0
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(400)
+        val now = blockmgrBytes()
+        if (now >= last) stable += 1 else stable = 0
+        last = now
+      }
+      (pre, last)
+    }
+
     // Repeat-sampled timings: a single sample can absorb a transient
     // stall (GC pause, page-cache miss) and mis-record a query by 4×
     // (r6: bm25_search 17.5 s recorded, 3.9 s on re-run) — enough to
@@ -308,6 +378,9 @@ object Bench {
       // aligned 1:1 with the samples list — lets a reader distinguish a
       // cold first sample from a steady-state one across legs
       val sampleTs = scala.collection.mutable.ListBuffer[Double]()
+      // [pre, post] blockmgr bytes around each between-sample drain —
+      // the accumulation evidence for the multi-JVM pathology above
+      val bmDrain = scala.collection.mutable.ListBuffer[(Long, Long)]()
       def sample(): Option[Double] = {
         val wall0 = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()
@@ -332,8 +405,9 @@ object Bench {
         // scans (observed: q1's scan 4 s in a fresh JVM, 25 s late in a
         // full leg). A forced GC between samples — outside the timed
         // window — releases the files the way an idle real cluster
-        // would between jobs.
-        if (discardFirst) System.gc()
+        // would between jobs; drainShuffle additionally WAITS for the
+        // async executor-side deletions in multi-JVM mode (see above).
+        if (discardFirst) bmDrain += drainShuffle()
         if (ok) { sampleTs += wall0; Some(elapsed) } else None
       }
       // scored scheme: min-of-2; when both exceed 1 s (the family where
@@ -362,25 +436,34 @@ object Bench {
       }
       (name, value, samples, skewJoins,
         (spillMem.get() - spillMem0, spillDisk.get() - spillDisk0),
-        sampleTs.toList)
+        sampleTs.toList, bmDrain.toList)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = results.map { case (k, _, ss, _, _, _) =>
+    val sampleJson = results.map { case (k, _, ss, _, _, _, _) =>
       "\"" + k + "\":" + ss.mkString("[", ",", "]") }.mkString("{", ",", "}")
     // epoch-second start of each sample, 1:1 with `samples` — under
     // discard_first the head entry is the cold sample by construction
-    val sampleTsJson = results.map { case (k, _, _, _, _, ts) =>
+    val sampleTsJson = results.map { case (k, _, _, _, _, ts, _) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.filter(_._3.isEmpty).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val skewJson = results.filter(_._4 > 0).map { case (k, _, _, s, _, _) =>
+    val skewJson = results.filter(_._4 > 0).map { case (k, _, _, s, _, _, _) =>
       "\"" + k + "\":" + s }.mkString("{", ",", "}")
     // per-query spill deltas in MB, only where nonzero (memory, disk)
     val spillJson = results.filter(t => t._5._1 > 0 || t._5._2 > 0)
-      .map { case (k, _, _, _, (sm, sd), _) =>
+      .map { case (k, _, _, _, (sm, sd), _, _) =>
         "\"" + k + "\":[" + (sm >> 20) + "," + (sd >> 20) + "]" }
+      .mkString("{", ",", "}")
+    // per-query, per-sample [pre, post] blockmgr MB around each drain —
+    // only stamped where something was on disk (pre or post > 1 MB)
+    val bmJson = results
+      .filter(_._7.exists(d => (d._1 >> 20) > 1 || (d._2 >> 20) > 1))
+      .map { case (k, _, _, _, _, _, bm) =>
+        "\"" + k + "\":" + bm.map { case (pre, post) =>
+          "[" + (pre >> 20) + "," + (post >> 20) + "]" }
+          .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.filter(_._3.nonEmpty).map(_._2).sum
     val canaryEnd = canarySec()
@@ -478,7 +561,7 @@ object Bench {
         (Runtime.getRuntime.maxMemory >> 30) + "g(driver-heap)")
     val stamp = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"shuffle_partitions":$shuffleParts,"ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$contentionJson,$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sampleJson,"sample_ts":$sampleTsJson,"samples_policy":"${if (discardFirst) "discard_first" else "all"}","errors":$errs,"skew_joins":$skewJson,"spill_mb":$spillJson,"blockmgr_mb":$bmJson,"shuffle_partitions":$shuffleParts,"ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$contentionJson,$conc,"sf":"$sfDir","master":"$master","executor_memory":"$executorMem","git_sha":"$gitSha","timestamp":"$stamp"}"""
     println(json)
     // the stdout line overflows log-tail captures (the driver's BENCH_r*
     // 'parsed' field has been null every round) — also write the JSON to a

@@ -59,6 +59,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.foreignSparkJvms(procs, self = 100L).isEmpty)
   }
 
+  test("blockmgrBytesUnder sums only blockmgr-* files, tolerates missing roots") {
+    val root = java.nio.file.Files.createTempDirectory("bmspec")
+    try {
+      val bm = java.nio.file.Files.createDirectories(
+        root.resolve("blockmgr-aaaa").resolve("0c"))
+      java.nio.file.Files.write(bm.resolve("shuffle_1_0_0.data"),
+        Array.fill[Byte](1024)(7))
+      java.nio.file.Files.write(bm.resolve("shuffle_1_0_0.index"),
+        Array.fill[Byte](64)(7))
+      // a non-blockmgr sibling (parquet scratch, spark-* dirs) must not count
+      val other = java.nio.file.Files.createDirectories(root.resolve("spark-bbbb"))
+      java.nio.file.Files.write(other.resolve("big.bin"), Array.fill[Byte](4096)(7))
+      assert(Bench.blockmgrBytesUnder(Seq(root)) == 1088L)
+      // a root that vanished between config read and walk contributes 0
+      val gone = root.resolve("no-such-dir")
+      assert(Bench.blockmgrBytesUnder(Seq.empty) == 0L)
+      assert(Bench.blockmgrBytesUnder(
+        Seq(root).filter(java.nio.file.Files.isDirectory(_))) == 1088L)
+      assert(!java.nio.file.Files.isDirectory(gone))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("foreignSparkJvms tolerates a truncated process table (no cycles)") {
     // a pid whose ppid is missing from the scan (raced exit) must not
     // loop or throw; parent defaults to init
