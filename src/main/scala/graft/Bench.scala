@@ -73,26 +73,46 @@ object Bench {
     * cleanup. Package-private for the spec.
     */
   private[graft] def blockmgrBytesUnder(
-      roots: Seq[java.nio.file.Path]): Long = roots.map { root =>
+      roots: Seq[java.nio.file.Path]): Long = {
+    import java.nio.file.{Files, Path}
+    def childDirs(p: Path, glob: String): Seq[Path] = {
+      val ds = try Files.newDirectoryStream(p, glob)
+        catch { case _: java.io.IOException => null }
+      if (ds == null) Nil
+      else try {
+        import scala.jdk.CollectionConverters._
+        ds.asScala.filter(d =>
+          try Files.isDirectory(d) catch { case _: java.io.IOException => false }
+        ).toList
+      } finally ds.close()
+    }
+    // blockmgr-* sits directly under a local-dir root in local mode; in
+    // standalone/local-cluster mode the Worker hands each executor a
+    // per-app dir, so executor shuffle files live at
+    // <root>/spark-<uuid>/executor-<uuid>/blockmgr-<uuid> — scan both
+    // layouts (bounded, name-targeted; never a full recursive /tmp walk)
+    val bmDirs = roots.flatMap { root =>
+      childDirs(root, "blockmgr-*") ++
+        childDirs(root, "spark-*").flatMap { sd =>
+          childDirs(sd, "blockmgr-*") ++
+            childDirs(sd, "executor-*").flatMap(childDirs(_, "blockmgr-*"))
+        }
+    }
     var total = 0L
-    val ds = java.nio.file.Files.newDirectoryStream(root, "blockmgr-*")
-    try {
-      ds.forEach { d =>
-        val walk = try java.nio.file.Files.walk(d)
-          catch { case _: java.io.IOException => null }
-        if (walk != null) try {
-          walk.forEach { p =>
-            try {
-              if (java.nio.file.Files.isRegularFile(p))
-                total += java.nio.file.Files.size(p)
-            } catch { case _: java.io.IOException => } // deleted mid-walk
-          }
-        } catch { case _: java.io.UncheckedIOException => }
-        finally walk.close()
-      }
-    } finally ds.close()
+    bmDirs.foreach { d =>
+      val walk = try Files.walk(d)
+        catch { case _: java.io.IOException => null }
+      if (walk != null) try {
+        walk.forEach { p =>
+          try {
+            if (Files.isRegularFile(p)) total += Files.size(p)
+          } catch { case _: java.io.IOException => } // deleted mid-walk
+        }
+      } catch { case _: java.io.UncheckedIOException => }
+      finally walk.close()
+    }
     total
-  }.sum
+  }
 
   /** Walk /proc for (pid, ppid, argv) of every java process. */
   private def scanJavaProcs(): Seq[(Long, Long, Seq[String])] = {

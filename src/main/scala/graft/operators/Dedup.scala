@@ -679,52 +679,74 @@ object Dedup {
     val w = 64 / blocks
     val sigs = replayableSigs(docs, textCol, idCol)
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keys = combos.zipWithIndex.map { case (c, bi) =>
-      struct(lit(bi).as("band"),
-        concat(c.map(i => substring(col("bits"), i * w + 1, w)).toIndexedSeq: _*)
-          .as("bkey"))
-    }
     // The (band, bkey) join key is a 40-char substring concatenation —
     // joined AS a string it put ~80-byte rows through a sort-merge
     // self-join at sf100 (two 280 M-row sorts: 98 GB mem / 34 GB disk
-    // spill at 32 g, the heavy family's one remaining spiller). Both
-    // fixes below are recall-exact:
-    //  - the join key collapses to xxhash64(band, bkey): equal keys hash
-    //    equal (no pair lost), and a hash-collision FALSE candidate is
-    //    either hamming > maxHamming (killed by the verify) or a true
-    //    near-dup pair that Manku's guarantee already surfaces through a
-    //    genuinely shared key — so the result SET is identical;
-    //  - hamming is verified map-side on the join output BEFORE the
-    //    distinct (the r10 reshape of simHashPairsBlocked, now applied
-    //    to the replayable twin too), so the dedupe exchange carries
-    //    only true pairs at (id_a, id_b, hamming) width instead of every
-    //    candidate with both 128-bit signatures;
-    // and the self-join hash-builds per partition (shuffle_hash: ~2.3 M
-    // narrow rows per task at sf100's data-sized partitions) instead of
-    // sorting both streams — the sorts bought nothing downstream.
+    // spill at 32 g). r11 collapsed it to xxhash64(band, bkey); r13
+    // collapses it further to a PACKED LONG computed by integer
+    // shifts/masks on the h1/h2 32-bit packs: block j of the signature
+    // is w contiguous bits of h1 (j < 32/w) or h2, so each combination
+    // key is bandId·2^(kw) | block bytes — INJECTIVE in (band, bkey)
+    // (not merely collision-unlikely), and the banding pass drops from
+    // 53 s to shift-arithmetic per row at sf100 (the string
+    // substring+concat+xxhash formulation was the stage's entire cost;
+    // profile: tools/ShbProfile). Equal string keys ⟺ equal packed
+    // longs, so the candidate SET is exactly the oracle's. Hamming is
+    // verified map-side on the join output BEFORE the distinct (the r10
+    // reshape), so the dedupe exchange carries only true pairs at
+    // (id_a, id_b, hamming) width, and the self-join hash-builds per
+    // partition (shuffle_hash) instead of sorting both streams.
+    val kBlocks = blocks - maxHamming
+    val bandBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, combos.length - 1L)).toInt
+    val numericKeys = 32 % w == 0 && w <= 32 &&
+      kBlocks * w + bandBits <= 63
+    val keyCols: Seq[org.apache.spark.sql.Column] =
+      if (numericKeys) {
+        val perHalf = 32 / w
+        def blockBits(j: Int) = shiftright(
+          if (j < perHalf) col("h1") else col("h2"),
+          (perHalf - 1 - (j % perHalf)) * w).bitwiseAND(lit((1L << w) - 1))
+        combos.zipWithIndex.map { case (c, bi) =>
+          c.zipWithIndex.foldLeft(
+            lit(bi.toLong << (kBlocks * w)): org.apache.spark.sql.Column) {
+            case (acc, (j, pos)) =>
+              acc.bitwiseOR(shiftleft(blockBits(j), (kBlocks - 1 - pos) * w))
+          }
+        }
+      } else combos.zipWithIndex.map { case (c, bi) =>
+        xxhash64(lit(bi),
+          concat(c.map(i => substring(col("bits"), i * w + 1, w)).toIndexedSeq: _*))
+      }
     val banded0 = sigs.select(col("id"), col("h1"), col("h2"),
-        explode(array(keys.toIndexedSeq: _*)).as("bk"))
-      .select(col("id"), col("h1"), col("h2"),
-        xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
-    // SCALE PATH (same [[scaleLsh]] gate as guardedBandPairs): the 2⁴⁰
-    // Manku key space means ~99.8% of the 280 M banded rows at sf100
-    // hold a UNIQUE bh that can't produce a pair, yet the raw self-join
-    // exchanges and hash-builds all of them on BOTH sides (the heavy
-    // family's slowest query, 133 s). Count dup keys with the r12
-    // repartition-first shape (narrow 8-byte longs on the wire, no
-    // scan-width map-side hashmaps), Bloom the ~0.2% that recur, and
+        explode(array(keyCols.toIndexedSeq: _*)).as("bh"))
+    // SCALE PATH (same [[scaleLsh]] gate as guardedBandPairs): most of
+    // the 280 M banded rows at sf100 hold a bh no other row shares —
+    // they cannot produce a pair, yet the raw self-join exchanges and
+    // hash-builds all of them on BOTH sides. Count dup keys with the
+    // r12 repartition-first shape (narrow 8-byte longs on the wire, no
+    // scan-width map-side hashmaps), Bloom the recurring ones, and
     // prune both join inputs. Recall-exact: a key with one occurrence
     // cannot emit a pair, and a Bloom FP only admits rows the join
-    // drops. Banding is re-derived per pass, but from the PERSISTED
-    // signatures — explode + xxhash64 arithmetic, no md5 recompute.
+    // drops. The Bloom is sized from the EXACT dup-key count (dupKeys
+    // is persisted, counted, then scanned once more for the build):
+    // r13's first cut hardcoded 1.6 M expected / 2^24 bits while sf100
+    // has 8.2 M dup keys — 2 bits/key saturated the filter to an 81%
+    // pass rate, all prune cost and no prune (ShbProfile decomposition).
+    // 16 bits/key ⇒ FPR ~5·10⁻⁴. Banding is re-derived per pass, but
+    // from the PERSISTED signatures — pure shift arithmetic, no md5.
     val banded = if (!scaleLsh(docs)) banded0 else {
-      val dupKeys = banded0.select(col("bh"))
-        .repartition(col("bh"))
-        .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
-        .filter(col("graft_occ") >= 2)
-        .select(col("bh"))
+      val dupKeys = Caches.register(
+        banded0.select(col("bh"))
+          .repartition(col("bh"))
+          .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
+          .filter(col("graft_occ") >= 2)
+          .select(col("bh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nDup = dupKeys.count()
       val bloom = graft.operators.Bloom.nativeKeyBloomMemo(
-        dupKeys, col("bh"), 1600000L, 1L << 24)
+        dupKeys, col("bh"), math.max(1L, nDup),
+        math.max(1L << 20, nDup * 16))
       graft.operators.Bloom.nativePruned(banded0, col("bh"), bloom)
     }
     val left = banded.select(col("bh"), col("id").as("id_a"),

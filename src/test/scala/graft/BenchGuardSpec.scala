@@ -72,11 +72,18 @@ class BenchGuardSpec extends AnyFunSuite {
       val other = java.nio.file.Files.createDirectories(root.resolve("spark-bbbb"))
       java.nio.file.Files.write(other.resolve("big.bin"), Array.fill[Byte](4096)(7))
       assert(Bench.blockmgrBytesUnder(Seq(root)) == 1088L)
+      // local-cluster layout: the Worker hands executors per-app dirs at
+      // <root>/spark-<uuid>/executor-<uuid>/blockmgr-<uuid> — counted too
+      val execBm = java.nio.file.Files.createDirectories(
+        other.resolve("executor-cccc").resolve("blockmgr-dddd").resolve("0a"))
+      java.nio.file.Files.write(execBm.resolve("shuffle_2_1_0.data"),
+        Array.fill[Byte](512)(7))
+      assert(Bench.blockmgrBytesUnder(Seq(root)) == 1600L)
       // a root that vanished between config read and walk contributes 0
       val gone = root.resolve("no-such-dir")
       assert(Bench.blockmgrBytesUnder(Seq.empty) == 0L)
       assert(Bench.blockmgrBytesUnder(
-        Seq(root).filter(java.nio.file.Files.isDirectory(_))) == 1088L)
+        Seq(root).filter(java.nio.file.Files.isDirectory(_))) == 1600L)
       assert(!java.nio.file.Files.isDirectory(gone))
     } finally {
       import scala.jdk.CollectionConverters._

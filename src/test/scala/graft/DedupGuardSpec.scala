@@ -81,6 +81,34 @@ class DedupGuardSpec extends SparkSuite {
     } finally Dedup.releaseCaches() // scale path registers the banded persist
   }
 
+  test("blocked-simhash scale path (packed band keys + exact-sized Bloom " +
+      "dup-key prune) is row-identical to the direct path") {
+    // near-dup docs (one token changed) band together under the packed
+    // 5-of-8-block keys; unrelated docs must not pair. Forcing the
+    // scale gate on exercises the dupKeys persist + count + Bloom prune
+    // on both join sides — identical output is recall-exactness.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally different content with no shared tokens at all here"),
+      (5L, "yet another unrelated document body of words entirely")
+    ).toDF("doc_id", "text")
+    val key = "spark.graft.lsh.scalePath.minInputBytes"
+    val direct = Dedup.simHashPairsBlockedReplayable(docs)
+      .collect().toSet
+    spark.conf.set(key, "0")
+    try {
+      val scaled = Dedup.simHashPairsBlockedReplayable(docs)
+        .collect().toSet
+      assert(scaled === direct)
+      assert(direct.nonEmpty, "fixture must produce at least one pair")
+    } finally {
+      spark.conf.unset(key)
+      Dedup.releaseCaches()
+    }
+  }
+
   test("guard is the identity when no bucket exceeds the cap") {
     val naive = banded.select($"band", $"bh", $"id".as("id_a"))
       .join(banded.select($"band", $"bh", $"id".as("id_b")), Seq("band", "bh"))
