@@ -736,8 +736,20 @@ object Dedup {
     // 16 bits/key ⇒ FPR ~5·10⁻⁴. Banding is re-derived per pass, but
     // from the PERSISTED signatures — pure shift arithmetic, no md5.
     val banded = if (!scaleLsh(docs)) banded0 else {
+      // One banding pass, not two: the explode is the pipeline's single
+      // largest stage (ShbProfile: 43 s of the 150 s at sf100 even with
+      // packed keys — row GENERATION, not key arithmetic), and both the
+      // dup-key count and the join sides consume it. Persist the banded
+      // table (compressed columnar longs; the dup-key count below
+      // materializes it) so the prune pass is a cache scan. The Bloom
+      // build coalesces the persisted dup keys to a few partitions —
+      // with 121, each partial aggregate allocates and merges its own
+      // 16 MB filter (measured 14 s of pure filter-merge; 8.2 M keys
+      // need only a handful of partials).
+      val bandedP = Caches.register(banded0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dupKeys = Caches.register(
-        banded0.select(col("bh"))
+        bandedP.select(col("bh"))
           .repartition(col("bh"))
           .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
           .filter(col("graft_occ") >= 2)
@@ -745,9 +757,9 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nDup = dupKeys.count()
       val bloom = graft.operators.Bloom.nativeKeyBloomMemo(
-        dupKeys, col("bh"), math.max(1L, nDup),
+        dupKeys.coalesce(8), col("bh"), math.max(1L, nDup),
         math.max(1L << 20, nDup * 16))
-      graft.operators.Bloom.nativePruned(banded0, col("bh"), bloom)
+      graft.operators.Bloom.nativePruned(bandedP, col("bh"), bloom)
     }
     val left = banded.select(col("bh"), col("id").as("id_a"),
       col("h1").as("a1"), col("h2").as("a2"))

@@ -62,26 +62,35 @@ object ShbProfile {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (tSig, nSig) = time(sigs.count())
       val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-      val keys = combos.zipWithIndex.map { case (c, bi) =>
-        struct(lit(bi).as("band"),
-          concat(c.map(j => substring(col("bits"), j * w + 1, w)).toIndexedSeq: _*)
-            .as("bkey"))
+      // packed numeric band keys — mirrors the r13 operator shape
+      val kBlocks = blocks - maxHamming
+      val perHalf = 32 / w
+      def blockBits(j: Int) = shiftright(
+        if (j < perHalf) col("h1") else col("h2"),
+        (perHalf - 1 - (j % perHalf)) * w).bitwiseAND(lit((1L << w) - 1))
+      val keyCols = combos.zipWithIndex.map { case (c, bi) =>
+        c.zipWithIndex.foldLeft(
+          lit(bi.toLong << (kBlocks * w)): org.apache.spark.sql.Column) {
+          case (acc, (j, pos)) =>
+            acc.bitwiseOR(shiftleft(blockBits(j), (kBlocks - 1 - pos) * w))
+        }
       }
       def banded0 = sigs.select(col("id"), col("h1"), col("h2"),
-          explode(array(keys.toIndexedSeq: _*)).as("bk"))
-        .select(col("id"), col("h1"), col("h2"),
-          xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
+        explode(array(keyCols.toIndexedSeq: _*)).as("bh"))
       val (tBand, nBand) = time(banded0.queryExecution.toRdd.count())
-      val dupKeys = banded0.select(col("bh"))
-        .repartition(col("bh"))
-        .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
-        .filter(col("graft_occ") >= 2)
-        .select(col("bh"))
+      val dupKeys = graft.operators.Caches.register(
+        banded0.select(col("bh"))
+          .repartition(col("bh"))
+          .groupBy(col("bh")).agg(count(lit(1)).as("graft_occ"))
+          .filter(col("graft_occ") >= 2)
+          .select(col("bh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (tDup, nDup) = time(dupKeys.count())
-      val bloom = graft.operators.Bloom.nativeKeyBloomMemo(
-        dupKeys, col("bh"), 1600000L, 1L << 24)
+      val (tBloom, bloom) = time(graft.operators.Bloom.nativeKeyBloomMemo(
+        dupKeys, col("bh"), math.max(1L, nDup), math.max(1L << 20, nDup * 16)))
       val pruned = graft.operators.Bloom.nativePruned(banded0, col("bh"), bloom)
       val (tPrune, nPruned) = time(pruned.queryExecution.toRdd.count())
+      System.err.println(f"[shbprofile] bloom build $tBloom%.1f s")
       val (tFull, _) = time {
         graft.SparkEntry.queries("dedup_simhash_blocked")(spark, sfDir)
           .queryExecution.toRdd.count()
