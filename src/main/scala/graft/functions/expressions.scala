@@ -394,7 +394,7 @@ object ReadCountsExpr {
 case class NgramCountsExpr(child: Expression, n: Int)
     extends UnaryExpression {
 
-  require(n == 2 || n == 3, s"ngram_counts supports n=2,3; got $n")
+  require(n >= 1 && n <= 3, s"ngram_counts supports n=1,2,3; got $n")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -420,10 +420,13 @@ case class NgramCountsExpr(child: Expression, n: Int)
 }
 
 object NgramCountsExpr {
-  /** Field names match the LM-family join keys downstream: bigrams are
-    * (prev, cur), trigrams (u, v, w); k is the in-doc count. */
+  /** Field names match the LM-family join keys downstream: unigrams are
+    * (token), bigrams (prev, cur), trigrams (u, v, w); k is the in-doc
+    * count. */
   def schema(n: Int): DataType = {
-    val names = if (n == 2) Seq("prev", "cur") else Seq("u", "v", "w")
+    val names =
+      if (n == 1) Seq("token") else if (n == 2) Seq("prev", "cur")
+      else Seq("u", "v", "w")
     ArrayType(StructType(
       names.map(f => StructField(f, StringType, nullable = false)) :+
         StructField("k", LongType, nullable = false)),

@@ -170,6 +170,14 @@ package object functions {
   def read_counts(text: Column): Column =
     col0(ReadCountsExpr(expr0(text)))
 
+  /** Doc-local term frequencies: array<struct<token, k>> — one row per
+    * DISTINCT token of the array with its in-doc count, in
+    * first-occurrence order. Computes a per-doc tf MAP-SIDE (a doc's
+    * tokens are co-located in its row), so classifier scoring never
+    * needs the corpus-wide (doc, token) aggregate exchange. */
+  def unigram_counts(toks: Column): Column =
+    col0(NgramCountsExpr(expr0(toks), 1))
+
   /** Doc-local bigram counts: array<struct<prev, cur, k>> — one row
     * per DISTINCT bigram of the token array with its in-doc count, in
     * first-occurrence order; see VectorOps.ngramCounts. */

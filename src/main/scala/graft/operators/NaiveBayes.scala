@@ -38,19 +38,33 @@ object NaiveBayes {
 
   def fit(docs: DataFrame, textCol: String = "text",
       labelCol: String = "lang", alpha: Double = 1.0): Model = {
+    // the fused unigram kernel pre-reduces each doc to its DISTINCT
+    // tokens before the explode (guide §2.3: aggregate before you
+    // shuffle) — the generator emits ~tf-fold fewer rows and the model
+    // aggregate sums the in-doc counts instead of counting occurrences;
+    // Σ per-doc tf ≡ global occurrence count, so `c` is bit-identical
     val toks = docs.select(col(labelCol).as("label"),
-      explode(tokens(col(textCol))).as("token"))
+      explode(unigram_counts(tokens(col(textCol)))).as("u"))
     // persisted: cnt feeds totals, the vocab count, AND the weights join —
     // unpersisted, each consumer re-runs the corpus explode+aggregate
     val cnt = Caches.register(
-      toks.groupBy(col("label"), col("token"))
-        .agg(count(lit(1)).as("c"))
+      toks.select(col("label"), col("u.token").as("token"),
+          col("u.k").as("k"))
+        .groupBy(col("label"), col("token"))
+        .agg(sum(col("k")).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     modelFromCounts(cnt, docs, labelCol, alpha)
   }
 
   /** Model from materialized (label, token, c) counts — shared by [[fit]]
-    * and the fused [[fitPredict]] path. */
+    * and the fused [[fitPredict]] path.
+    *
+    * The vocab / nDocs scalars stay DRIVER counts deliberately: folding
+    * them into the plan as broadcast 1-row aggregates was measured WORSE
+    * (sf0.1 end-to-end 3.4→4.4 s) — the priors subtree is instantiated
+    * several times in the final plan (label index, scoring join, fallback
+    * row), and each instance re-evaluated the embedded corpus/cnt
+    * aggregates, where the driver literal is free at every use site. */
   private def modelFromCounts(cnt: DataFrame, docs: DataFrame,
       labelCol: String, alpha: Double): Model = {
     val totals = cnt.groupBy(col("label")).agg(sum(col("c")).as("total"))
@@ -88,9 +102,22 @@ object NaiveBayes {
     */
   def predict(model: Model, docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val dt = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // per-doc tf is computed MAP-SIDE by the fused unigram kernel: a
+    // doc's tokens are born co-located in its row, so the former
+    // explode → groupBy(doc, token) shape paid a corpus-token-stream
+    // exchange (116 M rows at sf100) for counts every partition already
+    // had locally (guide §2.4: remove shuffles outright)
+    // n_tok rides the exploded rows (one long per row) instead of being
+    // re-aggregated from them: the scoring aggregate recovers it with a
+    // min() — no second corpus pass, no (doc) re-exchange. The token
+    // array is projected ONCE so the tokenizer runs once per doc (a
+    // collapsed projection would re-evaluate it per consumer).
+    val dt = docs.select(col(idCol),
+        tokens(col(textCol)).as("graft_toks"))
+      .select(col(idCol), size(col("graft_toks")).cast("long").as("n_tok"),
+        explode(unigram_counts(col("graft_toks"))).as("u"))
+      .select(col(idCol), col("n_tok"),
+        col("u.token").as("token"), col("u.k").as("tf"))
     predictFromTf(model, docs, dt, idCol)
   }
 
@@ -109,9 +136,15 @@ object NaiveBayes {
     * Classifiers have few classes by construction; a >64-label input
     * falls back to the unpivoted shape rather than build a 1000-column
     * plan. */
-  private def predictFromTf(model: Model, docs: DataFrame, dt: DataFrame,
+  private def predictFromTf(model0: Model, docs: DataFrame, dt: DataFrame,
       idCol: String): DataFrame = {
-    val nTok = dt.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tok"))
+    // priors is classes-sized but its SUBTREE is a corpus scan (the
+    // label group-by) and it appears at three places in the final plan
+    // (label index, scoring join, fallback row) — persist it so the
+    // corpus pays that scan once; the label-index count below
+    // materializes it (guide §5: cache only reused-and-expensive)
+    val model = Model(model0.weights, Caches.register(model0.priors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     // Labels are addressed through a join-assigned dense integer index,
     // never by embedding the label VALUE in a column name (a dotted or
     // backticked label would re-parse as a nested-field path, and labels
@@ -133,20 +166,29 @@ object NaiveBayes {
     val adj = col("tf") * (col("logp") - col("logunseen"))
     val scored = if (nLabels > 0 && nLabels <= 64) {
       val n = nLabels.toInt
-      val hits = dt.join(model.weights, Seq("token"))
+      // LEFT join so a doc whose every token is out-of-vocabulary stays
+      // in the one per-doc aggregate (null lidx/adj rows add nothing to
+      // the pivot sums but keep the doc and its n_tok) — the former
+      // inner join needed a SECOND per-doc aggregate (nTok) plus an
+      // id-keyed outer join to stitch those docs back in (guide §2.4).
+      val wjoined = model.weights
         .join(broadcast(model.priors.select(col("label"), col("logunseen"))
           .join(lidx, Seq("label"))), Seq("label"))
+        .select(col("token"), col("graft_lidx"), col("logp"),
+          col("logunseen"))
+      val hits = dt.join(wjoined, Seq("token"), "left")
       val sums = (0 until n).map(i =>
         sum(when(col("graft_lidx") === i, adj)).as(s"graft_adj_$i"))
-      val wide = hits.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      nTok.join(broadcast(model.priors.join(lidx, Seq("label"))))
-        .join(wide, Seq(idCol), "left")
+      val wide = hits.groupBy(col(idCol))
+        .agg(min(col("n_tok")).as("n_tok"), sums: _*)
+      wide.join(broadcast(model.priors.join(lidx, Seq("label"))))
         .select(col(idCol), col("label"),
           (col("logprior") + col("n_tok") * col("logunseen") +
             coalesce(((0 until n).map(i =>
               when(col("graft_lidx") === i, col(s"graft_adj_$i"))) :+
               lit(0.0)): _*)).as("score"))
     } else {
+      val nTok = dt.groupBy(col(idCol)).agg(min(col("n_tok")).as("n_tok"))
       val seenAdj = dt.join(model.weights, Seq("token"))
         .join(broadcast(model.priors.select(col("label"), col("logunseen"))),
           Seq("label"))
@@ -176,30 +218,20 @@ object NaiveBayes {
   /** fit + predict on the same corpus (the in-corpus classification most
     * curation filters run: train on the labeled slice, score everything).
     *
-    * Fused: fit and predict each need a corpus explode + token hash-agg;
-    * run separately that is TWO passes over the heaviest stage. One
-    * persisted (doc, label, token, tf) aggregate serves both — the model
-    * counts are a rollup of it, the scoring rows a projection — so the
-    * corpus text is tokenized exactly once.
+    * r13 reshape (guide §2.3/§2.4): the former fused path persisted a
+    * (doc, label, token, tf) aggregate so the corpus was tokenized once —
+    * but that aggregate's exchange carries the whole token stream keyed
+    * by near-unique (doc, label, token) triples (116 M rows at sf100,
+    * partial aggregation reduces almost nothing), and the cache it fills
+    * is corpus-sized state scanned three more times. Tokenizing twice is
+    * strictly cheaper: fit's (label, token) exchange map-side-reduces to
+    * ~vocab × labels keys per task, and predict's per-doc tf/n_tok are
+    * now computed map-side ([[predict]]), so NO corpus-sized exchange or
+    * cache remains anywhere in the pipeline — the only shuffled rows are
+    * model counts and one narrow row per scored document.
     */
   def fitPredict(docs: DataFrame, textCol: String = "text",
       labelCol: String = "lang", idCol: String = "doc_id",
-      alpha: Double = 1.0): DataFrame = {
-    val tf = Caches.register(
-      docs.select(col(idCol), col(labelCol).as("label"),
-          explode(tokens(col(textCol))).as("token"))
-        .groupBy(col(idCol), col("label"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // cnt feeds totals, the vocab count (its own job), and the weights
-    // join — persisted: without it each consumer re-rolls the tf cache
-    // (measured +0.5 s at sf0.1)
-    val cnt = Caches.register(
-      tf.groupBy(col("label"), col("token"))
-        .agg(sum(col("tf")).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val model = modelFromCounts(cnt, docs, labelCol, alpha)
-    predictFromTf(model, docs, tf.select(col(idCol), col("token"), col("tf")),
-      idCol)
-  }
+      alpha: Double = 1.0): DataFrame =
+    predict(fit(docs, textCol, labelCol, alpha), docs, textCol, idCol)
 }
