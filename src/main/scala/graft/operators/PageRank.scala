@@ -62,7 +62,7 @@ object PageRank {
     val base = (dampDen - dampNum) * scale / dampDen / n
 
     var rank = vs.select(col("node"), lit(scale / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val withDeg = rank.join(outdeg, col("node") === col("o_src"), "left")
         .select(col("node"), col("r"), col("deg"))
       // dangling pool: a one-row aggregate attached via broadcast —
@@ -83,6 +83,16 @@ object PageRank {
         .select(col("node"),
           (lit(base) + floor(lit(dampNum) * (coalesce(col("contrib"), lit(0L)) + col("dshare"))
             / lit(dampDen)).cast("long")).as("r"))
+      // every non-final rank feeds TWO consumers next round (the dangling
+      // aggregate and the contribution join) — unpersisted, round i+1
+      // re-executes round i's whole subtree under each consumer, so the
+      // unrolled recurrence costs ~2^iters instead of iters (exchange
+      // reuse hides some of it in one JVM; the multi-JVM legs showed the
+      // full shuffle-file fan-out). Persisting truncates the recurrence
+      // to one execution per round (guide §5: cache reused-and-expensive;
+      // the state is (node, rank) longs, released with the other caches).
+      if (it < iters) rank = Caches.register(rank
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     rank.select(col("node"), col("r").as("rank_fp"))
   }

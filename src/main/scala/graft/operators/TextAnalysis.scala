@@ -575,8 +575,23 @@ object TextAnalysis {
       .select(explode(graft.functions.bigram_counts(col("tk"))).as("b"))
       .select(col("b.prev").as("prev"), col("b.cur").as("cur"),
         col("b.k").as("k"))
+    // SCALE PATH (same gate/conf as the LSH family): repartition the raw
+    // bigram stream by prev BEFORE aggregating. At corpus scale the
+    // (prev, cur) key space is near-unique, so map-side partial
+    // aggregation builds scan-width hashmaps that reduce almost nothing
+    // and spill (the r12 dup-key-count lesson; kn3's sf100 leg spilled
+    // 83 GB in exactly this shape) — repartition-first puts narrow rows
+    // on the wire and the post-exchange aggregate holds ~rows/partitions
+    // keys per task. At fixture scale partial aggregation DOES reduce
+    // (tiny vocab), so the plain shape stays (measured: the reshape was
+    // noise-to-negative at sf0.1).
+    val cbAgg =
+      if (Dedup.scaleLsh(tk)) {
+        val nParts = tk.sparkSession.sessionState.conf.numShufflePartitions
+        bi.repartition(nParts, col("prev"))
+      } else bi
     val cb = Caches.register(
-      bi.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
+      cbAgg.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
     (cb, ccont, cb.count()) // count = N1+(·,·), the one driver scalar
@@ -656,8 +671,22 @@ object TextAnalysis {
       .select(col(idCol), explode(graft.functions.trigram_counts(col("tk"))).as("t"))
       .select(col(idCol), col("t.u").as("u"), col("t.v").as("v"),
         col("t.w").as("w"), col("t.k").as("k"))
+    // SCALE PATH (same gate/conf as the LSH family): repartition the raw
+    // trigram stream BEFORE the c3 aggregate. At corpus scale (u,v,w)
+    // is near-unique — map-side partial aggregation builds scan-width
+    // hashmaps that reduce almost nothing and spill (kn3's sf100 leg
+    // spilled 83 GB in this shape; the r12 dup-key-count lesson) —
+    // repartition-first puts narrow rows on the wire and the
+    // post-exchange aggregate holds ~rows/partitions keys per task. At
+    // fixture scale partial aggregation DOES reduce (tiny vocab), so
+    // the plain shape stays.
+    val triAgg =
+      if (Dedup.scaleLsh(tk)) {
+        val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+        tri.repartition(nParts, col("v"))
+      } else tri
     val c3 = Caches.register(
-      tri.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
+      triAgg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cctx3 = c3.groupBy(col("u"), col("v"))
       .agg(sum(col("c3")).as("cv3"), count(lit(1)).as("n1f3"))
