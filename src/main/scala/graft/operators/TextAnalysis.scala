@@ -461,21 +461,29 @@ object TextAnalysis {
     */
   def unigramPerplexity(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", alpha: Double = 1.0): DataFrame = {
-    // the exploded token projection feeds the model fit, BOTH driver-side
-    // scalars, and the scoring join — persist it so the scan+tokenize
-    // pipeline runs once (released via Dedup.releaseCaches, same contract
-    // as the signature caches)
-    val toks = Caches.register(
-      docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    // per-doc token TYPES with in-doc counts, computed MAP-SIDE by the
+    // fused unigram kernel (a doc's tokens are co-located in its row) —
+    // the former cache held the full OCCURRENCE stream (id, token),
+    // several-fold more rows, and the scoring join re-shuffled all of it.
+    // Scoring is tf-weighted: Σk·ln p / Σk ≡ avg over occurrences (the
+    // same round-6-absorbed latitude the bigram family documents), and
+    // the per-doc aggregate's map-side partials collapse to one row per
+    // doc. Both model scalars come from ONE tiny aggregate over cnt.
+    val dtf = Caches.register(
+      docs.select(col(idCol),
+          explode(unigram_counts(tokens(col(textCol)))).as("u"))
+        .select(col(idCol), col("u.token").as("token"), col("u.k").as("k"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val vocab = cnt.count()
-    val total = toks.count()
-    val scored = toks.join(cnt, Seq("token"))
+    val cnt = dtf.groupBy(col("token")).agg(sum(col("k")).as("c"))
+    val scalars = cnt.agg(count(lit(1)), coalesce(sum(col("c")), lit(0L))).head()
+    val vocab = scalars.getLong(0)
+    val total = scalars.getLong(1)
+    val scored = dtf.join(cnt, Seq("token"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        (-avg(log((col("c") + lit(alpha)) / lit(total + alpha * vocab))))
-          .as("avg_nll"))
+      .agg(sum(col("k")).as("n_tokens"),
+        (-(sum(col("k") *
+            log((col("c") + lit(alpha)) / lit(total + alpha * vocab))) /
+          sum(col("k")))).as("avg_nll"))
       .withColumn("ppl", exp(col("avg_nll")))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -515,11 +523,16 @@ object TextAnalysis {
       .select(col(idCol), explode(graft.functions.bigram_counts(col("tk"))).as("b"))
       .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"),
         col("b.k").as("k"))
-    val uni = tk.select(explode(col("tk")).as("token"))
-    val cu = uni.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    // unigram model counts via the fused kernel (map-side pre-reduction,
+    // same exact integers); both scalars from ONE aggregate instead of
+    // two corpus-stream count() jobs
+    val uni = tk.select(explode(graft.functions.unigram_counts(col("tk"))).as("u"))
+      .select(col("u.token").as("token"), col("u.k").as("k"))
+    val cu = uni.groupBy(col("token")).agg(sum(col("k")).as("cu"))
     val cb = bi.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
-    val vocab = cu.count()
-    val total = uni.count()
+    val scalars = cu.agg(count(lit(1)), coalesce(sum(col("cu")), lit(0L))).head()
+    val vocab = scalars.getLong(0)
+    val total = scalars.getLong(1)
     // (1 - λ) is COMPUTED in IEEE double on both engines (the oracle says
     // 1.0 - 0.7 with ::DOUBLE casts), not written as a 0.3 literal — the
     // parsed-0.3 double differs from computed-0.3 in the last ulp.
