@@ -588,23 +588,14 @@ object TextAnalysis {
       .select(explode(graft.functions.bigram_counts(col("tk"))).as("b"))
       .select(col("b.prev").as("prev"), col("b.cur").as("cur"),
         col("b.k").as("k"))
-    // SCALE PATH (same gate/conf as the LSH family): repartition the raw
-    // bigram stream by prev BEFORE aggregating. At corpus scale the
-    // (prev, cur) key space is near-unique, so map-side partial
-    // aggregation builds scan-width hashmaps that reduce almost nothing
-    // and spill (the r12 dup-key-count lesson; kn3's sf100 leg spilled
-    // 83 GB in exactly this shape) — repartition-first puts narrow rows
-    // on the wire and the post-exchange aggregate holds ~rows/partitions
-    // keys per task. At fixture scale partial aggregation DOES reduce
-    // (tiny vocab), so the plain shape stays (measured: the reshape was
-    // noise-to-negative at sf0.1).
-    val cbAgg =
-      if (Dedup.scaleLsh(tk)) {
-        val nParts = tk.sparkSession.sessionState.conf.numShufflePartitions
-        bi.repartition(nParts, col("prev"))
-      } else bi
+    // Repartition-first before this aggregate was TRIED and REVERTED
+    // (r13): the sf100 leg went 134->218 s with the spill unchanged —
+    // the kn3 spill lives in the scoring join's sorts, not here, and
+    // the raw-stream exchange costs more than the partial-agg hashmaps
+    // save (unlike the r12 dup-key count, whose aggregate WAS the
+    // spiller). Measured negative result; the plain shape stays.
     val cb = Caches.register(
-      cbAgg.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
+      bi.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ccont = cb.groupBy(col("cur")).agg(count(lit(1)).as("n1bwd"))
     (cb, ccont, cb.count()) // count = N1+(·,·), the one driver scalar
@@ -631,12 +622,16 @@ object TextAnalysis {
     val p = greatest(col("cb") - d, lit(0.0)) / col("cv") +
       d * col("n1fwd") / col("cv") *
         (col("n1bwd") / lit(nBigramTypes.toDouble))
+    // scale path: hash-build the model sides instead of sort-merging —
+    // same rationale (and gate) as the trigram ladder's scaleHint
+    def scaleHint(df: DataFrame): DataFrame =
+      if (Dedup.scaleLsh(tk)) df.hint("shuffle_hash") else df
     val model = cb
-      .join(cctx, Seq("prev"))
-      .join(ccont, Seq("cur"))
+      .join(scaleHint(cctx), Seq("prev"))
+      .join(scaleHint(ccont), Seq("cur"))
       .select(col("prev"), col("cur"), log(p).as("lp"))
     val scored = bi
-      .join(model, Seq("prev", "cur"))
+      .join(scaleHint(model), Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
         (-(sum(col("k") * col("lp")) / sum(col("k")))).as("avg_nll_kn"))
@@ -684,22 +679,14 @@ object TextAnalysis {
       .select(col(idCol), explode(graft.functions.trigram_counts(col("tk"))).as("t"))
       .select(col(idCol), col("t.u").as("u"), col("t.v").as("v"),
         col("t.w").as("w"), col("t.k").as("k"))
-    // SCALE PATH (same gate/conf as the LSH family): repartition the raw
-    // trigram stream BEFORE the c3 aggregate. At corpus scale (u,v,w)
-    // is near-unique — map-side partial aggregation builds scan-width
-    // hashmaps that reduce almost nothing and spill (kn3's sf100 leg
-    // spilled 83 GB in this shape; the r12 dup-key-count lesson) —
-    // repartition-first puts narrow rows on the wire and the
-    // post-exchange aggregate holds ~rows/partitions keys per task. At
-    // fixture scale partial aggregation DOES reduce (tiny vocab), so
-    // the plain shape stays.
-    val triAgg =
-      if (Dedup.scaleLsh(tk)) {
-        val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-        tri.repartition(nParts, col("v"))
-      } else tri
+    // Repartition-first before this aggregate was TRIED and REVERTED
+    // (r13): sf100 kn3 went 133.7 -> 218 s with the 80 GB spill
+    // UNCHANGED — the spill lives in the ladder/scoring joins' sort-
+    // merge sorts (fixed below), not in this aggregate's map-side
+    // hashmaps, and the raw trigram-stream exchange costs more than
+    // partial aggregation saves. Measured negative result.
     val c3 = Caches.register(
-      triAgg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
+      tri.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cctx3 = c3.groupBy(col("u"), col("v"))
       .agg(sum(col("c3")).as("cv3"), count(lit(1)).as("n1f3"))
@@ -722,15 +709,25 @@ object TextAnalysis {
       d * col("n1f3") / col("cv3") * p2
     // model per trigram TYPE (c3 is already distinct (u,v,w)): the four
     // ladder joins ride the type table, then ONE join attaches lp3 to
-    // the per-doc counts
+    // the per-doc counts.
+    // SCALE PATH (same gate/conf as the LSH family): pin shuffle_hash on
+    // the ladder and scoring joins — at sf100 these are SMJs over
+    // hundreds of millions of 3-string rows and their SORTS are the
+    // query's entire 80 GB spill (guide §3.1: hash-build the smaller
+    // side per partition instead of sorting both streams; the r11
+    // blocked-simhash self-join lesson). At fixture scale the sides
+    // broadcast and the hint is a no-op, but it is gated anyway so the
+    // small-corpus plans stay byte-identical to r12's.
+    def scaleHint(df: DataFrame): DataFrame =
+      if (Dedup.scaleLsh(tk)) df.hint("shuffle_hash") else df
     val model = c3
-      .join(cctx3, Seq("u", "v"))
-      .join(chat, Seq("v", "w"))
-      .join(cctx2, Seq("v"))
-      .join(ccont.withColumnRenamed("cur", "w"), Seq("w"))
+      .join(scaleHint(cctx3), Seq("u", "v"))
+      .join(scaleHint(chat), Seq("v", "w"))
+      .join(scaleHint(cctx2), Seq("v"))
+      .join(scaleHint(ccont.withColumnRenamed("cur", "w")), Seq("w"))
       .select(col("u"), col("v"), col("w"), log(p3).as("lp3"))
     val scored = tri
-      .join(model, Seq("u", "v", "w"))
+      .join(scaleHint(model), Seq("u", "v", "w"))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_trigrams"),
         (-(sum(col("k") * col("lp3")) / sum(col("k")))).as("avg_nll_kn3"))
