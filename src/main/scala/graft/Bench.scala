@@ -136,6 +136,17 @@ object Bench {
       }
   }
 
+  /** Compact driver-visible summary — the FINAL stdout line of a bench
+    * run. Bounded well under 1.5 KB (BenchGuardSpec pins it) so it
+    * always survives a log-tail capture in full. Package-private for the
+    * spec.
+    */
+  private[graft] def compactLine(total: Double, nQueries: Int, nOk: Int,
+      sfDir: String, master: String, shuffleParts: String, policy: String,
+      canaryStart: Double, canaryEnd: Double, contentionJson: String,
+      gitSha: String, stamp: String, fullJsonPath: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_ok":$nOk,"n_errors":${nQueries - nOk},"sf":${jsonStr(sfDir)},"master":${jsonStr(master)},"shuffle_partitions":"$shuffleParts","samples_policy":"$policy","ambient_canary":{"start_sec":$canaryStart,"end_sec":$canaryEnd},$contentionJson,"git_sha":"$gitSha","timestamp":"$stamp","full_json":${jsonStr(fullJsonPath)}}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contention guard (r12 "what's wrong" #1): detect OTHER Spark/graft
@@ -202,7 +213,42 @@ object Bench {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_BROADCAST", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
+      // Shuffle WRITER unification (r14, measured): with ≤200 reduce
+      // partitions and no map-side aggregation Spark's sort-shuffle
+      // takes the bypass-merge path — numPartitions OPEN FILES PER MAP
+      // TASK, concatenated at the end. Every legacy-threshold shuffle
+      // here (32 partitions at fixture scale, 121 at sf100) therefore
+      // paid 32-121 small file creates per map task, ~8.5 ms/task on
+      // this box (MicroFloor attribution: the cost IS shuffle write
+      // time; join_full 0.56→0.35 s, graph_pagerank's worst leg 19.4→
+      // 2.8 s once forced off). Threshold 0 forces the serialized
+      // UnsafeShuffleWriter — one data+index file per map task — which
+      // is EXACTLY the writer any >200-partition production shuffle
+      // already uses, so fixture-scale legs now measure the same write
+      // path a cluster runs. Overridable via SPARK_GRAFT_CONF.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // Subset-key co-partitioning (r14): the KN3 scale path pins its
+      // model pipeline to HashPartitioning(v) so five vocabulary-sized
+      // exchanges collapse into one (guide §2.4) — but Spark's default
+      // requireAllClusterKeysForCoPartition=true refuses to join two
+      // children co-partitioned on a key SUBSET and re-exchanges both
+      // on the full key set. false restores the subset behavior; the
+      // co-partitioned sides pin their partition count to
+      // spark.sql.shuffle.partitions, so join parallelism is unchanged.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF=k=v;k=v — extra session confs for LOCAL A/B
+    // probes (same hook PlanDump/the profilers expose; the driver never
+    // sets it, so the contract run keeps the exact session above).
+    // Non-default runs never overwrite target/bench.json (see defaultRun
+    // below, which treats a set SPARK_GRAFT_CONF as non-default).
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = (kv.take(i).trim, kv.drop(i + 1).trim)
+        if (k.nonEmpty) builder.config(k, v)
+      }
     val spark = (if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         sys.props("java.class.path"))
@@ -592,6 +638,7 @@ object Bench {
     // target/bench-<mode>.json unless an explicit out path is given.
     val defaultRun = master == "local[32]" && shuffleParts == "32" &&
       only.isEmpty && sys.env.get("SPARK_DRIVER_MEM").isEmpty &&
+      sys.env.get("SPARK_GRAFT_CONF").forall(_.trim.isEmpty) &&
       sfDir == "/root/testdata/sf0.1"
     val defaultOut =
       if (defaultRun) "target/bench.json"
@@ -608,6 +655,23 @@ object Bench {
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     System.err.println(s"bench: wrote ${out.toAbsolutePath}")
+    // Driver-visible compact summary (r13 verdict item 1): the full JSON
+    // line above is ~24 KB (199 queries × samples × sample_ts × blockmgr
+    // stamps) and the driver retains only a ~2000-char stdout TAIL, so
+    // the line's head — and with it the `{"metric":` prefix the parser
+    // needs — has been truncated away in every BENCH_r* since r09
+    // (`parsed: null`). The FINAL stdout line is therefore a compact,
+    // self-contained summary (~400 B, always inside the tail): totals
+    // and provenance only, per-query detail stays in the full line above
+    // and in the JSON file. Deliberately NO "queries" key here — an
+    // empty map could misread as every query dropped from the bench;
+    // absence degrades to the status quo at worst.
+    val nOk = results.count(_._3.nonEmpty)
+    println(compactLine(total, results.size, nOk, sfDir, master,
+      shuffleParts,
+      if (discardFirst) "discard_first" else "all",
+      canaryStart, canaryEnd, contentionJson, gitSha, stamp,
+      out.toAbsolutePath.toString))
     spark.stop()
   }
 }

@@ -22,7 +22,8 @@ object PlanDump {
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
       .foreach { kv =>
         val i = kv.indexOf('=')
-        builder.config(kv.take(i), kv.drop(i + 1))
+        val (k, v) = (kv.take(i).trim, kv.drop(i + 1).trim)
+        if (k.nonEmpty) builder.config(k, v)
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -104,7 +104,18 @@ object Components {
     var converged = false
     while (iter < maxIter && !converged) {
       // (1) propagate: each node takes the min label over itself (via the
-      // self-loop) and its neighbors — one shuffle join + one hash-agg
+      // self-loop) and its neighbors — one shuffle join + one hash-agg.
+      // NOTE (r14, measured): this three-action round (propagate
+      // snapshot, jump snapshot, sum probe) was twice "optimized" and
+      // both variants REVERTED on measurement: (a) fusing the sum probe
+      // into the jump action via observe() trades a tiny synchronous
+      // job for an async listener-bus wait (~100 ms/round under load);
+      // (b) replacing the propagate snapshot with a LAZY persist made
+      // the jump's self-join schedule both cache-fill branches as
+      // separate AQE stages — per-query tasks went 147 → 395 and
+      // dedup_clusters 2.9 → 4.4-6.8 s. The eager snapshot per stage is
+      // load-bearing: it makes the self-join read materialized blocks
+      // instead of planning the propagate subtree twice.
       val relabeled = timed(s"round-$iter propagate") { snapshot(edges
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("comp")).as("comp"))

@@ -73,8 +73,16 @@ object Dedup {
     * corpora.
     */
   private[graft] def scaleLsh(source: DataFrame): Boolean = {
-    val threshold = source.sparkSession.conf
-      .get("spark.graft.lsh.scalePath.minInputBytes", (256L << 20).toString)
+    // The gate is shared beyond LSH (the KN/bigram LM ladders hint
+    // their joins through it too — ADVICE r13), so the neutral key
+    // `spark.graft.scalePath.minInputBytes` is authoritative; the
+    // historical lsh-named key stays honored as a fallback because
+    // existing tests/tools pin it to 0 to force the scale path on tiny
+    // fixtures. Pinning EITHER key flips every size-gated family.
+    val conf = source.sparkSession.conf
+    val threshold = conf.get("spark.graft.scalePath.minInputBytes",
+      conf.get("spark.graft.lsh.scalePath.minInputBytes",
+        (256L << 20).toString))
     val t = scala.util.Try(threshold.trim.toLong).getOrElse(256L << 20)
     source.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(t)
   }

@@ -583,6 +583,48 @@ object TextAnalysis {
     * the subtle KN bottom level (bigram TYPES, not tokens) cannot
     * desynchronize between the order-2 and order-3 estimators.
     */
+  /** Scale-path join hint with a build-side memory guard. Pins
+    * `shuffle_hash` on `df` (making it the hash-BUILD side) only while
+    * the per-partition build fits a budget: Spark's shuffled-hash build
+    * side cannot spill (guide §3.1), so an unconditional hint turns
+    * "model side bigger than executor memory" into an OOM where
+    * sort-merge would just spill (ADVICE r13 — the trigram/bigram model
+    * tables are corpus-vocabulary-sized, hundreds of millions of rows at
+    * sf100, and the framework targets 100 TB). The guard divides the
+    * build side's plan-stat size across the session's shuffle
+    * partitions; above `spark.graft.shj.maxBuildBytesPerPartition`
+    * (default 256 MB — what a 4 GB executor can hash-build while also
+    * streaming the probe side) the join is left to the planner, whose
+    * sort-merge choice spills gracefully. Because shuffle partition
+    * counts should scale with input bytes (Bench sizes
+    * `spark.sql.shuffle.partitions` at ⌈fixture bytes / 128 MB⌉), the
+    * per-partition build shrinks as data and partitioning grow together,
+    * so the hint stays on for exactly the deployments it is safe on.
+    */
+  /** `sizeProxy`: plan-stat SIZE estimates multiply through join chains
+    * (size-only estimation has no row counts to divide by), so a
+    * multi-join build side like the assembled KN model table estimates
+    * astronomically even when its true cardinality equals its largest
+    * base table's. Callers pass that base table as the proxy; its
+    * single-subtree estimate is the honest stand-in.
+    */
+  private def shjWithinBudget(gate: Boolean,
+      sizeProxy: Option[DataFrame] = None)(df: DataFrame): DataFrame =
+    if (!gate) df
+    else {
+      val conf = df.sparkSession.conf
+      val parts = scala.util.Try(
+        conf.get("spark.sql.shuffle.partitions").trim.toInt)
+        .getOrElse(200).max(1)
+      val budget = scala.util.Try(
+        conf.get("spark.graft.shj.maxBuildBytesPerPartition",
+          (256L << 20).toString).trim.toLong)
+        .getOrElse(256L << 20)
+      val est = sizeProxy.getOrElse(df)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est / parts <= BigInt(budget)) df.hint("shuffle_hash") else df
+    }
+
   private def bigramTypeModel(tk: DataFrame): (DataFrame, DataFrame, Long) = {
     val bi = tk.filter(size(col("tk")) >= 2)
       .select(explode(graft.functions.bigram_counts(col("tk"))).as("b"))
@@ -623,15 +665,16 @@ object TextAnalysis {
       d * col("n1fwd") / col("cv") *
         (col("n1bwd") / lit(nBigramTypes.toDouble))
     // scale path: hash-build the model sides instead of sort-merging —
-    // same rationale (and gate) as the trigram ladder's scaleHint
-    def scaleHint(df: DataFrame): DataFrame =
-      if (Dedup.scaleLsh(tk)) df.hint("shuffle_hash") else df
+    // same rationale (and gate) as the trigram ladder's scaleHint, with
+    // the per-partition build-size budget of [[shjWithinBudget]]
+    val scaleGate = Dedup.scaleLsh(tk)
+    def scaleHint(df: DataFrame): DataFrame = shjWithinBudget(scaleGate)(df)
     val model = cb
       .join(scaleHint(cctx), Seq("prev"))
       .join(scaleHint(ccont), Seq("cur"))
       .select(col("prev"), col("cur"), log(p).as("lp"))
     val scored = bi
-      .join(scaleHint(model), Seq("prev", "cur"))
+      .join(shjWithinBudget(scaleGate, Some(cb))(model), Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
         (-(sum(col("k") * col("lp")) / sum(col("k")))).as("avg_nll_kn"))
@@ -685,16 +728,73 @@ object TextAnalysis {
     // merge sorts (fixed below), not in this aggregate's map-side
     // hashmaps, and the raw trigram-stream exchange costs more than
     // partial aggregation saves. Measured negative result.
-    val c3 = Caches.register(
-      tri.groupBy(col("u"), col("v"), col("w")).agg(sum(col("k")).as("c3"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // SCALE PATH co-partitioning (r13 verdict item 3): every model-side
+    // derivation and all but one ladder join share the middle token `v`
+    // as a key subset, so pinning the persisted c3 TYPE table to
+    // HashPartitioning(v) lets the whole ladder — cctx3 (u,v), chat
+    // (v,w), cctx2 (v), their joins back onto c3, and the model side of
+    // the scoring join — reuse ONE exchange instead of re-exchanging
+    // corpus-vocabulary-sized tables per consumer (guide §2.4: two
+    // operations keyed the same way share one exchange; subset
+    // partitioning satisfies each aggregate/join's clustered
+    // distribution). The repartition runs on the AGGREGATED type table
+    // (the r13 repartition-first negative exchanged the raw occurrence
+    // stream — that lesson holds, this is not that). Works because
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    // defaults false: the cached plan's output partitioning is
+    // deterministic and visible to consumers. Gated off at fixture
+    // scale, where the sides broadcast and a 32-way repartition of a
+    // tiny table would be pure floor.
+    val scaleGate0 = Dedup.scaleLsh(tk)
+    val c3base = tri.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("k")).as("c3"))
+    // Scale path reuses the one v-exchange through LOCALCHECKPOINT, not
+    // persist: Spark 4 wraps every cached plan in an AdaptiveSparkPlan
+    // (TableCacheQueryStage), whose output partitioning is opaque to
+    // consumers — plan-verified here: with persist, every ladder join
+    // re-exchanged both sides (18 exchanges) exactly as r13's blocked
+    // prototype found. A localCheckpoint materializes to a LogicalRDD
+    // that CARRIES the physical plan's HashPartitioning(v), so the
+    // ladder aggregates/joins satisfy their distributions without new
+    // exchanges. Storage is row-level MEMORY_AND_DISK blocks (released
+    // when the RDD is GC'd, same contract as Components' snapshots);
+    // the fixture path keeps the columnar persist and its byte-identical
+    // r12/r13 plans.
+    // Why the checkpointed subtrees plan with AQE OFF: LogicalRDD takes
+    // its partitioning from the source Dataset's
+    // executedPlan.outputPartitioning, and AdaptiveSparkPlanExec never
+    // overrides outputPartitioning — an AQE-wrapped plan ALWAYS reports
+    // UnknownPartitioning into the checkpoint (plan-verified: every
+    // ladder consumer re-exchanged). Disabling AQE for exactly these
+    // two small builds (one pinned-count repartition, one
+    // exchange-free aggregate over it) makes the captured partitioning
+    // HashPartitioning(v, N); the CONSUMING query keeps full AQE. The
+    // explicit count matters too: an un-numbered repartition would be
+    // legitimate AQE-coalesce bait on the consumer side.
+    val sess = docs.sparkSession
+    val vParts = sess.sessionState.conf.numShufflePartitions
+    val (c3, chatOpt) =
+      if (!scaleGate0)
+        (Caches.register(c3base
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+          None)
+      else {
+        val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val c3ck = c3base.repartition(vParts, col("v")).localCheckpoint()
+          val chatCk = c3ck.groupBy(col("v"), col("w"))
+            .agg(count(lit(1)).as("chat")).localCheckpoint()
+          (c3ck, Some(chatCk))
+        } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     val cctx3 = c3.groupBy(col("u"), col("v"))
       .agg(sum(col("c3")).as("cv3"), count(lit(1)).as("n1f3"))
     // continuation counts: c3 rows are distinct (u,v,w), so count(*)
     // per (v,w) IS |{u : c(u,v,w) > 0}|
-    val chat = Caches.register(
+    val chat = chatOpt.getOrElse(Caches.register(
       c3.groupBy(col("v"), col("w")).agg(count(lit(1)).as("chat"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val cctx2 = chat.groupBy(col("v"))
       .agg(sum(col("chat")).as("cv2"), count(lit(1)).as("n1f2"))
     // bottom level over bigram TYPES of the same corpus — the SAME
@@ -718,16 +818,47 @@ object TextAnalysis {
     // blocked-simhash self-join lesson). At fixture scale the sides
     // broadcast and the hint is a no-op, but it is gated anyway so the
     // small-corpus plans stay byte-identical to r12's.
-    def scaleHint(df: DataFrame): DataFrame =
-      if (Dedup.scaleLsh(tk)) df.hint("shuffle_hash") else df
-    val model = c3
-      .join(scaleHint(cctx3), Seq("u", "v"))
-      .join(scaleHint(chat), Seq("v", "w"))
-      .join(scaleHint(cctx2), Seq("v"))
-      .join(scaleHint(ccont.withColumnRenamed("cur", "w")), Seq("w"))
-      .select(col("u"), col("v"), col("w"), log(p3).as("lp3"))
-    val scored = tri
-      .join(scaleHint(model), Seq("u", "v", "w"))
+    // (each hinted side passes the [[shjWithinBudget]] per-partition
+    // build budget, so a memory-constrained deployment degrades to
+    // spill-safe sort-merge instead of OOMing the un-spillable build)
+    val scaleGate = scaleGate0
+    def scaleHint(df: DataFrame): DataFrame = shjWithinBudget(scaleGate)(df)
+    val model = if (!scaleGate) {
+      // fixture path: exactly the r12/r13 shape (sides broadcast; plans
+      // stay byte-identical to the oracle-validated small-corpus plans)
+      c3.join(scaleHint(cctx3), Seq("u", "v"))
+        .join(scaleHint(chat), Seq("v", "w"))
+        .join(scaleHint(cctx2), Seq("v"))
+        .join(scaleHint(ccont.withColumnRenamed("cur", "w")), Seq("w"))
+        .select(col("u"), col("v"), col("w"), log(p3).as("lp3"))
+    } else {
+      // v-co-partitioned ladder: the only w-keyed attachment (Pcont's
+      // N1+(·,w)) is applied to the SECOND-order (v,w) table first —
+      // the smallest stream that carries w — and the result is brought
+      // back to v-partitioning, so the trigram-type ladder never leaves
+      // v. Join reordering only: the same four factors attach 1:1 to
+      // the same (u,v,w) rows, and the p3/p2 expression trees are
+      // unchanged, so lp3 is bit-identical (pinned-gate equality spec +
+      // oracle cover this).
+      val chatP = chat
+        .join(scaleHint(ccont.withColumnRenamed("cur", "w")), Seq("w"))
+        .repartition(vParts, col("v"))
+      c3.join(scaleHint(cctx3), Seq("u", "v"))
+        .join(scaleHint(chatP), Seq("v", "w"))
+        .join(scaleHint(cctx2), Seq("v"))
+        .select(col("u"), col("v"), col("w"), log(p3).as("lp3"))
+    }
+    // scale path: the probe stream enters the scoring join already
+    // v-partitioned (explicit count — co-partition compatibility needs
+    // equal partition counts), matching the model side, so
+    // EnsureRequirements adds no exchange. Requires the session conf
+    // spark.sql.requireAllClusterKeysForCoPartition=false (set by
+    // Bench; Spark's default true refuses subset-key co-partitioning)
+    // — with it true the plan degrades to the r13 full-key exchanges,
+    // never to a wrong result.
+    val triJ = if (scaleGate) tri.repartition(vParts, col("v")) else tri
+    val scored = triJ
+      .join(shjWithinBudget(scaleGate, Some(c3))(model), Seq("u", "v", "w"))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_trigrams"),
         (-(sum(col("k") * col("lp3")) / sum(col("k")))).as("avg_nll_kn3"))

@@ -11,9 +11,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Times each materialization the fused pipeline pays, in pipeline
   * order, so cost is attributed to a stage instead of guessed at:
-  * the (doc,label,token) tf aggregate (corpus token-stream exchange),
-  * the (label,token) cnt rollup, the vocab distinct count, the scoring
-  * join + class-pivoted doc aggregate, and the end-to-end query.
+  * the map-side per-doc tf kernel (`unigram_counts`, no corpus
+  * exchange since r13), the (label,token) cnt rollup, the vocab
+  * distinct count, the scoring join + class-pivoted doc aggregate, and
+  * the end-to-end query.
   * Honors SPARK_GRAFT_MASTER / SPARK_GRAFT_EXECUTOR_MEM like Bench.
   */
 object NbProfile {

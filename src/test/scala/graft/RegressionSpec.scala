@@ -118,13 +118,18 @@ class RegressionSpec extends SparkSuite {
         (900006L, "a b a b a b c"),
         (900007L, "Ünïcödé ÇASE Ünïcödé ÇASE mixed")).toDF("doc_id", "text"))
       .select($"doc_id", tokens(coalesce($"text", lit(""))).as("tk"))
-    for (n <- Seq(2, 3)) {
-      val kernel = docs.select($"doc_id",
-          explode(if (n == 2) bigram_counts($"tk") else trigram_counts($"tk"))
-            .as("g"))
+    // n=1 covers the unigram kernel feeding NaiveBayes + the perplexity
+    // family since r13 (ADVICE r13: it only had indirect oracle coverage)
+    for (n <- Seq(1, 2, 3)) {
+      val kernelCol =
+        if (n == 1) unigram_counts($"tk")
+        else if (n == 2) bigram_counts($"tk") else trigram_counts($"tk")
+      val kernel = docs.select($"doc_id", explode(kernelCol).as("g"))
         .select($"doc_id", to_json($"g").as("row"))
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-      val fields = if (n == 2) Seq("prev", "cur") else Seq("u", "v", "w")
+      val fields =
+        if (n == 1) Seq("token")
+        else if (n == 2) Seq("prev", "cur") else Seq("u", "v", "w")
       val lambdaStruct = fields.zipWithIndex
         .map { case (f, j) => s"tk[i${if (j == 0) "-1" else s"+${j - 1}"}] AS $f" }
         .mkString(", ")

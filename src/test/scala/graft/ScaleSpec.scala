@@ -398,6 +398,67 @@ class ScaleSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("KN ladder joins are ShuffledHashJoin on the scale path (r13 verdict #5)") {
+    // The r13 sf100 evidence for the KN shuffle_hash ladder was
+    // behavioral only (77 GB spill → 0) — the committed "scalepath"
+    // plan dump was captured with the gate off. Pin the gate here and
+    // assert the plan: the ladder + scoring joins must hash-build, not
+    // sort-merge (sort-merge sorts of the trigram streams were the
+    // query's entire spill at sf100). The neutral conf key gates every
+    // size-gated family (see Dedup.scaleLsh).
+    val key = "spark.graft.scalePath.minInputBytes"
+    spark.conf.set(key, "0")
+    // tiny sides auto-broadcast below the threshold and the hint would
+    // be moot — pin broadcasts off so strategy choice is visible
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val kn3 = SparkEntry.queries("text_perplexity_kn3")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val shj3 = "ShuffledHashJoin".r.findAllIn(kn3).size
+      assert(shj3 >= 5,
+        s"kn3 scale path: expected >=5 ShuffledHashJoin (4 ladder + scoring), got $shj3:\n$kn3")
+      val kn = SparkEntry.queries("text_perplexity_kn")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val shj2 = "ShuffledHashJoin".r.findAllIn(kn).size
+      assert(shj2 >= 3,
+        s"kn scale path: expected >=3 ShuffledHashJoin (2 ladder + scoring), got $shj2:\n$kn")
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.set(bcast, prevBcast)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      operators.Dedup.releaseCaches()
+    }
+  }
+
+  test("KN3 scale path (v-co-partitioned ladder) is result-identical to the fixture path") {
+    // The scale path reorders the ladder joins (Pcont attaches to the
+    // (v,w) table first) and pins v-partitioning — 1:1 enrichment joins
+    // over the same keys, so every (u,v,w) row carries the same factor
+    // columns and lp3 must be BIT-identical, not merely close.
+    val key = "spark.graft.scalePath.minInputBytes"
+    val direct = SparkEntry.queries("text_perplexity_kn3")(spark, sfDir)
+      .collect().map(r => r.toString).sorted
+    operators.Dedup.releaseCaches()
+    spark.conf.set(key, "0")
+    // the exact production session: Bench sets subset co-partitioning
+    // (the plan the sf100 legs run); correctness must hold under it
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val scaled = SparkEntry.queries("text_perplexity_kn3")(spark, sfDir)
+        .collect().map(r => r.toString).sorted
+      assert(direct.length > 0 && scaled.length == direct.length)
+      assert(scaled.sameElements(direct),
+        s"first diff: ${scaled.zip(direct).find(p => p._1 != p._2)}")
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      operators.Dedup.releaseCaches()
+    }
+  }
+
   test("zorder zvalue attaches via one broadcast stats row, no extra shuffle") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val plan = operators.ZOrder.zvalues(li, Seq("l_partkey", "l_suppkey"))
