@@ -79,4 +79,37 @@ private[graft] object Par {
     val have = df.rdd.getNumPartitions
     if (have * 2 < want) df.repartition(want, key) else df
   }
+
+  /** Fan a CPU-bound per-row stage out by ROWS, not input bytes — the
+    * generalized form of Multimodal's decode widen (r13): Spark sizes
+    * scan partitions by FILE bytes, so a few MB of text arrives in 1-2
+    * partitions, and a per-row kernel that costs 100-1000× its input
+    * bytes (regex batteries, gram folds) serializes on one core while
+    * the rest idle. Widens ONLY when the byte-sized scan estimate gives
+    * materially fewer partitions than the session's parallelism; at
+    * corpus scale the scan is already wide and this is a no-op by
+    * construction — no shuffle. The estimate reads file stats off the
+    * ANALYZED plan (no second planning pass, unlike rdd.getNumPartitions
+    * — measured ~0.4 s per call on light queries when Multimodal first
+    * tried it). The repartition uses an EXPLICIT count so AQE cannot
+    * coalesce the tiny-bytes partitions back to one.
+    */
+  def widenForCpu(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPart = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    var bytes = 0L
+    var unknownLeaf = false
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        bytes += lr.relation.sizeInBytes
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
+      case _ => unknownLeaf = true // V2/streaming: leave its partitioning
+    }
+    val estParts = math.max(1L, (bytes + maxPart - 1) / maxPart)
+    if (!unknownLeaf && estParts * 2 < target) df.repartition(target)
+    else df
+  }
 }

@@ -622,7 +622,12 @@ object TextAnalysis {
         .getOrElse(256L << 20)
       val est = sizeProxy.getOrElse(df)
         .queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est / parts <= BigInt(budget)) df.hint("shuffle_hash") else df
+      val hint = est / parts <= BigInt(budget)
+      // stderr breadcrumb so any leg's log shows which joins hash-build
+      // vs degrade to sort-merge (the decision is invisible in timings)
+      System.err.println(
+        s"[graft.shj] est=$est parts=$parts budget=$budget hint=$hint")
+      if (hint) df.hint("shuffle_hash") else df
     }
 
   private def bigramTypeModel(tk: DataFrame): (DataFrame, DataFrame, Long) = {

@@ -140,7 +140,13 @@ object Validation {
     */
   def profileNumeric(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profileNumeric needs at least one column")
-    df.select(explode(array(columns.map(c =>
+    // widen first (r14): the stack explode multiplies rows by the
+    // column count and the distinct-aggregate machinery chews the
+    // result — all of it confined to the byte-sized scan's 1-3
+    // partitions at fixture scale (guide §2.5). Exact aggregates
+    // (count/min/max/decimal-sum/count-distinct) are partition-layout-
+    // independent, so results are unchanged. No-op at corpus scale.
+    Par.widenForCpu(df).select(explode(array(columns.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*))
         .as("s"))
       .select(col("s.col_name").as("col_name"), col("s.v").as("v"))

@@ -1183,7 +1183,11 @@ object Curation {
         lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
       def nMatches(c: org.apache.spark.sql.Column, re: String) =
         size(call_function("regexp_extract_all", c, lit(re), lit(0))).cast("long")
-      t(s, dir, "documents")
+      // widened (r14): six regex passes per row over a byte-sized scan
+      // ran on 1-2 partitions at fixture scale (0.8 s serial); per-row
+      // projection + final sort are partition-layout-independent, so
+      // results are unchanged and the widen is a no-op at corpus scale
+      graft.operators.Par.widenForCpu(t(s, dir, "documents"))
         .withColumn("s", aug)
         .select(col("doc_id"),
           nMatches(col("s"), email).as("n_emails"),
